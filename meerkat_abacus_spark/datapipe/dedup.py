@@ -1,0 +1,295 @@
+"""Deduplication operators for 100 TB text corpora.
+
+Five families, all shuffle-disciplined:
+
+- exact:        one groupBy on a content hash — the unavoidable shuffle.
+- MinHash+LSH:  shingle → K portable min-hashes → B band keys → the *only*
+                pairwise work happens inside LSH buckets (candidate
+                generation is a self-equi-join on the band key, linear-ish in
+                corpus size instead of O(n²)).
+- SimHash:      one projection per document (no shuffle at all until the
+                caller groups by fingerprint).
+- n-gram Jaccard: exact verification, meant to run on LSH candidates or
+                inside small blocking keys — never on the raw cross product.
+- embedding cosine: same blocking discipline over vector columns.
+
+Hashes are md5-based so results are reproducible in any SQL engine (the
+correctness oracle recomputes them in DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens of a text column."""
+    return F.split(F.trim(text), "\\s+")
+
+
+def shingles_col(text: Column, k: int = 3) -> Column:
+    """Word k-shingles as an array of strings (distinct not applied).
+
+    Documents shorter than k tokens yield an empty array (guarded: Spark's
+    ``sequence(0, -1)`` would otherwise infer a negative step).
+    """
+    toks = tokens_col(text)
+    return F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(shingle_arr: Column, num_hashes: int = 8) -> Column:
+    """Portable MinHash signature: per seed, the lexicographic min of
+    ``md5(seed || ':' || shingle)`` over the shingle set.
+
+    md5 output is uniform, so the min over hex strings is an order-preserving
+    stand-in for a min over 128-bit integers; any SQL engine reproduces it.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingle_arr, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """Band the signature: key_b = md5(b || ':' || sig[b*r] || … ).
+
+    Two documents collide in band b iff all ``rows_per_band`` signature slots
+    in that band agree — the classic (b, r) S-curve.
+    """
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(b)),
+                    *[
+                        F.element_at(signature, b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash + LSH banding.
+
+    Returns distinct ``(id_a, id_b)`` with ``id_a < id_b`` plus the exact
+    shingle-set Jaccard of each candidate (verification pass).  The pairwise
+    join is on the band key only — at 100 TB the band key is the shuffle key
+    and bucket sizes stay small, so no O(n²) blowup.
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles_col(F.col(text_col), shingle_k)).alias("sh"),
+    ).withColumn(
+        "band_key",
+        F.explode(
+            lsh_band_keys(
+                minhash_signature(F.col("sh"), num_hashes), bands, rows_per_band
+            )
+        ),
+    )
+    left = base.alias("a")
+    right = base.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (inter.cast("double") / union.cast("double")).alias("jaccard"),
+    )
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, content_col: str
+) -> DataFrame:
+    """Exact dedup: md5 of content, keep the minimum id per hash.
+
+    Adds ``content_hash`` and ``is_kept``; one hash-partitioned groupBy is
+    the whole cost (map-side partial agg applies).
+    """
+    hashed = df.withColumn(
+        "content_hash", F.md5(F.col(content_col).cast("string"))
+    )
+    keepers = hashed.groupBy("content_hash").agg(
+        F.min(F.col(id_col)).alias("__keep_id")
+    )
+    return hashed.join(keepers, "content_hash").withColumn(
+        "is_kept", (F.col(id_col) == F.col("__keep_id")).cast("boolean")
+    ).drop("__keep_id")
+
+
+def _hex4_to_int(hex_col: Column) -> Column:
+    """First-4-hex-chars → int via strpos arithmetic (portable to any SQL)."""
+    alphabet = "0123456789abcdef"
+    out = F.lit(0)
+    for pos in range(4):
+        digit = F.instr(F.lit(alphabet), F.substring(hex_col, pos + 1, 1)) - 1
+        out = out * 16 + digit
+    return out
+
+
+def token_hash16(tok: Column) -> Column:
+    """16-bit portable token hash: int of md5(token)[0:4]."""
+    return _hex4_to_int(F.md5(tok))
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash over whitespace tokens (frequency-weighted).
+
+    bit b of the fingerprint is 1 iff sum over tokens of ±1 (by bit b of the
+    token hash) is >= 0.  Pure projection: no shuffle, vectorizes per row.
+    """
+    hashes = F.transform(tokens_col(text), token_hash16)
+    fp = F.lit(0)
+    for b in range(16):
+        contrib = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h, b=b: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+        fp = fp + F.when(contrib >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return fp
+
+
+def hamming16(a: Column, b: Column) -> Column:
+    """Hamming distance between two 16-bit fingerprints."""
+    x = a.bitwiseXOR(b)
+    out = F.lit(0)
+    for bit in range(16):
+        out = out + F.shiftright(x, bit).bitwiseAND(F.lit(1))
+    return out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    shingle_k: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact word-k-gram Jaccard for all pairs *within a blocking key*.
+
+    The block column bounds the quadratic term: pairs only form inside one
+    shuffle partition's worth of same-key rows.  Use LSH candidates or a
+    cheap attribute (language × length bucket) as the block.
+    """
+    base = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles_col(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(min_jaccard))
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine over two ARRAY<FLOAT/DOUBLE> columns, computed in double.
+
+    ``zip_with`` + ``aggregate`` keep it JVM-side; no UDF.
+    """
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    dot = F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+    return dot / (na * nb)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    min_cosine: float = 0.95,
+) -> DataFrame:
+    """Embedding near-duplicates within a blocking key (label, LSH bucket, …).
+
+    Same discipline as :func:`ngram_jaccard_pairs`: the block bounds the
+    pairwise term; at scale feed it sign-LSH buckets from
+    :mod:`meerkat_abacus_spark.datapipe.similarity`.
+    """
+    base = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    sim = cosine_similarity(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            sim.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(min_cosine))
+    )

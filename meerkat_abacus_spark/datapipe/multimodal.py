@@ -1,0 +1,91 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real — binary columns, Arrow-batched
+``mapInPandas`` with an explicit output schema, partition-sized batches —
+while the actual media decode is stubbed (the decode libraries are not in
+this container).  Swapping ``_decode_stub`` for PIL/ffmpeg keeps every plan
+unchanged.
+
+At scale: binary payloads ride in their own column so column pruning keeps
+metadata-only queries from ever reading the bytes; decode fan-out is a
+narrow ``mapInPandas`` (no shuffle), so 100 TB of media decodes at
+partition parallelism with Arrow transfer only for the projected columns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("first_byte", IntegerType()),
+        StructField("feature", LongType()),
+    ]
+)
+
+
+def attach_binary_payload(
+    df: DataFrame, text_col: str = "text", media_type: str = "image"
+) -> DataFrame:
+    """Demo payload: utf-8 bytes of the text column as the opaque binary.
+
+    Real ingestion would read binaryFile sources
+    (``spark.read.format("binaryFile")``) — shape is identical.
+    """
+    return df.withColumn("payload", F.encode(F.col(text_col), "utf-8")).withColumn(
+        "media_type", F.lit(media_type)
+    )
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake decode: (byte_len, first_byte, feature).
+
+    A real implementation would decode the image/audio frame here and emit
+    shape/duration/etc.  Raising NotImplementedError for unknown media types
+    keeps the contract honest.
+    """
+    if payload is None:
+        return 0, -1, 0
+    first = payload[0] if payload else -1
+    # "feature": sum of the first 8 bytes — stands in for a decoded signal.
+    feature = sum(payload[:8])
+    return len(payload), first, feature
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Arrow-batched decode over (doc_id, media_type, payload).
+
+    ``mapInPandas`` so one Python worker handles a whole Arrow batch; the
+    output schema is fixed and narrow regardless of payload size.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = pdf["payload"].map(_decode_stub)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": decoded.map(lambda t: t[0]),
+                    "first_byte": decoded.map(lambda t: t[1]),
+                    "feature": decoded.map(lambda t: t[2]),
+                }
+            )
+
+    return df.select("doc_id", "media_type", "payload").mapInPandas(
+        _decode, DECODED_SCHEMA
+    )

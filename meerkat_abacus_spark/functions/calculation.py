@@ -1,0 +1,122 @@
+"""Calculation-grammar → Spark SQL translator.
+
+The reference compiles ``calculation`` strings (column refs, numeric
+literals, ``+-*/()``, ``abs``, ``int()``, ``Variable.to_date``) to Python
+bytecode and evals them per row (meerkat_abacus/codes/variable.py:96-122,
+251-319).  We translate the same closed grammar once, at plan time, into a
+Spark SQL expression string; evaluation is then vectorized JVM codegen with
+zero Python in the row loop.
+
+Pieces:
+- column refs       → ``coalesce(try_cast(nullif(`col`,'') AS DOUBLE), 0.0)``
+                      (calc semantics: empty → 0, variable.py:305-311) or a
+                      bare try_cast for `between` (empties are gated out by a
+                      separate applicability predicate, variable.py:265-268).
+- ``int(x)``        → truncation toward zero (Python int()); emitted as a
+                      CAST to BIGINT via a paren-balanced rewrite.
+- ``Variable.to_date(col)`` → seconds since the "epi epoch" (the epi-week
+                      start day on/after Thursday 1970-01-01), reference
+                      variable.py:321-367.
+"""
+
+from __future__ import annotations
+
+import re
+
+from meerkat_abacus_spark.functions.dates import MULTIFORMAT_PATTERNS
+
+
+def _epi_epoch_offset_days(epi_config: str | dict) -> int:
+    """Days between 1970-01-01 (a Thursday) and the first epi-week start day.
+
+    Reference variable.py:344-352: ``(4 + weekday) % 7``.
+    """
+    if isinstance(epi_config, str) and epi_config.startswith("day:"):
+        weekday = int(epi_config.split(":")[1])
+    elif isinstance(epi_config, dict):
+        # Reference uses the start date's weekday per year; for translation we
+        # use weekday of the earliest configured start (documented divergence:
+        # a per-year offset would need the date's year at runtime).
+        first = sorted(epi_config.items())[0][1]
+        weekday = first.weekday()
+    else:
+        weekday = 0
+    return (4 + weekday) % 7
+
+
+def _multiformat_parse_sql(inner: str) -> str:
+    arms = ", ".join(
+        f"try_to_timestamp({inner}, '{p}')" for p in MULTIFORMAT_PATTERNS
+    )
+    return f"coalesce({arms}, try_to_timestamp({inner}))"
+
+
+def _rewrite_int_calls(sql: str) -> str:
+    """Rewrite ``int( ... )`` into ``CAST(... AS BIGINT)`` with paren balancing."""
+    out = []
+    i = 0
+    n = len(sql)
+    while i < n:
+        m = re.match(r"\bint\(", sql[i:])
+        if m and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+            depth = 1
+            j = i + m.end()
+            start = j
+            while j < n and depth:
+                if sql[j] == "(":
+                    depth += 1
+                elif sql[j] == ")":
+                    depth -= 1
+                j += 1
+            inner = _rewrite_int_calls(sql[start : j - 1])
+            out.append(f"CAST({inner} AS BIGINT)")
+            i = j
+        else:
+            out.append(sql[i])
+            i += 1
+    return "".join(out)
+
+
+def translate_calculation(
+    calculation: str,
+    columns: list[str],
+    epi_config: str | dict = "international",
+    empty_as_zero: bool = True,
+) -> str:
+    """Translate a reference calculation string into a Spark SQL expression.
+
+    ``columns`` are the raw column names referenced (reference passes them in
+    from ``db_column``, variable.py:107-122); longest-first replacement
+    prevents a column name that is a prefix of another from clobbering it.
+    """
+    offset_secs = _epi_epoch_offset_days(epi_config) * 86400
+    sql = calculation
+
+    # Placeholders keep later replacements from touching earlier expansions.
+    placeholders: dict[str, str] = {}
+
+    def stash(expr: str) -> str:
+        key = f"\x00{len(placeholders)}\x00"
+        placeholders[key] = expr
+        return key
+
+    for col in sorted(set(columns), key=len, reverse=True):
+        quoted = "`" + col.replace("`", "``") + "`"
+        date_expr = (
+            f"(unix_timestamp({_multiformat_parse_sql(quoted)}) - {offset_secs})"
+        )
+        # Variable.to_date(col) must win over the bare column replacement.
+        sql = sql.replace(f"Variable.to_date({col})", stash(date_expr))
+        # cast-to-string first so nullif never compares '' against a numeric
+        # column (which would error under an ANSI-mode caller session)
+        stringified = f"nullif(CAST({quoted} AS STRING), '')"
+        if empty_as_zero:
+            num = f"coalesce(try_cast({stringified} AS DOUBLE), 0.0D)"
+        else:
+            num = f"try_cast({stringified} AS DOUBLE)"
+        sql = sql.replace(col, stash(num))
+
+    sql = _rewrite_int_calls(sql)
+    for key, expr in placeholders.items():
+        sql = sql.replace(key, expr)
+    return sql

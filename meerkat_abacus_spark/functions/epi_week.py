@@ -1,0 +1,139 @@
+"""Epi-week bucketing as pure Catalyst column expressions.
+
+Reference semantics: meerkat_abacus/util/epi_week.py:20-82 (epi year start
+date per config), :10-17 (week-53 strategy).  Three config shapes:
+
+- ``"international"``       — epi week 1 starts Jan 1.
+- ``"day:N"``               — epi week 1 starts on the first weekday N
+                              (Monday=0) on/after Jan 1; dates before that
+                              start belong to the previous epi year.
+- ``{year: datetime, ...}`` — explicit per-year start dates.
+
+``epi_week = (date - epi_year_start) // 7 + 1``; a resulting week of 0 or 53
+is remapped by strategy ``include_in_52 | include_in_1 | leave_as_is``.
+
+Everything here is date arithmetic on built-in functions — no UDF — so it
+inlines into whole-stage codegen and vectorizes at 100 TB scale; the same
+formula is also emitted as DuckDB SQL (for oracle checks) by
+:func:`epi_week_duckdb_sql`.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from functools import reduce
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WEEK_53_STRATEGIES = ("include_in_52", "include_in_1", "leave_as_is")
+
+
+def _weekday(col: Column) -> Column:
+    """Python-style weekday (Monday=0 .. Sunday=6) of a date column."""
+    # dayofweek: Sunday=1 .. Saturday=7  →  (dow + 5) % 7 gives Monday=0.
+    return F.pmod(F.dayofweek(col) + F.lit(5), F.lit(7))
+
+
+def epi_year_start_col(year_col: Column, epi_config: str | dict) -> Column:
+    """Date of epi week 1's first day for the epi year in ``year_col``."""
+    first = F.make_date(year_col, F.lit(1), F.lit(1))
+    if isinstance(epi_config, dict):
+        # Chained CASE over the explicit per-year start dates.
+        expr = F.lit(None).cast("date")
+        for y, start in sorted(epi_config.items()):
+            expr = F.when(year_col == F.lit(int(y)), F.lit(start.date() if isinstance(start, _dt.datetime) else start)).otherwise(expr)
+        return expr
+    if isinstance(epi_config, str) and epi_config.startswith("day:"):
+        target = int(epi_config.split(":")[1])
+        adjustment = F.pmod(F.lit(target) - _weekday(first), F.lit(7))
+        return F.date_add(first, adjustment)
+    # "international" and any unknown config fall back to Jan 1
+    # (reference epi_week.py:80-82 has the same fallback).
+    return first
+
+
+def epi_week_columns(
+    date_col: Column,
+    epi_config: str | dict = "international",
+    week_53_strategy: str = "leave_as_is",
+) -> tuple[Column, Column]:
+    """Return ``(epi_year, epi_week)`` integer columns for a date/timestamp column.
+
+    Reference: meerkat_abacus/util/epi_week.py:20-42 (epi_week_for_date).
+    """
+    if week_53_strategy not in WEEK_53_STRATEGIES:
+        raise ValueError(f"unknown week-53 strategy {week_53_strategy!r}")
+    d = F.to_date(date_col)
+
+    if isinstance(epi_config, dict):
+        # epi year = largest configured year whose start date <= d.
+        items = sorted(epi_config.items())
+        year_expr: Column = F.lit(None).cast("int")
+        start_expr: Column = F.lit(None).cast("date")
+        for y, start in items:  # ascending: later matches overwrite earlier
+            sd = F.lit(start.date() if isinstance(start, _dt.datetime) else start)
+            cond = d >= sd
+            year_expr = F.when(cond, F.lit(int(y))).otherwise(year_expr)
+            start_expr = F.when(cond, sd).otherwise(start_expr)
+        epi_year, start = year_expr, start_expr
+    elif isinstance(epi_config, str) and epi_config.startswith("day:"):
+        cal_year = F.year(d)
+        this_years_start = epi_year_start_col(cal_year, epi_config)
+        epi_year = F.when(d < this_years_start, cal_year - 1).otherwise(cal_year)
+        start = epi_year_start_col(epi_year, epi_config)
+    else:
+        epi_year = F.year(d)
+        start = epi_year_start_col(epi_year, epi_config)
+
+    week = (F.floor(F.datediff(d, start) / 7) + 1).cast("int")
+
+    is_overflow = week.isin(0, 53)
+    if week_53_strategy == "include_in_52":
+        week = F.when(is_overflow, F.lit(52)).otherwise(week)
+    elif week_53_strategy == "include_in_1":
+        epi_year = F.when(is_overflow, epi_year + 1).otherwise(epi_year)
+        week = F.when(is_overflow, F.lit(1)).otherwise(week)
+    return epi_year.cast("int").alias("epi_year"), week.alias("epi_week")
+
+
+def epi_week_duckdb_sql(
+    date_expr: str,
+    epi_config: str | dict = "international",
+    week_53_strategy: str = "leave_as_is",
+) -> tuple[str, str]:
+    """The same epi-year/epi-week formula as ANSI SQL for the DuckDB oracle.
+
+    Returns ``(epi_year_sql, epi_week_sql)`` string expressions over
+    ``date_expr``.  Supports the ``international`` and ``day:N`` configs used
+    by the oracle-checked queries.
+    """
+    d = f"CAST({date_expr} AS DATE)"
+    if isinstance(epi_config, str) and epi_config.startswith("day:"):
+        target = int(epi_config.split(":")[1])
+
+        def start_for(year_sql: str) -> str:
+            first = f"make_date({year_sql}, 1, 1)"
+            # isodow: Monday=1..Sunday=7 → python weekday = isodow - 1
+            return (
+                f"({first} + CAST((({target} - (isodow({first}) - 1)) % 7 + 7) % 7 AS INT))"
+            )
+
+        year_raw = f"year({d})"
+        epi_year = (
+            f"(CASE WHEN {d} < {start_for(year_raw)} THEN {year_raw} - 1 "
+            f"ELSE {year_raw} END)"
+        )
+        start = start_for(epi_year)
+    else:
+        epi_year = f"year({d})"
+        start = f"make_date({epi_year}, 1, 1)"
+
+    week = f"(CAST(floor(datediff('day', {start}, {d}) / 7) AS INT) + 1)"
+    overflow = f"({week} IN (0, 53))"
+    if week_53_strategy == "include_in_52":
+        week = f"(CASE WHEN {overflow} THEN 52 ELSE {week} END)"
+    elif week_53_strategy == "include_in_1":
+        epi_year = f"(CASE WHEN {overflow} THEN {epi_year} + 1 ELSE {epi_year} END)"
+        week = f"(CASE WHEN {overflow} THEN 1 ELSE {week} END)"
+    return f"CAST({epi_year} AS INT)", f"CAST({week} AS INT)"

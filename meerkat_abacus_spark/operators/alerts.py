@@ -1,0 +1,192 @@
+"""Alert aggregation (A1-A4): threshold and trend alerts as windowed aggs.
+
+Reference: meerkat_abacus/pipeline_worker/process_steps/add_multiple_alerts.py
+— the reference pulls ±7 days of rows *per record* back from Postgres into
+pandas and groups in-process (:154-216); here each alert family is one
+distributed groupBy over the whole data table:
+
+- A1 daily threshold    groupBy(clinic, day)       count >= limit
+- A2 weekly threshold   groupBy(clinic, epi-week)  count >= limit
+- A3 double-double      weekly counts + lag(1), lag(2) window predicate
+- A4 representative     min-uuid in the group is the master; the rest become
+                        sub_alerts (add_multiple_alerts.py:78-138)
+
+Shuffle budget: one shuffle on (clinic, bucket) for the agg; A3 adds one
+window shuffle on clinic.  Clinic × week keys are small and well distributed;
+a national outbreak concentrating rows in one clinic-day is exactly what AQE
+skew-join/partition splitting absorbs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def threshold_alerts(
+    df: DataFrame,
+    var_predicate: Column,
+    clinic_col: str = "clinic",
+    date_col: str = "date",
+    uuid_col: str = "uuid",
+    daily_limit: int | None = None,
+    weekly_limit: int | None = None,
+    hospital_daily_limit: int | None = None,
+    hospital_weekly_limit: int | None = None,
+    clinic_type_col: str | None = None,
+    epi_year_col: str = "epi_year",
+    epi_week_col: str = "epi_week",
+    reason: str = "",
+) -> DataFrame:
+    """A1/A2 — one alert row per (clinic, day|week) bucket over the limit.
+
+    Output: clinic, period_start, period ('day'|'week'), reason, count,
+    uuids ARRAY<STRING> sorted ascending (add_multiple_alerts.py:154-252;
+    separate hospital limits when four limits are configured).
+    """
+    base = df.filter(var_predicate)
+    outs: list[DataFrame] = []
+
+    def limit_expr(normal: int, hospital: int | None) -> Column:
+        if hospital is not None and clinic_type_col is not None:
+            return F.when(
+                F.col(clinic_type_col) == "Hospital", F.lit(hospital)
+            ).otherwise(F.lit(normal))
+        return F.lit(normal)
+
+    if daily_limit is not None:
+        daily = (
+            base.groupBy(
+                F.col(clinic_col).alias("clinic"),
+                F.date_trunc("DAY", F.col(date_col)).alias("period_start"),
+                *([F.col(clinic_type_col)] if clinic_type_col else []),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("count"),
+                F.array_sort(F.collect_list(F.col(uuid_col))).alias("uuids"),
+            )
+            .filter(F.col("count") >= limit_expr(daily_limit, hospital_daily_limit))
+            .select(
+                "clinic",
+                "period_start",
+                F.lit("day").alias("period"),
+                F.lit(reason).alias("reason"),
+                "count",
+                "uuids",
+            )
+        )
+        outs.append(daily)
+
+    if weekly_limit is not None:
+        weekly = (
+            base.groupBy(
+                F.col(clinic_col).alias("clinic"),
+                F.col(epi_year_col).alias("epi_year"),
+                F.col(epi_week_col).alias("epi_week"),
+                *([F.col(clinic_type_col)] if clinic_type_col else []),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("count"),
+                F.array_sort(F.collect_list(F.col(uuid_col))).alias("uuids"),
+            )
+            .filter(F.col("count") >= limit_expr(weekly_limit, hospital_weekly_limit))
+            .select(
+                "clinic",
+                "epi_year",
+                "epi_week",
+                F.lit("week").alias("period"),
+                F.lit(reason).alias("reason"),
+                "count",
+                "uuids",
+            )
+        )
+        outs.append(weekly)
+
+    if not outs:
+        raise ValueError("at least one of daily_limit/weekly_limit required")
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o, allowMissingColumns=True)
+    return out
+
+
+def double_double_alerts(
+    df: DataFrame,
+    var_predicate: Column,
+    clinic_col: str = "clinic",
+    uuid_col: str = "uuid",
+    epi_year_col: str = "epi_year",
+    epi_week_col: str = "epi_week",
+    min_total: int = 14,
+    factor: float = 2.0,
+    reason: str = "",
+) -> DataFrame:
+    """A3 — counts grow by ``factor`` twice across 3 consecutive epi weeks
+    and the 5-week total is >= ``min_total`` (add_multiple_alerts.py:255-358;
+    the reference's factor is exactly 2 — "double-double").
+
+    The reference's raw-SQL ±2-week window with year wraparound becomes an
+    absolute-week axis (epi_year*53 + epi_week) with lag/sum windows.
+    """
+    weekly = (
+        df.filter(var_predicate)
+        .groupBy(
+            F.col(clinic_col).alias("clinic"),
+            F.col(epi_year_col).alias("epi_year"),
+            F.col(epi_week_col).alias("epi_week"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.array_sort(F.collect_list(F.col(uuid_col))).alias("uuids"),
+        )
+        .withColumn(
+            "abs_week", F.col("epi_year") * 53 + F.col("epi_week")
+        )
+    )
+    w = Window.partitionBy("clinic").orderBy("abs_week")
+    w5 = w.rowsBetween(-4, 0)
+    flagged = (
+        weekly.withColumns(
+            {
+                "lag1": F.lag("count", 1).over(w),
+                "lag2": F.lag("count", 2).over(w),
+                "abs_lag1": F.lag("abs_week", 1).over(w),
+                "abs_lag2": F.lag("abs_week", 2).over(w),
+                "total5": F.sum("count").over(w5),
+            }
+        )
+        # consecutive weeks only (the reference window is contiguous weeks)
+        .filter(
+            (F.col("abs_lag1") == F.col("abs_week") - 1)
+            & (F.col("abs_lag2") == F.col("abs_week") - 2)
+            & (F.col("lag2") > 1)
+            & (F.col("lag1") >= F.lit(factor) * F.col("lag2"))
+            & (F.col("count") >= F.lit(factor) * F.col("lag1"))
+            & (F.col("total5") >= F.lit(min_total))
+        )
+        .select(
+            "clinic",
+            "epi_year",
+            "epi_week",
+            F.lit(reason).alias("reason"),
+            "count",
+            "uuids",
+        )
+    )
+    return flagged
+
+
+def assign_representatives(alerts: DataFrame, uuid_array_col: str = "uuids") -> DataFrame:
+    """A4 — explode each alert's member uuids; the minimum uuid is the master,
+    the others become sub-alerts pointing at it (add_multiple_alerts.py:78-138)."""
+    return (
+        alerts.withColumn("master_alert", F.array_min(F.col(uuid_array_col)))
+        .withColumn("uuid", F.explode(F.col(uuid_array_col)))
+        .withColumn("sub_alert", (F.col("uuid") != F.col("master_alert")).cast("int"))
+        .withColumn(
+            "alert_id",
+            # alert_id = last 6 chars of the master uuid (demo_config.py:156)
+            F.when(F.col("sub_alert") == 0, F.right(F.col("uuid"), F.lit(6))),
+        )
+        .drop(uuid_array_col)
+    )

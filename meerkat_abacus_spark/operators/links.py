@@ -1,0 +1,161 @@
+"""Record linkage (J1/J3/J4): link definitions → ordered array-of-struct columns.
+
+Reference: meerkat_abacus/pipeline_worker/process_steps/add_links.py:99-157.
+For each link def, rows of ``to_form`` whose key matches the base row's key
+are collected *ordered by* the link's order_by column and stored on the base
+row.  Key normalizations (add_links.py:65-83, 113-129):
+
+- ``match``        exact equality
+- ``lower_match``  lower() + '-'→'_' on both sides
+- ``alert_match``  base uuid *suffix* equals the to-row's key (the alert-id
+                   is the last 6 chars of the case uuid)
+
+All three are plain equi-joins after key derivation, so Catalyst picks
+broadcast-hash vs sort-merge; the collect_list aggregation shuffles on the
+base uuid once per link def.  At scale: the to-side is usually the smaller
+(linked forms are a fraction of case volume) — pass ``broadcast_to_side`` to
+pin a broadcast-hash join and avoid shuffling the fact table at all.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from meerkat_abacus_spark.functions.dates import parse_multiformat_timestamp
+
+
+@dataclass
+class LinkDef:
+    """One demo_links.csv row (reference country_config/demo_links.csv:1-4)."""
+
+    name: str
+    type: str              # data type the link applies to, e.g. "case"
+    to_form: str
+    from_form: str
+    from_column: str       # ';'-separated multi-keys
+    to_column: str
+    method: str = "match"  # ';'-separated per key: match|lower_match|alert_match
+    order_by: str = ""     # "<column>;date" → parse order key as a date
+    uuid: str = "meta/instanceID"
+    to_condition: str = ""  # "column:value" filter on the to-side
+
+
+def _normalize(col: Column, method: str) -> Column:
+    if method == "lower_match":
+        return F.regexp_replace(F.lower(col.cast("string")), "-", "_")
+    return col.cast("string")
+
+
+def add_links(
+    base: DataFrame,
+    to_forms: dict[str, DataFrame],
+    links: list[LinkDef],
+    alert_id_len: int = 6,
+    broadcast_to_side: bool = False,
+) -> DataFrame:
+    """Attach one ``link_<name>`` ARRAY<STRUCT<__sort,__uuid,row>> column per
+    link def, ordered by the link's order_by key (dates parsed with the
+    multi-format parser — add_links.py:143-152)."""
+    out = base
+    for link in links:
+        to_df = to_forms[link.to_form]
+        if link.to_condition:
+            col, value = link.to_condition.split(":", 1)
+            to_df = to_df.filter(F.col(col).cast("string") == value)
+
+        from_cols = link.from_column.split(";")
+        to_cols = link.to_column.split(";")
+        methods = link.method.split(";")
+
+        order_col = link.order_by.split(";")[0] if link.order_by else link.uuid
+        order_is_date = not (
+            link.order_by and ";" in link.order_by
+            and link.order_by.split(";")[1] != "date"
+        )
+        sort_key = (
+            parse_multiformat_timestamp(F.col(order_col).cast("string")).cast("string")
+            if order_is_date
+            else F.col(order_col).cast("string")
+        )
+
+        key_cols = {
+            f"__k{i}": _normalize(F.col(tc), m)
+            for i, (tc, m) in enumerate(zip(to_cols, methods))
+        }
+        payload = F.struct(*[F.col(c).alias(c) for c in to_df.columns])
+        to_prepared = to_df.select(
+            *[expr.alias(name) for name, expr in key_cols.items()],
+            F.struct(
+                sort_key.alias("__sort"),
+                F.col(link.uuid).cast("string").alias("__uuid"),
+                payload.alias("row"),
+            ).alias("__linked"),
+        )
+        to_side = F.broadcast(to_prepared) if broadcast_to_side else to_prepared
+
+        conds: list[Column] = []
+        for i, (fc, m) in enumerate(zip(from_cols, methods)):
+            if m == "alert_match":
+                # add_links.py:79-83 — join the *suffix* of the base uuid
+                # against the to-row's key column.
+                base_key = F.substring(
+                    out[fc].cast("string"), -alert_id_len, alert_id_len
+                )
+            else:
+                base_key = _normalize(out[fc], m)
+            conds.append(base_key == to_side[f"__k{i}"])
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond & c
+
+        group_cols = list(out.columns)
+        out = (
+            out.join(to_side, cond, "left")
+            .groupBy(*group_cols)
+            .agg(
+                F.array_sort(
+                    F.filter(
+                        F.collect_list(F.col("__linked")),
+                        lambda x: x["__uuid"].isNotNull(),
+                    )
+                ).alias(f"link_{link.name}")
+            )
+        )
+    return out
+
+
+def link_uuid_projection(df: DataFrame, link_names: list[str]) -> DataFrame:
+    """C11 — ``links = {name: [uuid, …]}`` (process_steps/to_codes.py:99-104)."""
+    entries = [
+        F.struct(
+            F.lit(name).alias("key"),
+            F.transform(F.col(f"link_{name}"), lambda x: x["__uuid"]).alias("value"),
+        )
+        for name in link_names
+    ]
+    return df.withColumn("links", F.map_from_entries(F.array(*entries)))
+
+
+def link_aggregate(df: DataFrame, link_name: str, method: str, test=None) -> Column:
+    """C4 — multiple_link evaluation over a collected link array
+    (reference codes/to_codes.py:213-242).
+
+    ``last``/``first`` expose the newest/oldest linked row for a rule test;
+    ``count`` is the array size; ``any``/``all`` apply ``test`` (a lambda
+    Column-builder over a linked row struct) across the array.
+    """
+    arr = F.col(f"link_{link_name}")
+    if method == "count":
+        return F.size(arr)
+    if method == "last":
+        return F.element_at(arr, -1)["row"]
+    if method == "first":
+        return F.element_at(arr, 1)["row"]
+    if method == "any":
+        return F.exists(arr, lambda x: test(x["row"]))
+    if method == "all":
+        return F.forall(arr, lambda x: test(x["row"]))
+    raise ValueError(f"unknown multiple_link method {method!r}")

@@ -1,0 +1,103 @@
+"""Location hierarchy (J5/J9): adjacency → flattened broadcast dimension.
+
+Reference: meerkat_abacus/codes/to_codes.py:106-152 walks ``parent_location``
+per record to fill clinic→district→region→zone→country.  Depth is fixed
+(≤ 4 hops), so the walk flattens at build time into a wide dimension via
+iterative self-joins; record enrichment is then a single broadcast hash join
+(the dimension is a few thousand rows even nationally) — zero shuffles on the
+fact side, and J9's ``is_child`` collapses to ``parent IN (clinic, district,
+region, zone, country)``.
+
+Multi-valued ``deviceid`` cells (comma-separated per clinic,
+util/__init__.py:200-220) are exploded on the *dimension* side, never the
+facts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def flatten_location_hierarchy(
+    locations: DataFrame,
+    id_col: str = "id",
+    parent_col: str = "parent_location",
+    level_col: str = "level",
+    levels: tuple[str, ...] = ("clinic", "district", "region", "zone", "country"),
+) -> DataFrame:
+    """Adjacency table → one row per leaf with an id column per level.
+
+    A clinic may hang directly off a region (NULL district —
+    to_codes.py:138-146); the join chain is left outer so missing
+    intermediate levels stay NULL.
+    """
+    nodes = locations.select(
+        F.col(id_col).alias("__id"),
+        F.col(parent_col).alias("__parent"),
+        F.col(level_col).alias("__level"),
+    )
+    out = locations.withColumn("__cursor", F.col(parent_col)).withColumn(
+        f"{levels[0]}_id",
+        F.when(F.col(level_col) == levels[0], F.col(id_col)),
+    )
+    for _hop in range(len(levels) - 1):
+        hop = nodes.select(
+            F.col("__id").alias("__hop_id"),
+            F.col("__parent").alias("__hop_parent"),
+            F.col("__level").alias("__hop_level"),
+        )
+        out = out.join(
+            F.broadcast(hop), out["__cursor"] == hop["__hop_id"], "left"
+        )
+        for lvl in levels[1:]:
+            col = f"{lvl}_id"
+            existing = out[col] if col in out.columns else F.lit(None)
+            out = out.withColumn(
+                col,
+                F.coalesce(
+                    existing,
+                    F.when(F.col("__hop_level") == lvl, F.col("__hop_id")),
+                ),
+            )
+        out = (
+            out.withColumn("__cursor", F.col("__hop_parent"))
+            .drop("__hop_id", "__hop_parent", "__hop_level")
+        )
+    return out.drop("__cursor")
+
+
+def explode_deviceids(clinics: DataFrame, deviceid_col: str = "deviceid") -> DataFrame:
+    """One dimension row per device: split comma-joined deviceid cells
+    (util/__init__.py:200-220)."""
+    return clinics.withColumn(
+        deviceid_col,
+        F.explode(F.split(F.col(deviceid_col).cast("string"), ",\\s*")),
+    )
+
+
+def enrich_with_location(
+    df: DataFrame,
+    flattened_clinics: DataFrame,
+    device_col: str = "deviceid",
+    dim_device_col: str = "deviceid",
+    prefix: str = "",
+) -> DataFrame:
+    """J5 — broadcast-join facts to the flattened clinic dimension on
+    deviceid (optionally prefixed, location spec ``deviceid:column:prefix``,
+    to_codes.py:106-131)."""
+    dim = F.broadcast(
+        flattened_clinics.withColumnRenamed(dim_device_col, "__dim_dev")
+    )
+    key = (
+        F.concat(F.lit(prefix), F.col(device_col).cast("string"))
+        if prefix
+        else F.col(device_col).cast("string")
+    )
+    return df.join(dim, key == F.col("__dim_dev"), "left").drop("__dim_dev")
+
+
+def is_child(parent_id_col, row_level_cols: list[str]):
+    """J9 — hierarchy membership over the flattened dim
+    (util/__init__.py:49-72)."""
+    return F.col(parent_id_col).isin([F.col(c) for c in row_level_cols])

@@ -1,0 +1,131 @@
+"""Quality-control step as declarative filters/projections.
+
+Reference: meerkat_abacus/pipeline_worker/process_steps/quality_control.py
+(248 LoC, row-at-a-time).  Every sub-operator here is a pushdown-friendly
+DataFrame transform: the sample/date filters reach the parquet scan as
+PushedFilters, the exclusion list is a (broadcastable) anti-join, the device
+allowlist a semi-join — all shuffle-free when the dimension side broadcasts.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from meerkat_abacus_spark.functions.dates import parse_multiformat_timestamp
+from meerkat_abacus_spark.operators.coding import Rule, compile_rule_test
+
+
+def fractional_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+    """F1 — keep each row with probability ``fraction``
+    (quality_control.py:106-110, config.py:74)."""
+    if fraction >= 1.0:
+        return df
+    return df.sample(fraction=fraction, seed=seed)
+
+
+def submission_date_filter(
+    df: DataFrame, submission_col: str, only_import_after: str
+) -> DataFrame:
+    """F2 — drop rows submitted before the cutoff (quality_control.py:110-114)."""
+    ts = parse_multiformat_timestamp(F.col(submission_col).cast("string"))
+    return df.filter(ts >= F.to_timestamp(F.lit(only_import_after)))
+
+
+def exclusion_anti_join(
+    df: DataFrame, exclusion: DataFrame, key: str = "uuid"
+) -> DataFrame:
+    """F3 — drop rows whose uuid is on the exclusion list
+    (quality_control.py:89-90).  LEFT ANTI + broadcast: exclusion lists are
+    tiny config artifacts, so no shuffle of the fact side."""
+    return df.join(F.broadcast(exclusion.select(key).distinct()), on=key, how="left_anti")
+
+
+def device_allowlist(
+    df: DataFrame,
+    devices: DataFrame,
+    device_col: str = "deviceid",
+    allow_enketo_urls: list[str] | None = None,
+) -> DataFrame:
+    """F4 — keep registered devices (quality_control.py:151-187).
+
+    ``allow_enketo`` fallback: a row passes if its deviceid contains any of
+    the configured substrings (quality_control.py:166-172).
+    """
+    dev = F.broadcast(devices.selectExpr(f"{device_col} as __dev").distinct())
+    if allow_enketo_urls:
+        enketo = reduce(
+            lambda a, b: a | b,
+            [F.col(device_col).contains(F.lit(u)) for u in allow_enketo_urls],
+        )
+        matched = df.join(dev, df[device_col] == dev["__dev"], "left")
+        return matched.filter(F.col("__dev").isNotNull() | enketo).drop("__dev")
+    return df.join(dev, df[device_col] == dev["__dev"], "left_semi")
+
+
+def clinic_start_date_filter(
+    df: DataFrame,
+    clinics: DataFrame,
+    device_col: str = "deviceid",
+    submission_col: str = "SubmissionDate",
+    start_date_col: str = "start_date",
+) -> DataFrame:
+    """F5 — drop rows submitted before their clinic's start date
+    (quality_control.py:179-183)."""
+    dim = F.broadcast(
+        clinics.select(
+            F.col(device_col).alias("__dev"), F.col(start_date_col).alias("__start")
+        )
+    )
+    ts = parse_multiformat_timestamp(F.col(submission_col).cast("string"))
+    return (
+        df.join(dim, df[device_col] == dim["__dev"], "left")
+        .filter(F.col("__start").isNull() | (ts >= F.col("__start")))
+        .drop("__dev", "__start")
+    )
+
+
+def date_validity_filter(df: DataFrame, date_col: str) -> DataFrame:
+    """F6 — the per-data-type date column must parse (quality_control.py:190-245)."""
+    return df.filter(
+        parse_multiformat_timestamp(F.col(date_col).cast("string")).isNotNull()
+    )
+
+
+def apply_import_rules(
+    df: DataFrame, rules: list[Rule], epi_config: str | dict = "international"
+) -> DataFrame:
+    """F7 — type="import" QC rules (quality_control.py:116-139).
+
+    A failing rule (test returns False on a non-empty cell):
+    - ``category == ["discard"]``      → drop the whole row
+    - ``category == ["replace:<col>"]`` → replace the cell from another column
+    - otherwise                        → null out the cell
+    """
+    out = df
+    for rule in rules:
+        passed, _ = compile_rule_test(rule, epi_config)
+        col = rule.columns_per_test()[0][0]
+        non_empty = F.col(col).isNotNull() & (F.col(col).cast("string") != "")
+        violated = non_empty & ~passed
+        if rule.category == ["discard"]:
+            out = out.filter(~violated)
+        elif rule.category and rule.category[0].startswith("replace:"):
+            source = rule.category[0].split(":", 1)[1]
+            out = out.withColumn(
+                col, F.when(violated, F.col(source)).otherwise(F.col(col))
+            )
+        else:
+            out = out.withColumn(
+                col, F.when(violated, F.lit(None)).otherwise(F.col(col))
+            )
+    return out
+
+
+def flatten_list_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+    """F8 — array-valued cells → comma-joined strings (quality_control.py:142-148)."""
+    return df.withColumns(
+        {c: F.concat_ws(",", F.col(c)) for c in columns if c in df.columns}
+    )

@@ -1,0 +1,702 @@
+"""Driver-facing query registry: every implemented operator from SURVEY.md §2
+exercised over the /root/testdata tables, each with a DuckDB oracle.
+
+Conventions:
+- every callable takes (spark, sf_dir) and returns a DataFrame;
+- every computed column is aliased identically in Spark and oracle SQL
+  (the driver hash-compares values after sorting columns by name);
+- floating-point outputs are rounded so cross-engine summation-order noise
+  cannot flip the hash.
+
+The TPC-H-ish tables stand in for the reference's forms the same way the
+reference's tests use synthetic fixtures (SURVEY.md §5): orders/events are
+the fact "forms", customer/nation/region the location hierarchy, and the
+coding/link/alert operators run with configs declared inline here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from meerkat_abacus_spark.datapipe import dedup as dd
+from meerkat_abacus_spark.datapipe import similarity as sim
+from meerkat_abacus_spark.datapipe import text as tx
+from meerkat_abacus_spark.datapipe.multimodal import attach_binary_payload, decode_media
+from meerkat_abacus_spark.functions.epi_week import (
+    epi_week_columns,
+    epi_week_duckdb_sql,
+)
+from meerkat_abacus_spark.operators import alerts as al
+from meerkat_abacus_spark.operators import quality_control as qc
+from meerkat_abacus_spark.operators.coding import Rule, code_dataframe
+from meerkat_abacus_spark.operators.initial_visit import initial_visit_control
+from meerkat_abacus_spark.operators.links import LinkDef, add_links, link_aggregate
+from meerkat_abacus_spark.operators.locations import flatten_location_hierarchy
+from meerkat_abacus_spark.operators.to_data_type import (
+    DataTypeSpec,
+    fan_out_data_types,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def wrap(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return wrap
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    if name != "events":
+        return spark.read.parquet(path)
+    # events carries TIMESTAMP(NANOS) which Spark's vectorized reader rejects;
+    # read nanos as long (exact) and rebuild a µs timestamp with integer
+    # division — no double round-trip, no precision loss.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Flagship (A7): cases by variable × region × epi-week.
+# Orders are the case "form"; the coding rules tag urgent/big orders; the
+# customer→nation→region chain is the location hierarchy (broadcast joins);
+# epi-week bucketing uses the Monday-start day:0 config (demo_config.py:41).
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_RULES = [
+    Rule(id="urgent_1", method="match", db_column="o_orderpriority",
+         condition="1-URGENT", category=["priority"], calculation_group="prio"),
+    Rule(id="high_2", method="match", db_column="o_orderpriority",
+         condition="2-HIGH", category=["priority"], calculation_group="prio"),
+    Rule(id="big_1", method="between", db_column="o_totalprice",
+         condition="150000,100000000", calculation="o_totalprice"),
+]
+
+_EPI_Y_SQL, _EPI_W_SQL = epi_week_duckdb_sql("o_orderdate", "day:0")
+
+
+@_register(
+    "flagship_cases_region_epiweek",
+    f"""
+    SELECT r.r_name AS region,
+           {_EPI_Y_SQL} AS epi_year,
+           {_EPI_W_SQL} AS epi_week,
+           COUNT(*) AS n_cases,
+           CAST(SUM(CASE WHEN o_totalprice >= 150000 AND o_totalprice < 100000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY 1, 2, 3
+    """,
+)
+def flagship_cases_region_epiweek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    # J5-shaped enrichment: the dimension chain broadcasts.
+    enriched = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    coded = code_dataframe(enriched, _FLAGSHIP_RULES, epi_config="day:0")
+    epi_year, epi_week = epi_week_columns(F.col("o_orderdate"), "day:0")
+    coded = coded.withColumns({"epi_year": epi_year, "epi_week": epi_week})
+    return (
+        coded.filter(F.map_contains_key(F.col("variables"), "urgent_1"))
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("epi_year"),
+            F.col("epi_week"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_cases"),
+            F.sum(
+                F.when(F.map_contains_key(F.col("variables"), "big_1"), 1).otherwise(0)
+            ).alias("n_big"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1-F5 quality control: date cutoff + exclusion anti-join + allowlist
+# semi-join, all pushdown/broadcast shaped.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "qc_filters",
+    """
+    SELECT o.o_orderstatus AS status,
+           COUNT(*) AS n,
+           ROUND(SUM(o.o_totalprice), 2) AS total
+    FROM orders o
+    WHERE CAST(o.o_orderdate AS DATE) >= DATE '1995-01-01'
+      AND o.o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+      AND o.o_custkey IN (SELECT c_custkey FROM customer
+                          WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE'))
+    GROUP BY 1
+    """,
+)
+def qc_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    out = qc.submission_date_filter(orders, "o_orderdate", "1995-01-01")
+    exclusion = customer.filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    out = qc.exclusion_anti_join(out, exclusion, key="o_custkey")
+    allow = customer.filter(
+        F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+    ).select(F.col("c_custkey").alias("o_custkey"))
+    out = qc.device_allowlist(out, allow, device_col="o_custkey")
+    return out.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G1 to_data_type fan-out: events → Case/Register/Visit envelopes.
+# ---------------------------------------------------------------------------
+
+_FANOUT_SPECS = [
+    DataTypeSpec(name="Case", type="case", form="events",
+                 db_column="event_type", condition="purchase",
+                 date="ts", var="tot_1", uuid="event_id"),
+    DataTypeSpec(name="Register", type="register", form="events",
+                 db_column="event_type", condition="signup",
+                 date="ts", var="reg_1", uuid="event_id"),
+    DataTypeSpec(name="Visit", type="visit", form="events",
+                 date="ts", var="vis_1", uuid="event_id"),
+]
+
+
+@_register(
+    "fanout_data_types",
+    """
+    SELECT type, type_name, COUNT(*) AS n FROM (
+        SELECT 'case' AS type, 'Case' AS type_name FROM events
+          WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT 'register', 'Register' FROM events WHERE event_type = 'signup'
+        UNION ALL
+        SELECT 'visit', 'Visit' FROM events
+    ) GROUP BY 1, 2
+    """,
+)
+def fanout_data_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    fanned = fan_out_data_types({"events": events}, _FANOUT_SPECS)
+    return fanned.groupBy("type", "type_name").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# V1-V5/C2/C5 coding engine over events: match group + between + calc rules.
+# Output = per-variable record counts (the A7 consumption shape).
+# ---------------------------------------------------------------------------
+
+_EVENT_RULES = [
+    Rule(id="pur_1", method="match", db_column="event_type",
+         condition="purchase", category=["evt"], calculation_group="etype"),
+    Rule(id="clk_1", method="match", db_column="event_type",
+         condition="click,view", category=["evt"], calculation_group="etype"),
+    Rule(id="err_1", method="match", db_column="event_type",
+         condition="error", category=["evt"], calculation_group="etype"),
+    Rule(id="val_low", method="between", db_column="value",
+         condition="0,50", calculation="value"),
+    Rule(id="val_gross", method="calc", db_column="value",
+         condition="", calculation="value * 2"),
+]
+
+
+@_register(
+    "coding_variables",
+    """
+    SELECT var_id, COUNT(*) AS n FROM (
+        SELECT 'pur_1' AS var_id FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT 'clk_1' FROM events WHERE event_type IN ('click', 'view')
+        UNION ALL
+        SELECT 'err_1' FROM events WHERE event_type = 'error'
+        UNION ALL
+        SELECT 'val_low' FROM events
+          WHERE CAST(value AS VARCHAR) <> '' AND value >= 0 AND value < 50
+        UNION ALL
+        SELECT 'val_gross' FROM events WHERE value * 2 IS NOT NULL
+    ) GROUP BY 1
+    """,
+)
+def coding_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    coded = code_dataframe(events, _EVENT_RULES)
+    return (
+        coded.select(F.explode(F.map_keys(F.col("variables"))).alias("var_id"))
+        .groupBy("var_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# C2+C3 calculation_group mutual exclusion with priorities: the lowest
+# priority number that passes wins and owns the category.
+# ---------------------------------------------------------------------------
+
+_BAND_RULES = [
+    Rule(id="band_low", method="between", db_column="value", condition="0,1000000",
+         calculation="value", category=["band"], calculation_group="band",
+         calculation_priority=4),
+    Rule(id="band_mid", method="between", db_column="value", condition="40,1000000",
+         calculation="value", category=["band"], calculation_group="band",
+         calculation_priority=3),
+    Rule(id="band_high", method="between", db_column="value", condition="70,1000000",
+         calculation="value", category=["band"], calculation_group="band",
+         calculation_priority=2),
+    Rule(id="band_vhigh", method="between", db_column="value", condition="90,1000000",
+         calculation="value", category=["band"], calculation_group="band",
+         calculation_priority=1),
+]
+
+
+@_register(
+    "coding_groups_priority",
+    """
+    SELECT CASE WHEN value >= 90 THEN 'band_vhigh'
+                WHEN value >= 70 THEN 'band_high'
+                WHEN value >= 40 THEN 'band_mid'
+                WHEN value >= 0 THEN 'band_low'
+           END AS band,
+           COUNT(*) AS n
+    FROM events
+    WHERE CAST(value AS VARCHAR) <> ''
+    GROUP BY 1
+    """,
+)
+def coding_groups_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    coded = code_dataframe(events, _BAND_RULES)
+    return (
+        coded.select(F.element_at(F.col("categories"), "band").alias("band"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# C9 epi-week bucketing over the events stream (day:2 exercises the
+# year-boundary path: Jan 1-2 2024 belong to epi year 2023).
+# ---------------------------------------------------------------------------
+
+_EV_Y_SQL, _EV_W_SQL = epi_week_duckdb_sql("ts", "day:2")
+
+
+@_register(
+    "epiweek_counts",
+    f"""
+    SELECT {_EV_Y_SQL} AS epi_year,
+           {_EV_W_SQL} AS epi_week,
+           event_type,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def epiweek_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    epi_year, epi_week = epi_week_columns(F.col("ts"), "day:2")
+    return (
+        events.withColumns({"epi_year": epi_year, "epi_week": epi_week})
+        .groupBy("epi_year", "epi_week", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 ordered links + C4 first/last/count: orders ← lineitem, ordered by
+# (shipdate, linenumber); every aggregate reads the collected array.
+# ---------------------------------------------------------------------------
+
+_ORDER_LINES_LINK = LinkDef(
+    name="lines",
+    type="case",
+    to_form="lineitem",
+    from_form="orders",
+    from_column="o_orderkey",
+    to_column="l_orderkey",
+    method="match",
+    order_by="l_shipdate;date",
+    uuid="l_linenumber",
+)
+
+
+@_register(
+    "links_ordered",
+    """
+    WITH ranked AS (
+        -- tie-break mirrors Spark's struct comparison: after (shipdate,
+        -- linenumber-as-string) ties fall through the remaining payload
+        -- fields in column order
+        SELECT l_orderkey,
+               l_returnflag,
+               l_shipdate,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                   ORDER BY l_shipdate ASC, CAST(l_linenumber AS VARCHAR) ASC,
+                            l_partkey ASC, l_suppkey ASC, l_linenumber ASC,
+                            l_quantity ASC, l_extendedprice ASC, l_discount ASC,
+                            l_tax ASC, l_returnflag ASC, l_linestatus ASC) rn_a,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                   ORDER BY l_shipdate DESC, CAST(l_linenumber AS VARCHAR) DESC,
+                            l_partkey DESC, l_suppkey DESC, l_linenumber DESC,
+                            l_quantity DESC, l_extendedprice DESC, l_discount DESC,
+                            l_tax DESC, l_returnflag DESC, l_linestatus DESC) rn_d,
+               COUNT(*) OVER (PARTITION BY l_orderkey) n_lines
+        FROM lineitem
+    )
+    SELECT f.l_orderkey AS o_orderkey,
+           f.n_lines AS n_lines,
+           CAST(f.l_shipdate AS DATE) AS first_ship,
+           l.l_returnflag AS last_flag
+    FROM ranked f
+    JOIN ranked l ON f.l_orderkey = l.l_orderkey AND l.rn_d = 1
+    WHERE f.rn_a = 1
+    """,
+)
+def links_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    linked = add_links(orders, {"lineitem": lineitem}, [_ORDER_LINES_LINK])
+    first = link_aggregate(linked, "lines", "first")
+    last = link_aggregate(linked, "lines", "last")
+    return linked.filter(F.size("link_lines") > 0).select(
+        F.col("o_orderkey"),
+        link_aggregate(linked, "lines", "count").cast("bigint").alias("n_lines"),
+        F.to_date(first["l_shipdate"]).alias("first_ship"),
+        last["l_returnflag"].alias("last_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4 any/all over link arrays.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "links_any_all",
+    """
+    SELECT COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN any_r THEN 1 ELSE 0 END) AS BIGINT) AS n_any_returned,
+           CAST(SUM(CASE WHEN all_f THEN 1 ELSE 0 END) AS BIGINT) AS n_all_fulfilled
+    FROM (
+        SELECT l_orderkey,
+               BOOL_OR(l_returnflag = 'R') AS any_r,
+               BOOL_AND(l_linestatus = 'F') AS all_f
+        FROM lineitem GROUP BY 1
+    )
+    """,
+)
+def links_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    linked = add_links(orders, {"lineitem": lineitem}, [_ORDER_LINES_LINK]).filter(
+        F.size("link_lines") > 0
+    )
+    any_r = link_aggregate(
+        linked, "lines", "any", test=lambda row: row["l_returnflag"] == "R"
+    )
+    all_f = link_aggregate(
+        linked, "lines", "all", test=lambda row: row["l_linestatus"] == "F"
+    )
+    return linked.select(
+        any_r.alias("any_r"), all_f.alias("all_f")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("any_r"), 1).otherwise(0)).alias("n_any_returned"),
+        F.sum(F.when(F.col("all_f"), 1).otherwise(0)).alias("n_all_fulfilled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7 initial_visit_control: first signup per user stays "signup", later ones
+# are rewritten to "return".
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "initial_visit_dedup",
+    """
+    SELECT CASE WHEN event_type = 'signup' AND rn > 1 THEN 'return'
+                ELSE event_type END AS event_type,
+           COUNT(*) AS n
+    FROM (
+        SELECT event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY CASE WHEN event_type = 'signup'
+                                     THEN CAST(user_id AS VARCHAR) END,
+                                event_type
+                   ORDER BY ts ASC, CAST(event_id AS VARCHAR) ASC) AS rn
+        FROM events
+    )
+    GROUP BY 1
+    """,
+)
+def initial_visit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    rewritten = initial_visit_control(
+        events,
+        identifier_columns=["user_id"],
+        visit_type_column="event_type",
+        visit_date_column="ts",
+        uuid_column="event_id",
+        new_value="signup",
+        return_value="return",
+    )
+    return rewritten.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# A1+A4 threshold alerts: ≥3 errors per user per day → alert; min-uuid is the
+# master, the rest become sub-alerts.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "alert_threshold",
+    """
+    WITH buckets AS (
+        SELECT user_id AS clinic,
+               date_trunc('day', ts) AS period_start,
+               COUNT(*) AS cnt,
+               MIN(CAST(event_id AS VARCHAR)) AS master_alert
+        FROM events
+        WHERE event_type = 'error'
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 3
+    )
+    SELECT b.clinic,
+           CAST(b.period_start AS DATE) AS period_start,
+           b.cnt AS n,
+           CAST(e.event_id AS VARCHAR) AS uuid,
+           CASE WHEN CAST(e.event_id AS VARCHAR) <> b.master_alert
+                THEN 1 ELSE 0 END AS sub_alert,
+           b.master_alert
+    FROM buckets b
+    JOIN events e ON e.user_id = b.clinic
+       AND date_trunc('day', e.ts) = b.period_start
+       AND e.event_type = 'error'
+    """,
+)
+def alert_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events").withColumn(
+        "uuid", F.col("event_id").cast("string")
+    )
+    found = al.threshold_alerts(
+        events,
+        var_predicate=F.col("event_type") == "error",
+        clinic_col="user_id",
+        date_col="ts",
+        uuid_col="uuid",
+        daily_limit=3,
+    )
+    rep = al.assign_representatives(found)
+    return rep.select(
+        F.col("clinic"),
+        F.to_date("period_start").alias("period_start"),
+        F.col("count").alias("n"),
+        "uuid",
+        "sub_alert",
+        "master_alert",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 trend alert (double-double generalized): weekly counts grow `factor`×
+# twice in 3 consecutive epi weeks (reference factor = 2; the sparse test
+# stream uses factor 1.0 = monotone growth so the predicate has data to bite).
+# ---------------------------------------------------------------------------
+
+_DD_Y_SQL, _DD_W_SQL = epi_week_duckdb_sql("ts", "day:0")
+
+
+@_register(
+    "alert_double_double",
+    f"""
+    WITH weekly AS (
+        SELECT user_id % 50 AS clinic,
+               {_DD_Y_SQL} AS epi_year,
+               {_DD_W_SQL} AS epi_week,
+               COUNT(*) AS cnt
+        FROM events
+        WHERE event_type = 'error'
+        GROUP BY 1, 2, 3
+    ), lagged AS (
+        SELECT clinic, epi_year, epi_week, cnt,
+               epi_year * 53 + epi_week AS abs_week,
+               LAG(cnt, 1) OVER w AS lag1,
+               LAG(cnt, 2) OVER w AS lag2,
+               LAG(epi_year * 53 + epi_week, 1) OVER w AS abs_lag1,
+               LAG(epi_year * 53 + epi_week, 2) OVER w AS abs_lag2,
+               SUM(cnt) OVER (PARTITION BY clinic ORDER BY epi_year * 53 + epi_week
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS total5
+        FROM weekly
+        WINDOW w AS (PARTITION BY clinic ORDER BY epi_year * 53 + epi_week)
+    )
+    SELECT clinic, epi_year, epi_week, cnt AS n
+    FROM lagged
+    WHERE abs_lag1 = abs_week - 1 AND abs_lag2 = abs_week - 2
+      AND lag2 > 1 AND lag1 >= 1.0 * lag2 AND cnt >= 1.0 * lag1
+      AND total5 >= 14
+    """,
+)
+def alert_double_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events").withColumns(
+        {
+            "clinic": F.col("user_id") % 50,
+            "uuid": F.col("event_id").cast("string"),
+        }
+    )
+    epi_year, epi_week = epi_week_columns(F.col("ts"), "day:0")
+    events = events.withColumns({"epi_year": epi_year, "epi_week": epi_week})
+    out = al.double_double_alerts(
+        events,
+        var_predicate=F.col("event_type") == "error",
+        clinic_col="clinic",
+        uuid_col="uuid",
+        min_total=14,
+        factor=1.0,
+    )
+    return out.select("clinic", "epi_year", "epi_week", F.col("count").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# J5 location hierarchy: adjacency (country→region→nation→customer) flattened
+# by iterative broadcast self-joins, then an A6-style rollup.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "location_rollup",
+    """
+    SELECT r.r_name AS region,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    """,
+)
+def location_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+
+    # Build the adjacency table the reference stores in `locations`
+    # (model.py:57-78): country ← region ← nation(=district) ← customer(=clinic).
+    country = spark.range(1).select(
+        F.lit(0).alias("id"),
+        F.lit(None).cast("long").alias("parent_location"),
+        F.lit("country").alias("level"),
+        F.lit("WORLD").alias("name"),
+    )
+    regions = region.select(
+        (F.col("r_regionkey") + 1_000).cast("long").alias("id"),
+        F.lit(0).cast("long").alias("parent_location"),
+        F.lit("region").alias("level"),
+        F.col("r_name").alias("name"),
+    )
+    nations = nation.select(
+        (F.col("n_nationkey") + 2_000).cast("long").alias("id"),
+        (F.col("n_regionkey") + 1_000).cast("long").alias("parent_location"),
+        F.lit("district").alias("level"),
+        F.col("n_name").alias("name"),
+    )
+    clinics = customer.select(
+        (F.col("c_custkey") + 1_000_000).cast("long").alias("id"),
+        (F.col("c_nationkey") + 2_000).cast("long").alias("parent_location"),
+        F.lit("clinic").alias("level"),
+        F.col("c_name").alias("name"),
+    )
+    adjacency = country.unionByName(regions).unionByName(nations).unionByName(clinics)
+    flat = flatten_location_hierarchy(
+        adjacency, levels=("clinic", "district", "region", "country")
+    ).filter(F.col("level") == "clinic")
+
+    dim = flat.select(
+        (F.col("id") - 1_000_000).alias("custkey"),
+        (F.col("region_id") - 1_000).alias("regionkey"),
+    )
+    enriched = orders.join(F.broadcast(dim), orders.o_custkey == dim.custkey)
+    region_names = region.select(
+        F.col("r_regionkey").alias("regionkey"), F.col("r_name").alias("region")
+    )
+    return (
+        enriched.join(F.broadcast(region_names), "regionkey")
+        .groupBy("region")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bench anchor: TPC-H Q1-shaped pricing summary (pure scan + hash agg; the
+# plan should be scan→partial agg→final agg with pushed filters).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY 1, 2
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )

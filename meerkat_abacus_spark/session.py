@@ -1,0 +1,49 @@
+"""SparkSession factory tuned for this engine.
+
+Scale notes (targets a 1000-executor cluster even though tests run local):
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting and
+  broadcast demotion/promotion are exactly what the alert/link workloads need
+  when one clinic (or one hot join key) dominates.
+- Arrow on: the only Python-side code paths in the engine are Pandas-UDF
+  batches (multimodal decode, pathological date formats); everything else is
+  JVM whole-stage codegen.
+- ANSI off: the reference's semantics are permissive (bad dates/numbers become
+  NULL/0, not errors — reference: meerkat_abacus/codes/variable.py:271-285);
+  Spark 4 defaults ANSI on, which would turn those rows into job failures.
+  Library code additionally uses try_* functions so it stays correct under a
+  caller-provided ANSI session too.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "meerkat_abacus_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
