@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed to completion (count() forces the full plan; results
+are small aggregates so no collect overhead distorts timing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family — scan/agg, dim joins + coding,
+# epi-week, link collection, window dedup, alert aggs, MinHash LSH, ANN,
+# text stats, fingerprinting, multimodal decode.
+HEADLINE = [
+    "pricing_summary",
+    "flagship_cases_region_epiweek",
+    "qc_filters",
+    "epiweek_counts",
+    "coding_variables",
+    "links_ordered",
+    "initial_visit_dedup",
+    "alert_threshold",
+    "alert_double_double",
+    "location_rollup",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "ann_brute_topk",
+    "ann_lsh_topk",
+    "text_stats",
+    "multimodal_decode",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from meerkat_abacus_spark.queries import QUERIES
+    from meerkat_abacus_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    # warm the JVM + parquet footers so timings measure the queries
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

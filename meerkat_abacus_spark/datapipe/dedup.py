@@ -53,13 +53,15 @@ def minhash_signature(shingle_arr: Column, num_hashes: int = 8) -> Column:
     md5 output is uniform, so the min over hex strings is an order-preserving
     stand-in for a min over 128-bit integers; any SQL engine reproduces it.
     """
+
+    # NB: single-argument lambdas only — PySpark calls a two-parameter
+    # higher-order-function lambda with (element, index).
+    def _seeded(seed: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(
-                    shingle_arr, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))
-                )
-            )
+            F.array_min(F.transform(shingle_arr, _seeded(i)))
             for i in range(num_hashes)
         ]
     )
@@ -104,16 +106,20 @@ def minhash_lsh_candidates(
     and bucket sizes stay small, so no O(n²) blowup.
     """
     rows_per_band = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles_col(F.col(text_col), shingle_k)).alias("sh"),
-    ).withColumn(
-        "band_key",
-        F.explode(
-            lsh_band_keys(
-                minhash_signature(F.col("sh"), num_hashes), bands, rows_per_band
-            )
-        ),
+    # Stage-wise materialization (shingles → signature → band keys): lambdas
+    # over unbound array expressions re-evaluate the whole upstream per
+    # element/reference — see datapipe/text.py perf contract.
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(shingles_col(F.col(text_col), shingle_k)).alias("sh"),
+        )
+        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+        .withColumn(
+            "band_key",
+            F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)),
+        )
+        .drop("sig")
     )
     left = base.alias("a")
     right = base.alias("b")
@@ -174,25 +180,33 @@ def token_hash16(tok: Column) -> Column:
     return _hex4_to_int(F.md5(tok))
 
 
-def simhash16(text: Column) -> Column:
-    """16-bit SimHash over whitespace tokens (frequency-weighted).
+def simhash_from_hashes(hashes: Column) -> Column:
+    """16-bit SimHash from a *materialized* token-hash array column.
 
     bit b of the fingerprint is 1 iff sum over tokens of ±1 (by bit b of the
     token hash) is >= 0.  Pure projection: no shuffle, vectorizes per row.
+    Pass a bound column — the 16 per-bit aggregates each reference the array,
+    and an unbound expression would be hashed 16× per row.
     """
-    hashes = F.transform(tokens_col(text), token_hash16)
+
+    def _bit_sum(bit: int):
+        # factory so the closure binds the bit index, not a lambda default
+        # (two-parameter HOF lambdas get (element, index) in PySpark)
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
     fp = F.lit(0)
     for b in range(16):
-        contrib = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h, b=b: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            ),
-        )
+        contrib = F.aggregate(hashes, F.lit(0), _bit_sum(b))
         fp = fp + F.when(contrib >= 0, F.lit(1 << b)).otherwise(F.lit(0))
     return fp
+
+
+def simhash16(text: Column) -> Column:
+    """Convenience single-expression SimHash; for hot paths materialize the
+    token hashes first and use :func:`simhash_from_hashes`."""
+    return simhash_from_hashes(F.transform(tokens_col(text), token_hash16))
 
 
 def hamming16(a: Column, b: Column) -> Column:

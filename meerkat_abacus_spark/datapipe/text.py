@@ -87,11 +87,21 @@ def predict_language(text: Column, default: str = "und") -> Column:
     return F.when(best > 0, pick).otherwise(F.lit(default))
 
 
-def rolling_kgram_hashes(text: Column, k: int = 3, mod: int = 1000003) -> Column:
-    """Polynomial rolling hash of each k-gram of tokens (document
-    fingerprinting's kgram stage) — portable arithmetic over 16-bit token
-    hashes."""
-    hashes = F.transform(tokens_col(text), token_hash16)
+def token_hashes(text: Column) -> Column:
+    """Array of 16-bit portable token hashes for a text column."""
+    return F.transform(tokens_col(text), token_hash16)
+
+
+def kgram_hashes(hashes: Column, k: int = 3, mod: int = 1000003) -> Column:
+    """Polynomial rolling hash of each k-gram over a *materialized* token-hash
+    array column (document fingerprinting's kgram stage).
+
+    PERF CONTRACT: pass a bound column (``withColumn("hs", token_hashes(...))``
+    first), never the raw ``token_hashes(text)`` expression — a lambda that
+    references an unbound array expression re-evaluates it per element, which
+    turns an O(n) stage into O(n²) hashing.  (Measured: 500 docs went from
+    894 s to sub-second after materialization.)
+    """
     n = F.size(hashes)
     return F.when(
         n >= k,
@@ -110,13 +120,11 @@ def rolling_kgram_hashes(text: Column, k: int = 3, mod: int = 1000003) -> Column
     ).otherwise(F.array().cast("array<int>"))
 
 
-def winnowed_fingerprints(
-    text: Column, k: int = 3, window: int = 4, mod: int = 1000003
-) -> Column:
+def winnow(kh: Column, window: int = 4) -> Column:
     """Winnowing (Schleimer et al., SIGMOD'03): the min kgram-hash of every
     ``window``-sized sliding window, deduplicated — a robust document
-    fingerprint set."""
-    kh = rolling_kgram_hashes(text, k, mod)
+    fingerprint set.  Same perf contract as :func:`kgram_hashes`: ``kh`` must
+    be a materialized column."""
     n = F.size(kh)
     mins = F.when(
         n >= window,

@@ -700,3 +700,458 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+# ===========================================================================
+# Large-scale data-pipeline operators (BASELINE.json north star): dedup,
+# similarity search, text analysis, multimodal plumbing.  The dedup queries
+# plant deterministic near-duplicates (a perturbed copy of each document /
+# a scaled copy of each embedding) so the operators have real positives to
+# find, reproducibly in both engines.
+# ===========================================================================
+
+_DOC_CORPUS_SQL = """
+    SELECT doc_id, text, lang FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text || ' zz qq ww', lang FROM documents
+"""
+
+
+def _doc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    copies = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz qq ww")).alias("text"),
+        "lang",
+    )
+    return docs.unionByName(copies)
+
+
+@_register(
+    "dedup_exact",
+    f"""
+    WITH corpus AS (
+        SELECT doc_id, text, lang FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text, lang FROM documents
+    ), hashed AS (
+        SELECT lang, doc_id,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        FROM corpus
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept
+    FROM hashed
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang")
+    )
+    deduped = dd.exact_dedup(corpus, id_col="doc_id", content_col="text")
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("is_kept"), 1).otherwise(0)).alias("n_kept"),
+    )
+
+
+_MINHASH_ORACLE = f"""
+    WITH corpus AS ({_DOC_CORPUS_SQL}),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+               ELSE [] END AS sh
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM corpus)
+    ),
+    sig AS (
+        SELECT doc_id, sh,
+               [{", ".join(
+                   "list_aggregate(list_transform(sh, s -> md5('%d:' || s)), 'min')"
+                   % i for i in range(8)
+               )}] AS sig
+        FROM sh
+    ),
+    banded AS (
+        SELECT doc_id, sh, UNNEST([
+            md5('0' || '|' || COALESCE(sig[1], '') || '|' || COALESCE(sig[2], '')),
+            md5('1' || '|' || COALESCE(sig[3], '') || '|' || COALESCE(sig[4], '')),
+            md5('2' || '|' || COALESCE(sig[5], '') || '|' || COALESCE(sig[6], '')),
+            md5('3' || '|' || COALESCE(sig[7], '') || '|' || COALESCE(sig[8], ''))
+        ]) AS band_key
+        FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.sh AS sh_a, b.sh AS sh_b
+        FROM banded a JOIN banded b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+                 (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 4)
+               AS jaccard
+    FROM pairs
+    WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+          (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.4
+"""
+
+
+@_register("dedup_minhash_lsh", _MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _doc_corpus(spark, sf_dir)
+    cands = dd.minhash_lsh_candidates(
+        corpus, id_col="doc_id", text_col="text",
+        shingle_k=3, num_hashes=8, bands=4,
+    )
+    return cands.filter(F.col("jaccard") >= 0.4).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+# --- SimHash oracle: portable hex→int + per-bit majority vote in SQL -------
+
+_TOK_HASH_SQL = " + ".join(
+    f"((strpos('0123456789abcdef', substr(md5(t), {p + 1}, 1)) - 1) * {16 ** (3 - p)})"
+    for p in range(4)
+)
+_SIMHASH_BITS_SQL = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(hs, "
+    f"h -> CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END)) >= 0 "
+    f"THEN {1 << b} ELSE 0 END)"
+    for b in range(16)
+)
+
+
+@_register(
+    "dedup_simhash",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), h AS (
+        SELECT doc_id, list_transform(toks, t -> {_TOK_HASH_SQL}) AS hs FROM tok
+    )
+    SELECT doc_id, CAST({_SIMHASH_BITS_SQL} AS BIGINT) AS simhash
+    FROM h
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.withColumn("hs", tx.token_hashes(F.col("text")))
+    return hashed.select(
+        "doc_id", dd.simhash_from_hashes(F.col("hs")).cast("long").alias("simhash")
+    )
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH corpus AS ({_DOC_CORPUS_SQL}),
+    sh AS (
+        SELECT doc_id, lang,
+               CASE WHEN len(t) >= 2 THEN
+                   list_distinct(list_transform(range(1, len(t)),
+                       i -> t[i] || ' ' || t[i+1]))
+               ELSE [] END AS sh
+        FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t
+              FROM corpus)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+               AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _doc_corpus(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(
+        corpus, id_col="doc_id", text_col="text", block_col="lang",
+        shingle_k=2, min_jaccard=0.3,
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+_EMB_CORPUS_SQL = """
+    SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x * 2.0),
+           label
+    FROM embeddings
+"""
+_COS_SQL = (
+    "(list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))"
+)
+
+
+def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    copies = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+        "label",
+    )
+    return emb.unionByName(copies)
+
+
+@_register(
+    "dedup_embedding",
+    f"""
+    WITH corpus AS ({_EMB_CORPUS_SQL})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_COS_SQL}, 3) AS cosine
+    FROM corpus a JOIN corpus b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.99
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _emb_corpus(spark, sf_dir)
+    pairs = dd.embedding_near_dup_pairs(
+        corpus, id_col="vec_id", vec_col="embedding", block_col="label",
+        min_cosine=0.99,
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 3).alias("cosine"))
+
+
+@_register(
+    "ann_brute_topk",
+    f"""
+    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROUND({_COS_SQL}, 3) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                   ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS rank
+        FROM corpus a JOIN corpus b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < 5
+    ) WHERE rank <= 5
+    """,
+)
+def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = sim.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 5), id_col="vec_id",
+        vec_col="embedding", k=5,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 3).alias("cosine"), "rank"
+    )
+
+
+_BUCKET_SQL = "|| ".join(
+    f"(CASE WHEN {{side}}.v[{i + 1}] >= 0 THEN '1' ELSE '0' END) " for i in range(8)
+)
+
+
+@_register(
+    "ann_lsh_topk",
+    f"""
+    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROUND({_COS_SQL}, 3) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                   ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS rank
+        FROM corpus a JOIN corpus b
+          ON a.vec_id <> b.vec_id
+         AND ({_BUCKET_SQL.format(side='a')}) = ({_BUCKET_SQL.format(side='b')})
+        WHERE a.vec_id < 20
+    ) WHERE rank <= 3
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = sim.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 20), id_col="vec_id",
+        vec_col="embedding", k=3, bucket_dims=8,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 3).alias("cosine"), "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token counts, quality heuristics, language-ID — all pure
+# column expressions (codegen'd; no Python in the row loop).
+# ---------------------------------------------------------------------------
+
+_STOP_EN = "', '".join(tx.LANG_PROFILES["en"])
+
+
+@_register(
+    "text_stats",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           len(regexp_extract_all(text,
+               '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe,
+           ROUND(CAST(list_sum(list_transform(t, s -> len(s))) AS DOUBLE)
+                 / greatest(len(t), 1), 4) AS mean_tok_len,
+           ROUND(CAST(len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                      AS DOUBLE) / greatest(len(text), 1), 4) AS punct_ratio,
+           ROUND(CAST(len(list_filter(string_split_regex(trim(lower(text)),
+                      '\\s+'), s -> s IN ('{_STOP_EN}'))) AS DOUBLE)
+                 / greatest(len(t), 1), 4) AS stop_ratio
+    FROM tok
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        tx.whitespace_token_count(text).alias("n_tokens"),
+        tx.bpe_token_count(text).alias("n_bpe"),
+        F.round(tx.mean_token_length(text), 4).alias("mean_tok_len"),
+        F.round(tx.punct_ratio(text), 4).alias("punct_ratio"),
+        F.round(tx.stopword_ratio(text, tx.LANG_PROFILES["en"]), 4).alias(
+            "stop_ratio"
+        ),
+    )
+
+
+def _langid_case_sql() -> str:
+    """CASE expression mirroring predict_language's deterministic argmax
+    (ties pick the alphabetically-first language code)."""
+    ratios = {
+        lang: (
+            "(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+            f"""s -> s IN ('{"', '".join(words)}'))) AS DOUBLE) / """
+            "greatest(len(string_split_regex(trim(text), '\\s+')), 1))"
+        )
+        for lang, words in tx.LANG_PROFILES.items()
+    }
+    best = "greatest(" + ", ".join(ratios.values()) + ")"
+    arms = " ".join(
+        f"WHEN {ratios[lang]} = __best THEN '{lang}'"
+        for lang in sorted(tx.LANG_PROFILES)
+    )
+    return (
+        f"CASE WHEN __best > 0 THEN (CASE {arms} END) ELSE 'und' END",
+        best,
+    )
+
+
+_LANGID_CASE, _LANGID_BEST = _langid_case_sql()
+
+
+@_register(
+    "text_langid",
+    f"""
+    SELECT lang, predicted, COUNT(*) AS n FROM (
+        SELECT lang, {_LANGID_CASE} AS predicted
+        FROM (SELECT lang, text, {_LANGID_BEST} AS __best FROM documents)
+    ) GROUP BY 1, 2
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", tx.predict_language(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: rolling k-gram hashes + winnowing (the classic
+# near-dup fingerprint set), portable arithmetic in both engines.
+# ---------------------------------------------------------------------------
+
+_KGRAM_SQL = (
+    "CASE WHEN len(hs) >= 3 THEN list_transform(range(1, len(hs) - 1), "
+    "i -> (hs[i] * 961 + hs[i+1] * 31 + hs[i+2]) % 1000003) "
+    "ELSE [] END"
+)
+_WINNOW_SQL = (
+    "CASE WHEN len(kh) >= 4 THEN list_transform(range(1, len(kh) - 2), "
+    "i -> list_aggregate(kh[i:i+3], 'min')) ELSE kh END"
+)
+
+
+@_register(
+    "doc_fingerprint",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), h AS (
+        SELECT doc_id, list_transform(toks, t -> {_TOK_HASH_SQL}) AS hs FROM tok
+    ), kg AS (
+        SELECT doc_id, {_KGRAM_SQL} AS kh FROM h
+    ), win AS (
+        SELECT doc_id, list_distinct({_WINNOW_SQL}) AS fp FROM kg
+    )
+    SELECT doc_id,
+           len(fp) AS n_fp,
+           CAST(list_aggregate(fp, 'min') AS BIGINT) AS min_fp,
+           CAST(list_aggregate(fp, 'max') AS BIGINT) AS max_fp
+    FROM win
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    # Each stage materialized as a column: a lambda over an unbound array
+    # expression re-evaluates it per element (O(n²) hashing — see
+    # datapipe/text.py perf contract).
+    staged = (
+        docs.withColumn("hs", tx.token_hashes(F.col("text")))
+        .withColumn("kh", tx.kgram_hashes(F.col("hs"), k=3))
+        .withColumn("fp", tx.winnow(F.col("kh"), window=4))
+    )
+    return staged.select(
+        "doc_id",
+        F.size("fp").alias("n_fp"),
+        F.array_min("fp").cast("long").alias("min_fp"),
+        F.array_max("fp").cast("long").alias("max_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: opaque binary payload → Arrow-batched mapInPandas
+# decode (stubbed deterministically; see datapipe/multimodal.py) — checked
+# against a SQL oracle computing the same bytes arithmetic.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "multimodal_decode",
+    """
+    SELECT doc_id,
+           'image' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           ascii(substr(text, 1, 1)) AS first_byte,
+           CAST(list_sum(list_transform(range(1, 9),
+                i -> ascii(substr(text, i, 1)))) AS BIGINT) AS feature
+    FROM documents
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    decoded = decode_media(attach_binary_payload(docs, text_col="text"))
+    return decoded.select(
+        "doc_id", "media_type", "byte_len", "first_byte", "feature"
+    )
