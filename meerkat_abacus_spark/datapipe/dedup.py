@@ -28,13 +28,16 @@ def tokens_col(text: Column) -> Column:
     return F.split(F.trim(text), "\\s+")
 
 
-def shingles_col(text: Column, k: int = 3) -> Column:
-    """Word k-shingles as an array of strings (distinct not applied).
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Word k-shingles over a *materialized* token array column.
 
     Documents shorter than k tokens yield an empty array (guarded: Spark's
     ``sequence(0, -1)`` would otherwise infer a negative step).
+
+    PERF CONTRACT: ``toks`` must be a bound column — a lambda over an unbound
+    ``split(...)`` expression re-splits the text once per shingle, turning
+    the stage O(len²) (measured 9 s for 10k docs vs sub-second bound).
     """
-    toks = tokens_col(text)
     return F.when(
         F.size(toks) >= k,
         F.transform(
@@ -44,6 +47,12 @@ def shingles_col(text: Column, k: int = 3) -> Column:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_col(text: Column, k: int = 3) -> Column:
+    """Convenience single-expression shingling; for hot paths materialize the
+    tokens first and use :func:`shingles_from_tokens`."""
+    return shingles_from_tokens(tokens_col(text), k)
 
 
 def minhash_signature(shingle_arr: Column, num_hashes: int = 8) -> Column:
@@ -106,14 +115,18 @@ def minhash_lsh_candidates(
     and bucket sizes stay small, so no O(n²) blowup.
     """
     rows_per_band = num_hashes // bands
-    # Stage-wise materialization (shingles → signature → band keys): lambdas
-    # over unbound array expressions re-evaluate the whole upstream per
-    # element/reference — see datapipe/text.py perf contract.
+    # Stage-wise materialization (tokens → shingles → signature → band keys):
+    # lambdas over unbound array expressions re-evaluate the whole upstream
+    # per element/reference — see datapipe/text.py perf contract.
     base = (
         df.select(
             F.col(id_col).alias("id"),
-            F.array_distinct(shingles_col(F.col(text_col), shingle_k)).alias("sh"),
+            tokens_col(F.col(text_col)).alias("toks"),
         )
+        .withColumn(
+            "sh", F.array_distinct(shingles_from_tokens(F.col("toks"), shingle_k))
+        )
+        .drop("toks")
         .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
         .withColumn(
             "band_key",
@@ -235,7 +248,11 @@ def ngram_jaccard_pairs(
     base = df.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("id"),
-        F.array_distinct(shingles_col(F.col(text_col), shingle_k)).alias("sh"),
+        tokens_col(F.col(text_col)).alias("toks"),
+    ).select(
+        "block",
+        "id",
+        F.array_distinct(shingles_from_tokens(F.col("toks"), shingle_k)).alias("sh"),
     )
     a, b = base.alias("a"), base.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))

@@ -2,6 +2,13 @@
 
 All pure column expressions (regex + array ops inside whole-stage codegen);
 nothing here drops to Python, so these run at scan speed over 100 TB.
+
+PERF CONTRACT (applies to every function taking an array column): pass a
+*materialized* column (``withColumn("toks", tokens_col(text))`` first), never
+an unbound expression — a higher-order-function lambda re-evaluates an
+unbound argument per element, turning O(n) stages into O(n²).  Measured on
+this container: winnowed fingerprints over 500 docs, 894 s unbound → 5 s
+materialized.
 """
 
 from __future__ import annotations
@@ -24,23 +31,20 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 BPE_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 
 
-def whitespace_token_count(text: Column) -> Column:
-    return F.size(tokens_col(text))
-
-
 def bpe_token_count(text: Column) -> Column:
     """Token count under the BPE-ish pre-tokenizer regex."""
     return F.size(F.regexp_extract_all(text, F.lit(BPE_REGEX), F.lit(0)))
 
 
-def stopword_ratio(text: Column, stopwords: tuple[str, ...]) -> Column:
-    toks = tokens_col(F.lower(text))
-    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
-    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+def stopword_ratio(toks_lower: Column, stopwords: tuple[str, ...]) -> Column:
+    """Fraction of (lowercased, materialized) tokens that are stopwords."""
+    hits = F.size(F.filter(toks_lower, lambda t: t.isin(*stopwords)))
+    return hits.cast("double") / F.greatest(F.size(toks_lower), F.lit(1)).cast(
+        "double"
+    )
 
 
-def mean_token_length(text: Column) -> Column:
-    toks = tokens_col(text)
+def mean_token_length(toks: Column) -> Column:
     total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     return total.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
 
@@ -53,33 +57,34 @@ def punct_ratio(text: Column) -> Column:
     ).cast("double")
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, toks_lower: Column) -> Column:
     """Composite heuristic quality score in [0, 1]:
 
     rewards mid-length documents, low punctuation density, and a natural
     stopword rate — the usual cheap pre-filters before expensive pipeline
     stages.
     """
-    n = whitespace_token_count(text).cast("double")
+    n = F.size(toks_lower).cast("double")
     length_term = F.least(n / F.lit(50.0), F.lit(1.0))
     punct_term = F.lit(1.0) - F.least(punct_ratio(text) * 5, F.lit(1.0))
     stop_term = F.least(
-        stopword_ratio(text, LANG_PROFILES["en"]) * 5, F.lit(1.0)
+        stopword_ratio(toks_lower, LANG_PROFILES["en"]) * 5, F.lit(1.0)
     )
     return (length_term + punct_term + stop_term) / 3
 
 
-def language_scores(text: Column) -> list[tuple[str, Column]]:
+def language_scores(toks_lower: Column) -> list[tuple[str, Column]]:
     """Per-language stopword-hit ratio, the langid signal."""
     return [
-        (lang, stopword_ratio(text, words)) for lang, words in LANG_PROFILES.items()
+        (lang, stopword_ratio(toks_lower, words))
+        for lang, words in LANG_PROFILES.items()
     ]
 
 
-def predict_language(text: Column, default: str = "und") -> Column:
+def predict_language(toks_lower: Column, default: str = "und") -> Column:
     """Argmax language by stopword ratio; deterministic tie-break on the
     language code; ``und`` when no profile scores above zero."""
-    scores = language_scores(text)
+    scores = language_scores(toks_lower)
     best = F.greatest(*[s for _, s in scores])
     pick = F.lit(None).cast("string")
     for lang, score in sorted(scores, key=lambda kv: kv[0], reverse=True):
@@ -87,21 +92,14 @@ def predict_language(text: Column, default: str = "und") -> Column:
     return F.when(best > 0, pick).otherwise(F.lit(default))
 
 
-def token_hashes(text: Column) -> Column:
-    """Array of 16-bit portable token hashes for a text column."""
-    return F.transform(tokens_col(text), token_hash16)
+def token_hashes(toks: Column) -> Column:
+    """Array of 16-bit portable token hashes over a materialized token array."""
+    return F.transform(toks, token_hash16)
 
 
 def kgram_hashes(hashes: Column, k: int = 3, mod: int = 1000003) -> Column:
     """Polynomial rolling hash of each k-gram over a *materialized* token-hash
-    array column (document fingerprinting's kgram stage).
-
-    PERF CONTRACT: pass a bound column (``withColumn("hs", token_hashes(...))``
-    first), never the raw ``token_hashes(text)`` expression — a lambda that
-    references an unbound array expression re-evaluates it per element, which
-    turns an O(n) stage into O(n²) hashing.  (Measured: 500 docs went from
-    894 s to sub-second after materialization.)
-    """
+    array column (document fingerprinting's kgram stage)."""
     n = F.size(hashes)
     return F.when(
         n >= k,
@@ -123,8 +121,7 @@ def kgram_hashes(hashes: Column, k: int = 3, mod: int = 1000003) -> Column:
 def winnow(kh: Column, window: int = 4) -> Column:
     """Winnowing (Schleimer et al., SIGMOD'03): the min kgram-hash of every
     ``window``-sized sliding window, deduplicated — a robust document
-    fingerprint set.  Same perf contract as :func:`kgram_hashes`: ``kh`` must
-    be a materialized column."""
+    fingerprint set.  ``kh`` must be a materialized column."""
     n = F.size(kh)
     mins = F.when(
         n >= window,
@@ -134,3 +131,20 @@ def winnow(kh: Column, window: int = 4) -> Column:
         ),
     ).otherwise(kh)
     return F.array_distinct(mins)
+
+
+__all__ = [
+    "LANG_PROFILES",
+    "BPE_REGEX",
+    "tokens_col",
+    "bpe_token_count",
+    "stopword_ratio",
+    "mean_token_length",
+    "punct_ratio",
+    "quality_score",
+    "language_scores",
+    "predict_language",
+    "token_hashes",
+    "kgram_hashes",
+    "winnow",
+]

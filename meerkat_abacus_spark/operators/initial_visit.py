@@ -20,7 +20,8 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from meerkat_abacus_spark.functions.dates import parse_multiformat_timestamp
+from meerkat_abacus_spark.functions.cols import qcol
+from meerkat_abacus_spark.functions.dates import timestamp_of
 
 
 def initial_visit_control(
@@ -35,13 +36,13 @@ def initial_visit_control(
     module_value: str | None = None,
 ) -> DataFrame:
     """Rewrite duplicate "new" visits to "return", keeping the earliest."""
-    gate = F.col(visit_type_column).cast("string") == new_value
+    gate = qcol(visit_type_column).cast("string") == new_value
     if module_column and module_value:
-        gate = gate & (F.col(module_column).cast("string") == module_value)
+        gate = gate & (qcol(module_column).cast("string") == module_value)
     gate = reduce(
         lambda a, b: a & b,
         [
-            F.col(c).isNotNull() & (F.col(c).cast("string") != "")
+            qcol(c).isNotNull() & (qcol(c).cast("string") != "")
             for c in identifier_columns
         ],
         gate,
@@ -55,17 +56,17 @@ def initial_visit_control(
     rest = df.filter(~F.coalesce(gate, F.lit(False)))
 
     w = Window.partitionBy(
-        *[F.col(c).cast("string") for c in identifier_columns]
+        *[qcol(c).cast("string") for c in identifier_columns]
     ).orderBy(
-        parse_multiformat_timestamp(F.col(visit_date_column).cast("string")),
-        F.col(uuid_column).cast("string"),
+        timestamp_of(df, visit_date_column),
+        qcol(uuid_column).cast("string"),
     )
     rewritten = (
         gated.withColumn("__rn", F.row_number().over(w))
         .withColumn(
             visit_type_column,
             F.when(F.col("__rn") > 1, F.lit(return_value)).otherwise(
-                F.col(visit_type_column)
+                qcol(visit_type_column)
             ),
         )
         .drop("__rn")

@@ -24,7 +24,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from meerkat_abacus_spark.functions.dates import parse_multiformat_timestamp
+from meerkat_abacus_spark.functions.cols import qcol
+from meerkat_abacus_spark.functions.dates import timestamp_of
 
 
 @dataclass
@@ -58,13 +59,21 @@ def add_links(
 ) -> DataFrame:
     """Attach one ``link_<name>`` ARRAY<STRUCT<__sort,__uuid,row>> column per
     link def, ordered by the link's order_by key (dates parsed with the
-    multi-format parser — add_links.py:143-152)."""
+    multi-format parser — add_links.py:143-152).
+
+    Plan shape (scale-critical): the to-form is aggregated into per-key
+    arrays FIRST (one shuffle of the smaller linked form on its join key),
+    then joined onto the base.  The naive alternative — join then group the
+    joined rows by every base column — would shuffle the full fact table
+    with wide grouping keys per link def.  Unmatched base rows get an empty
+    array.
+    """
     out = base
     for link in links:
         to_df = to_forms[link.to_form]
         if link.to_condition:
             col, value = link.to_condition.split(":", 1)
-            to_df = to_df.filter(F.col(col).cast("string") == value)
+            to_df = to_df.filter(qcol(col).cast("string") == value)
 
         from_cols = link.from_column.split(";")
         to_cols = link.to_column.split(";")
@@ -76,25 +85,31 @@ def add_links(
             and link.order_by.split(";")[1] != "date"
         )
         sort_key = (
-            parse_multiformat_timestamp(F.col(order_col).cast("string")).cast("string")
+            timestamp_of(to_df, order_col).cast("string")
             if order_is_date
-            else F.col(order_col).cast("string")
+            else qcol(order_col).cast("string")
         )
 
-        key_cols = {
-            f"__k{i}": _normalize(F.col(tc), m)
+        key_exprs = [
+            _normalize(qcol(tc), m).alias(f"__k{i}")
             for i, (tc, m) in enumerate(zip(to_cols, methods))
-        }
-        payload = F.struct(*[F.col(c).alias(c) for c in to_df.columns])
-        to_prepared = to_df.select(
-            *[expr.alias(name) for name, expr in key_cols.items()],
-            F.struct(
-                sort_key.alias("__sort"),
-                F.col(link.uuid).cast("string").alias("__uuid"),
-                payload.alias("row"),
-            ).alias("__linked"),
+        ]
+        payload = F.struct(*[qcol(c).alias(c) for c in to_df.columns])
+        # one shuffle: group the linked form by its (normalized) key into
+        # ordered arrays
+        grouped = (
+            to_df.select(
+                *key_exprs,
+                F.struct(
+                    sort_key.alias("__sort"),
+                    qcol(link.uuid).cast("string").alias("__uuid"),
+                    payload.alias("row"),
+                ).alias("__linked"),
+            )
+            .groupBy(*[f"__k{i}" for i in range(len(to_cols))])
+            .agg(F.array_sort(F.collect_list("__linked")).alias("__arr"))
         )
-        to_side = F.broadcast(to_prepared) if broadcast_to_side else to_prepared
+        to_side = F.broadcast(grouped) if broadcast_to_side else grouped
 
         conds: list[Column] = []
         for i, (fc, m) in enumerate(zip(from_cols, methods)):
@@ -111,18 +126,11 @@ def add_links(
         for c in conds[1:]:
             cond = cond & c
 
-        group_cols = list(out.columns)
+        empty = F.array().cast(grouped.schema["__arr"].dataType)
         out = (
             out.join(to_side, cond, "left")
-            .groupBy(*group_cols)
-            .agg(
-                F.array_sort(
-                    F.filter(
-                        F.collect_list(F.col("__linked")),
-                        lambda x: x["__uuid"].isNotNull(),
-                    )
-                ).alias(f"link_{link.name}")
-            )
+            .withColumn(f"link_{link.name}", F.coalesce(F.col("__arr"), empty))
+            .drop("__arr", *[f"__k{i}" for i in range(len(to_cols))])
         )
     return out
 

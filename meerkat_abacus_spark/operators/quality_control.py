@@ -14,6 +14,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from meerkat_abacus_spark.functions.cols import qcol
 from meerkat_abacus_spark.functions.dates import parse_multiformat_timestamp
 from meerkat_abacus_spark.operators.coding import Rule, compile_rule_test
 
@@ -30,7 +31,7 @@ def submission_date_filter(
     df: DataFrame, submission_col: str, only_import_after: str
 ) -> DataFrame:
     """F2 — drop rows submitted before the cutoff (quality_control.py:110-114)."""
-    ts = parse_multiformat_timestamp(F.col(submission_col).cast("string"))
+    ts = parse_multiformat_timestamp(qcol(submission_col).cast("string"))
     return df.filter(ts >= F.to_timestamp(F.lit(only_import_after)))
 
 
@@ -54,11 +55,11 @@ def device_allowlist(
     ``allow_enketo`` fallback: a row passes if its deviceid contains any of
     the configured substrings (quality_control.py:166-172).
     """
-    dev = F.broadcast(devices.selectExpr(f"{device_col} as __dev").distinct())
+    dev = F.broadcast(devices.select(qcol(device_col).alias("__dev")).distinct())
     if allow_enketo_urls:
         enketo = reduce(
             lambda a, b: a | b,
-            [F.col(device_col).contains(F.lit(u)) for u in allow_enketo_urls],
+            [qcol(device_col).contains(F.lit(u)) for u in allow_enketo_urls],
         )
         matched = df.join(dev, df[device_col] == dev["__dev"], "left")
         return matched.filter(F.col("__dev").isNotNull() | enketo).drop("__dev")
@@ -76,10 +77,10 @@ def clinic_start_date_filter(
     (quality_control.py:179-183)."""
     dim = F.broadcast(
         clinics.select(
-            F.col(device_col).alias("__dev"), F.col(start_date_col).alias("__start")
+            qcol(device_col).alias("__dev"), qcol(start_date_col).alias("__start")
         )
     )
-    ts = parse_multiformat_timestamp(F.col(submission_col).cast("string"))
+    ts = parse_multiformat_timestamp(qcol(submission_col).cast("string"))
     return (
         df.join(dim, df[device_col] == dim["__dev"], "left")
         .filter(F.col("__start").isNull() | (ts >= F.col("__start")))
@@ -90,7 +91,7 @@ def clinic_start_date_filter(
 def date_validity_filter(df: DataFrame, date_col: str) -> DataFrame:
     """F6 — the per-data-type date column must parse (quality_control.py:190-245)."""
     return df.filter(
-        parse_multiformat_timestamp(F.col(date_col).cast("string")).isNotNull()
+        parse_multiformat_timestamp(qcol(date_col).cast("string")).isNotNull()
     )
 
 
@@ -108,18 +109,18 @@ def apply_import_rules(
     for rule in rules:
         passed, _ = compile_rule_test(rule, epi_config)
         col = rule.columns_per_test()[0][0]
-        non_empty = F.col(col).isNotNull() & (F.col(col).cast("string") != "")
+        non_empty = qcol(col).isNotNull() & (qcol(col).cast("string") != "")
         violated = non_empty & ~passed
         if rule.category == ["discard"]:
             out = out.filter(~violated)
         elif rule.category and rule.category[0].startswith("replace:"):
             source = rule.category[0].split(":", 1)[1]
             out = out.withColumn(
-                col, F.when(violated, F.col(source)).otherwise(F.col(col))
+                col, F.when(violated, qcol(source)).otherwise(qcol(col))
             )
         else:
             out = out.withColumn(
-                col, F.when(violated, F.lit(None)).otherwise(F.col(col))
+                col, F.when(violated, F.lit(None)).otherwise(qcol(col))
             )
     return out
 
@@ -127,5 +128,5 @@ def apply_import_rules(
 def flatten_list_columns(df: DataFrame, columns: list[str]) -> DataFrame:
     """F8 — array-valued cells → comma-joined strings (quality_control.py:142-148)."""
     return df.withColumns(
-        {c: F.concat_ws(",", F.col(c)) for c in columns if c in df.columns}
+        {c: F.concat_ws(",", qcol(c)) for c in columns if c in df.columns}
     )

@@ -17,6 +17,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from meerkat_abacus_spark.functions.cols import qcol
+
 
 @dataclass
 class DataTypeSpec:
@@ -44,7 +46,7 @@ def fan_out_data_types(
         if df is None:
             continue
         if spec.db_column and spec.condition:
-            df = df.filter(F.col(spec.db_column).cast("string") == spec.condition)
+            df = df.filter(qcol(spec.db_column).cast("string") == spec.condition)
         branches.append(
             df.withColumns(
                 {

@@ -844,7 +844,9 @@ _SIMHASH_BITS_SQL = " + ".join(
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    hashed = docs.withColumn("hs", tx.token_hashes(F.col("text")))
+    hashed = docs.withColumn("toks", tx.tokens_col(F.col("text"))).withColumn(
+        "hs", tx.token_hashes(F.col("toks"))
+    )
     return hashed.select(
         "doc_id", dd.simhash_from_hashes(F.col("hs")).cast("long").alias("simhash")
     )
@@ -1021,15 +1023,21 @@ _STOP_EN = "', '".join(tx.LANG_PROFILES["en"])
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     text = F.col("text")
-    return docs.select(
+    staged = docs.withColumns(
+        {
+            "toks": tx.tokens_col(text),
+            "toks_lower": tx.tokens_col(F.lower(text)),
+        }
+    )
+    return staged.select(
         "doc_id",
-        tx.whitespace_token_count(text).alias("n_tokens"),
+        F.size("toks").alias("n_tokens"),
         tx.bpe_token_count(text).alias("n_bpe"),
-        F.round(tx.mean_token_length(text), 4).alias("mean_tok_len"),
+        F.round(tx.mean_token_length(F.col("toks")), 4).alias("mean_tok_len"),
         F.round(tx.punct_ratio(text), 4).alias("punct_ratio"),
-        F.round(tx.stopword_ratio(text, tx.LANG_PROFILES["en"]), 4).alias(
-            "stop_ratio"
-        ),
+        F.round(
+            tx.stopword_ratio(F.col("toks_lower"), tx.LANG_PROFILES["en"]), 4
+        ).alias("stop_ratio"),
     )
 
 
@@ -1068,9 +1076,13 @@ _LANGID_CASE, _LANGID_BEST = _langid_case_sql()
     """,
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "toks_lower", tx.tokens_col(F.lower(F.col("text")))
+    )
     return (
-        docs.select("lang", tx.predict_language(F.col("text")).alias("predicted"))
+        docs.select(
+            "lang", tx.predict_language(F.col("toks_lower")).alias("predicted")
+        )
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -1118,7 +1130,8 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expression re-evaluates it per element (O(n²) hashing — see
     # datapipe/text.py perf contract).
     staged = (
-        docs.withColumn("hs", tx.token_hashes(F.col("text")))
+        docs.withColumn("toks", tx.tokens_col(F.col("text")))
+        .withColumn("hs", tx.token_hashes(F.col("toks")))
         .withColumn("kh", tx.kgram_hashes(F.col("hs"), k=3))
         .withColumn("fp", tx.winnow(F.col("kh"), window=4))
     )

@@ -1,0 +1,227 @@
+"""Operator unit tests ported from the reference's fixtures
+(SURVEY.md §5: test_to_data_type.py, test_add_links.py,
+test_initial_visit_control.py, test_add_multiple_alerts.py,
+test_quality_control.py)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from meerkat_abacus_spark.operators import alerts as al
+from meerkat_abacus_spark.operators import quality_control as qc
+from meerkat_abacus_spark.operators.coding import Rule
+from meerkat_abacus_spark.operators.initial_visit import initial_visit_control
+from meerkat_abacus_spark.operators.links import LinkDef, add_links, link_aggregate
+from meerkat_abacus_spark.operators.locations import (
+    explode_deviceids,
+    flatten_location_hierarchy,
+)
+from meerkat_abacus_spark.operators.to_data_type import (
+    DataTypeSpec,
+    fan_out_data_types,
+)
+
+
+def test_fan_out_exact_envelopes(spark):
+    """Reference tests/test_to_data_type.py:22-59 — a 'new' case row emits
+    {Case, Visit}; a 'return' row emits only {Visit}."""
+    form = spark.createDataFrame(
+        [("u1", "new"), ("u2", "return")], ["uuid", "intro./visit"]
+    )
+    specs = [
+        DataTypeSpec(name="Case", type="case", form="demo_case",
+                     db_column="intro./visit", condition="new", uuid="uuid"),
+        DataTypeSpec(name="Visit", type="visit", form="demo_case", uuid="uuid"),
+    ]
+    out = fan_out_data_types({"demo_case": form}, specs)
+    got = {(r["uuid"], r["type"]) for r in out.collect()}
+    assert got == {("u1", "case"), ("u1", "visit"), ("u2", "visit")}
+
+
+def test_add_links_ordering_and_condition(spark):
+    """Reference tests/test_add_links.py — to_condition filters the linked
+    side; results are date-ordered."""
+    base = spark.createDataFrame([("b1", "p1")], ["uuid", "pid"])
+    to_form = spark.createDataFrame(
+        [
+            ("t1", "p1", "return", "2017-01-05"),
+            ("t2", "p1", "return", "2017-01-02"),
+            ("t3", "p1", "new", "2017-01-03"),      # filtered by to_condition
+            ("t4", "p2", "return", "2017-01-04"),   # other key
+        ],
+        ["uuid", "pid", "visit", "date"],
+    )
+    link = LinkDef(
+        name="return_visit", type="case", to_form="fu", from_form="base",
+        from_column="pid", to_column="pid", method="match",
+        order_by="date;date", uuid="uuid", to_condition="visit:return",
+    )
+    out = add_links(base, {"fu": to_form}, [link])
+    arr = out.collect()[0]["link_return_visit"]
+    assert [x["__uuid"] for x in arr] == ["t2", "t1"]
+
+
+def test_add_links_alert_match_suffix(spark):
+    """alert_match joins the last-6-char suffix of the base uuid
+    (reference add_links.py:79-83; FIXTURES.md §3 send-alerts)."""
+    base = spark.createDataFrame([("abcdefghijk",)], ["uuid"])
+    alerts_form = spark.createDataFrame(
+        [("a1", "fghijk"), ("a2", "zzzzzz")], ["uuid", "pt./alert_id"]
+    )
+    link = LinkDef(
+        name="alert_investigation", type="case", to_form="demo_alert",
+        from_form="demo_case", from_column="uuid", to_column="pt./alert_id",
+        method="alert_match", order_by="uuid;uuid", uuid="uuid",
+    )
+    out = add_links(base, {"demo_alert": alerts_form}, [link])
+    arr = out.collect()[0]["link_alert_investigation"]
+    assert [x["__uuid"] for x in arr] == ["a1"]
+
+
+def test_link_aggregate_methods(spark):
+    base = spark.createDataFrame([("b1", "k")], ["uuid", "key"])
+    to_form = spark.createDataFrame(
+        [("t1", "k", "2017-01-01", "A"), ("t2", "k", "2017-01-09", "B")],
+        ["uuid", "key", "date", "flag"],
+    )
+    link = LinkDef(
+        name="l", type="case", to_form="f", from_form="b",
+        from_column="key", to_column="key", order_by="date;date", uuid="uuid",
+    )
+    out = add_links(base, {"f": to_form}, [link])
+    row = out.select(
+        link_aggregate(out, "l", "count").alias("n"),
+        link_aggregate(out, "l", "first")["flag"].alias("first_flag"),
+        link_aggregate(out, "l", "last")["flag"].alias("last_flag"),
+        link_aggregate(out, "l", "any", test=lambda r: r["flag"] == "B").alias("any_b"),
+        link_aggregate(out, "l", "all", test=lambda r: r["flag"] == "A").alias("all_a"),
+    ).collect()[0]
+    assert (row["n"], row["first_flag"], row["last_flag"]) == (2, "A", "B")
+    assert row["any_b"] is True and row["all_a"] is False
+
+
+def test_initial_visit_rewrite(spark):
+    """Reference tests/test_initial_visit_control.py:26-80 — two 'new' ncd
+    visits with the same (patientid, icd_code): the later becomes 'return';
+    different icd_code stays 'new'; rows missing identifiers untouched."""
+    rows = [
+        ("u1", "new", "ncd", "p1", "A01", "2017-01-01"),
+        ("u2", "new", "ncd", "p1", "A01", "2017-02-01"),  # → return
+        ("u3", "new", "ncd", "p1", "B02", "2017-03-01"),  # different icd
+        ("u4", "new", "cd", "p1", "A01", "2017-04-01"),   # module gate
+        ("u5", "new", "ncd", "", "A01", "2017-05-01"),    # empty identifier
+    ]
+    df = spark.createDataFrame(
+        rows, ["uuid", "visit", "module", "patientid", "icd_code", "date"]
+    )
+    out = initial_visit_control(
+        df,
+        identifier_columns=["patientid", "icd_code"],
+        visit_type_column="visit",
+        visit_date_column="date",
+        uuid_column="uuid",
+        module_column="module",
+        module_value="ncd",
+    )
+    got = {r["uuid"]: r["visit"] for r in out.collect()}
+    assert got == {"u1": "new", "u2": "return", "u3": "new",
+                   "u4": "new", "u5": "new"}
+
+
+def test_threshold_alert_master_and_subs(spark):
+    """Reference tests/test_add_multiple_alerts.py:26-120 — 3 same-clinic
+    same-day hits with limit 3 → one master (min uuid 'a') + two subs."""
+    d = datetime.datetime(2017, 5, 1, 10, 0)
+    df = spark.createDataFrame(
+        [
+            ("a", 6, d), ("b", 6, d + datetime.timedelta(hours=1)),
+            ("c", 6, d + datetime.timedelta(hours=2)),
+            ("x", 7, d),  # under the limit at clinic 7
+        ],
+        ["uuid", "clinic", "date"],
+    )
+    found = al.threshold_alerts(
+        df, var_predicate=F.lit(True), clinic_col="clinic",
+        date_col="date", uuid_col="uuid", daily_limit=3,
+    )
+    rep = al.assign_representatives(found).collect()
+    assert len(rep) == 3
+    by_uuid = {r["uuid"]: r for r in rep}
+    assert by_uuid["a"]["sub_alert"] == 0 and by_uuid["a"]["master_alert"] == "a"
+    assert by_uuid["b"]["sub_alert"] == 1 and by_uuid["c"]["sub_alert"] == 1
+    # alert_id = last 6 chars of master uuid ('a' → 'a')
+    assert by_uuid["a"]["alert_id"] == "a"
+
+
+def test_double_double_exact_factor(spark):
+    """2,4,8 weekly counts with factor=2 and 5-week total >= 14 fires once."""
+    rows = []
+    uid = 0
+    for week, n in [(10, 2), (11, 4), (12, 8)]:
+        for _ in range(n):
+            rows.append((f"u{uid}", 1, 2017, week))
+            uid += 1
+    df = spark.createDataFrame(rows, ["uuid", "clinic", "epi_year", "epi_week"])
+    out = al.double_double_alerts(
+        df, var_predicate=F.lit(True), clinic_col="clinic",
+        uuid_col="uuid", min_total=14, factor=2.0,
+    ).collect()
+    assert len(out) == 1
+    assert (out[0]["epi_week"], out[0]["count"]) == (12, 8)
+
+
+def test_qc_import_rules(spark):
+    """Reference tests/test_quality_control.py:26-56 — failing between rule
+    nulls the cell; category=['discard'] drops the row; replace:<col>
+    substitutes."""
+    df = spark.createDataFrame(
+        [("u1", "170", "2017-01-01", "bad-date"),
+         ("u2", "999", "2017-01-02", "2017-01-02")],
+        ["uuid", "height", "SubmissionDate", "visit_date"],
+    )
+    null_rule = Rule(id="qc_1", method="between", db_column="height",
+                     condition="50,220", calculation="height", type="import")
+    out = qc.apply_import_rules(df, [null_rule])
+    got = {r["uuid"]: r["height"] for r in out.collect()}
+    assert got == {"u1": "170", "u2": None}
+
+    discard_rule = Rule(id="qc_2", method="between", db_column="height",
+                        condition="50,220", calculation="height",
+                        category=["discard"], type="import")
+    out2 = qc.apply_import_rules(df, [discard_rule])
+    assert [r["uuid"] for r in out2.collect()] == ["u1"]
+
+    replace_rule = Rule(id="qc_3", method="match", db_column="visit_date",
+                        condition="2017-01-02",
+                        category=["replace:SubmissionDate"], type="import")
+    out3 = qc.apply_import_rules(df, [replace_rule])
+    got3 = {r["uuid"]: r["visit_date"] for r in out3.collect()}
+    assert got3 == {"u1": "2017-01-01", "u2": "2017-01-02"}
+
+
+def test_location_flatten_null_district(spark):
+    """A clinic hanging directly off a region leaves district NULL
+    (reference codes/to_codes.py:138-146)."""
+    rows = [
+        (1, None, "country"),
+        (2, 1, "region"),
+        (4, 2, "district"),
+        (6, 4, "clinic"),
+        (7, 2, "clinic"),  # directly under region
+    ]
+    adj = spark.createDataFrame(rows, ["id", "parent_location", "level"])
+    flat = flatten_location_hierarchy(
+        adj, levels=("clinic", "district", "region", "country")
+    ).filter(F.col("level") == "clinic")
+    got = {
+        r["id"]: (r["district_id"], r["region_id"], r["country_id"])
+        for r in flat.collect()
+    }
+    assert got[6] == (4, 2, 1)
+    assert got[7] == (None, 2, 1)
+
+
+def test_explode_deviceids(spark):
+    clinics = spark.createDataFrame([(6, "1,2, 3")], ["id", "deviceid"])
+    out = explode_deviceids(clinics)
+    assert sorted(r["deviceid"] for r in out.collect()) == ["1", "2", "3"]
