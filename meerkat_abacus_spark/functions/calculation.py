@@ -45,8 +45,10 @@ def _epi_epoch_offset_days(epi_config: str | dict) -> int:
 
 
 def _multiformat_parse_sql(inner: str) -> str:
+    # datetime patterns contain literal quotes ('T') — escape for SQL strings
     arms = ", ".join(
-        f"try_to_timestamp({inner}, '{p}')" for p in MULTIFORMAT_PATTERNS
+        "try_to_timestamp({}, '{}')".format(inner, p.replace("'", "''"))
+        for p in MULTIFORMAT_PATTERNS
     )
     return f"coalesce({arms}, try_to_timestamp({inner}))"
 

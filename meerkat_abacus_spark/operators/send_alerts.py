@@ -1,0 +1,86 @@
+"""A5 — send_alerts: individual-alert messaging with topic fan-out.
+
+Reference: pipeline_worker/process_steps/send_alerts.py:17-31 (select +
+render) and util/__init__.py:459-492 (topic list = cartesian product of
+location levels × {reason, allDis}), :495-588 (publish).
+
+Spark shape: a filter + projection renders the message fields (JVM
+``format_string``), ``explode`` produces one row per (alert, topic) — the
+cartesian fan-out is two literal arrays zipped at plan time.  The actual
+HTTP publish is a ``foreachBatch`` sink stub (out of analytic scope,
+SURVEY.md §2.1 K5); everything up to the wire is a DataFrame.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from meerkat_abacus_spark.functions.cols import qcol
+
+
+def render_alert_messages(
+    df: DataFrame,
+    uuid_col: str = "uuid",
+    reason_col: str = "alert_reason",
+    clinic_col: str = "clinic",
+    date_col: str = "date",
+    alert_id_len: int = 6,
+    template: str = "Alert %s: %s at clinic %s on %s",
+) -> DataFrame:
+    """Filter individual alerts and render text; alert_id = uuid suffix
+    (send_alerts.py:24-25; FIXTURES.md: uuid 'abcdefghijk' → id 'fghijk')."""
+    out = df.filter(F.col("alert") & (F.coalesce(F.col("sub_alert"), F.lit(0)) == 0))
+    alert_id = F.right(qcol(uuid_col).cast("string"), F.lit(alert_id_len))
+    return out.withColumns(
+        {
+            "alert_id": alert_id,
+            "message": F.format_string(
+                template,
+                alert_id,
+                qcol(reason_col).cast("string"),
+                qcol(clinic_col).cast("string"),
+                qcol(date_col).cast("string"),
+            ),
+        }
+    )
+
+
+def topic_fan_out(
+    df: DataFrame,
+    prefix: str,
+    reason_col: str = "alert_reason",
+    level_cols: tuple[str, ...] = ("clinic", "district", "region"),
+) -> DataFrame:
+    """One row per (alert, topic): ``prefix-<loc>-<reason>`` for each location
+    level plus country ('1'), crossed with {reason, allDis}
+    (util/__init__.py:459-492)."""
+    locs = F.array(
+        *[qcol(c).cast("string") for c in level_cols], F.lit("1")
+    )
+    reasons = F.array(qcol(reason_col).cast("string"), F.lit("allDis"))
+    topics = F.flatten(
+        F.transform(
+            locs,
+            lambda loc: F.transform(
+                reasons,
+                lambda r: F.concat_ws("-", F.lit(prefix), loc, r),
+            ),
+        )
+    )
+    return df.withColumn("topic", F.explode(topics))
+
+
+def publish_alerts(
+    df: DataFrame, send: Callable[[dict], None] | None = None
+) -> int:
+    """K5 publish stub: hand each rendered alert to ``send`` (HTTP in
+    production — hermes, util/__init__.py:495-588).  Driver-side loop is fine
+    here: alert volume is tiny relative to data volume.  Returns the count."""
+    rows = df.collect()
+    for row in rows:
+        if send is not None:
+            send(row.asDict())
+    return len(rows)

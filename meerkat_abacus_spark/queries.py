@@ -1168,3 +1168,308 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select(
         "doc_id", "media_type", "byte_len", "first_byte", "feature"
     )
+
+
+# ===========================================================================
+# Batch 3: multi-row split (G2), point-in-polygon (J6), send-alerts topic
+# fan-out (A5), sub_match / value / calc-to_date rule coverage (V2/V5/V6),
+# and a TPC-H Q3-shaped join anchor.
+# ===========================================================================
+
+from meerkat_abacus_spark.functions.calculation import translate_calculation
+from meerkat_abacus_spark.operators.geo import locate_points
+from meerkat_abacus_spark.operators.multirow import split_multiple_rows
+from meerkat_abacus_spark.operators.send_alerts import (
+    render_alert_messages,
+    topic_fan_out,
+)
+
+
+@_register(
+    "multirow_split",
+    """
+    SELECT CAST(c_custkey AS VARCHAR) || ':1' AS uuid,
+           c_mktsegment AS "f./val"
+    FROM customer
+    UNION ALL
+    SELECT CAST(c_custkey AS VARCHAR) || ':2', c_name FROM customer
+    """,
+)
+def multirow_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # customer as a wide two-entity form: f1./val = segment, f2./val = name
+    wide = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("cid"),
+        F.col("c_mktsegment").alias("f1./val"),
+        F.col("c_name").alias("f2./val"),
+    )
+    out = split_multiple_rows(
+        wide, column_templates=["f$./val"], max_index=2, uuid_col="cid",
+        keep_columns=[],
+    )
+    return out.select("uuid", F.col("`f./val`").alias("f./val"))
+
+
+# --- J6: ray-casting containment, identical formula in both engines --------
+
+_TRI = [(0.0, 0.0), (100.0, 0.0), (0.0, 100.0)]
+_SQUARE = [(20.0, 20.0), (80.0, 20.0), (80.0, 80.0), (20.0, 80.0)]
+
+
+def _ray_sql(x: str, y: str, verts: list[tuple[float, float]]) -> str:
+    """Crossing-number containment as SQL (mirrors geo.point_in_polygon)."""
+    terms = []
+    n = len(verts)
+    for i in range(n):
+        xi, yi = verts[i]
+        xj, yj = verts[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN (({yi} > {y}) <> ({yj} > {y})) AND "
+            f"({x} < ({xj} - {xi}) * ({y} - {yi}) / ({yj} - {yi}) + {xi}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+@_register(
+    "point_in_polygon",
+    f"""
+    SELECT CASE WHEN {_ray_sql('value', 'CAST(user_id % 100 AS DOUBLE)', _TRI)}
+                THEN 'triangle'
+                WHEN {_ray_sql('value', 'CAST(user_id % 100 AS DOUBLE)', _SQUARE)}
+                THEN 'square'
+           END AS located_in,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def point_in_polygon_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    points = events.select(
+        F.col("event_id").alias("pid"),
+        F.col("value").alias("x"),
+        (F.col("user_id") % 100).cast("double").alias("y"),
+    )
+    polygons = spark.createDataFrame(
+        [
+            ("triangle", 1, [{"x": x, "y": y} for x, y in _TRI]),
+            ("square", 2, [{"x": x, "y": y} for x, y in _SQUARE]),
+        ],
+        "name string, priority int, vertices array<struct<x:double,y:double>>",
+    )
+    located = locate_points(
+        points, polygons, point_id_col="pid",
+        x_col="x", y_col="y", poly_priority_col="priority",
+    )
+    return located.groupBy("located_in").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- A5: render + topic fan-out over threshold-alert masters ---------------
+
+
+@_register(
+    "send_alerts_topics",
+    """
+    WITH buckets AS (
+        SELECT user_id AS clinic,
+               date_trunc('day', ts) AS period_start,
+               MIN(CAST(event_id AS VARCHAR)) AS master
+        FROM events
+        WHERE event_type = 'error'
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 3
+    ), rendered AS (
+        SELECT master AS uuid, clinic,
+               right(master, 6) AS alert_id
+        FROM buckets
+    )
+    SELECT uuid,
+           'demo-' || loc || '-' || reason AS topic
+    FROM rendered
+    CROSS JOIN (SELECT UNNEST(['c', 'd', 'r', 'x']) AS lvl) levels
+    CROSS JOIN (SELECT UNNEST(['err_daily', 'allDis']) AS reason) reasons,
+    LATERAL (SELECT CASE lvl WHEN 'c' THEN CAST(clinic AS VARCHAR)
+                             WHEN 'd' THEN CAST(clinic % 10 AS VARCHAR)
+                             WHEN 'r' THEN CAST(clinic % 5 AS VARCHAR)
+                             ELSE '1' END AS loc) l
+    """,
+)
+def send_alerts_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events").withColumn(
+        "uuid", F.col("event_id").cast("string")
+    )
+    found = al.threshold_alerts(
+        events,
+        var_predicate=F.col("event_type") == "error",
+        clinic_col="user_id",
+        date_col="ts",
+        uuid_col="uuid",
+        daily_limit=3,
+    )
+    rep = al.assign_representatives(found).withColumns(
+        {
+            "alert": F.lit(True),
+            "alert_reason": F.lit("err_daily"),
+            "district": F.col("clinic") % 10,
+            "region": F.col("clinic") % 5,
+            "date": F.col("period_start"),
+        }
+    )
+    rendered = render_alert_messages(rep)
+    fanned = topic_fan_out(
+        rendered, prefix="demo",
+        level_cols=("clinic", "district", "region"),
+    )
+    return fanned.select("uuid", "topic")
+
+
+# --- V2 sub_match + V6 value rules over part/orders ------------------------
+
+_SUBMATCH_RULES = [
+    Rule(id="brass_1", method="sub_match", db_column="p_type",
+         condition="BRASS,COPPER"),
+    Rule(id="small_1", method="sub_match", db_column="p_type",
+         condition="SMALL"),
+    Rule(id="anod_tin", method="sub_match and match", db_column="p_type;p_size",
+         condition="ANODIZED;5,10,15"),
+]
+
+
+@_register(
+    "coding_sub_match",
+    """
+    SELECT var_id, COUNT(*) AS n FROM (
+        SELECT 'brass_1' AS var_id FROM part
+          WHERE p_type IN ('BRASS', 'COPPER')
+             OR p_type LIKE '%BRASS%' OR p_type LIKE '%COPPER%'
+        UNION ALL
+        SELECT 'small_1' FROM part
+          WHERE p_type = 'SMALL' OR p_type LIKE '%SMALL%'
+        UNION ALL
+        SELECT 'anod_tin' FROM part
+          WHERE (p_type = 'ANODIZED' OR p_type LIKE '%ANODIZED%')
+            AND CAST(p_size AS VARCHAR) IN ('5', '10', '15')
+    ) GROUP BY 1
+    """,
+)
+def coding_sub_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    coded = code_dataframe(part, _SUBMATCH_RULES)
+    return (
+        coded.select(F.explode(F.map_keys(F.col("variables"))).alias("var_id"))
+        .groupBy("var_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_register(
+    "coding_value_date",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS submission_date,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def coding_value_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    rules = [
+        Rule(id="submission_date", method="value", db_column="o_orderdate",
+             condition="", calculation="date"),
+    ]
+    coded = code_dataframe(orders, rules)
+    return (
+        coded.select(
+            F.element_at(F.col("variables"), "submission_date").alias(
+                "submission_date"
+            )
+        )
+        .groupBy("submission_date")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- V5 calc with Variable.to_date (reg_8-style week arithmetic) -----------
+# weeks-between-ship-and-order via the epi-epoch seconds translation
+# (reference variable.py:321-367; epi day:0 → epoch offset 4 days).
+
+
+@_register(
+    "coding_calc_to_date",
+    """
+    SELECT CAST((epoch(l_shipdate)::BIGINT - 345600) // 604800
+              - (epoch(o_orderdate)::BIGINT - 345600) // 604800 AS DOUBLE)
+               AS weeks_diff,
+           COUNT(*) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def coding_calc_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    joined = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+    rule = Rule(
+        id="weeks_diff",
+        method="calc",
+        db_column="l_shipdate,o_orderdate",
+        condition="",
+        calculation=(
+            "int(Variable.to_date(l_shipdate)/604800)"
+            " - int(Variable.to_date(o_orderdate)/604800)"
+        ),
+    )
+    coded = code_dataframe(joined, [rule], epi_config="day:0")
+    return (
+        coded.select(
+            F.element_at(F.col("variables"), "weeks_diff")
+            .cast("double")
+            .alias("weeks_diff")
+        )
+        .groupBy("weeks_diff")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- TPC-H Q3-shaped join anchor (A7 consumption pattern at fact scale) ----
+
+
+@_register(
+    "shipping_priority",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+      AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, customer.c_custkey == orders.o_custkey)
+        .filter(F.to_date("o_orderdate") < F.lit("1995-03-15"))
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .filter(F.to_date("l_shipdate") > F.lit("1995-03-15"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey", "revenue", F.to_date("o_orderdate").alias("orderdate")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )

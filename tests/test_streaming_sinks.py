@@ -1,0 +1,83 @@
+"""S4/K2: streaming foreachBatch equals batch; upsert idempotency.
+
+Reference semantics (SURVEY.md §3.2): streaming is just small batches
+through the identical pipeline; late/duplicate data is handled by the
+(uuid, type)-keyed delete+insert, not watermarks.
+"""
+
+import json
+import time
+
+from pyspark.sql import functions as F
+
+from meerkat_abacus_spark.sinks.writers import upsert_by_key
+from meerkat_abacus_spark.streaming.foreach_batch import stream_pipeline
+
+
+def _transform(batch_df):
+    """The shared batch transform: envelope → typed projection + coding-lite."""
+    return batch_df.select(
+        F.col("formId").alias("form"),
+        F.col("data")["uuid"].alias("uuid"),
+        F.col("data")["value"].cast("double").alias("value"),
+    ).withColumn("flagged", F.col("value") > 50)
+
+
+def test_stream_equals_batch(spark, tmp_path):
+    src = tmp_path / "drops"
+    src.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    envelopes = [
+        {"formId": "demo_case", "data": {"uuid": f"u{i}", "value": str(i * 7 % 100)}}
+        for i in range(50)
+    ]
+    # two file drops → two micro-batches
+    (src / "a.json").write_text("\n".join(json.dumps(e) for e in envelopes[:30]))
+    (src / "b.json").write_text("\n".join(json.dumps(e) for e in envelopes[30:]))
+
+    collected = []
+
+    def sink(df, batch_id):
+        collected.extend(r.asDict() for r in df.collect())
+
+    q = stream_pipeline(spark, str(src), _transform, sink, ckpt)
+    q.awaitTermination(60)
+
+    batch_df = spark.createDataFrame(
+        [(e["formId"], e["data"]) for e in envelopes], ["formId", "data"]
+    )
+    expected = sorted(
+        (r.asDict() for r in _transform(batch_df).collect()),
+        key=lambda d: d["uuid"],
+    )
+    got = sorted(collected, key=lambda d: d["uuid"])
+    assert got == expected
+
+
+def test_upsert_by_key_idempotent(spark, tmp_path):
+    """K2 (write_to_db.py:40-49): reprocessing replaces rows by (uuid, type)."""
+    path = str(tmp_path / "data_table")
+    first = spark.createDataFrame(
+        [("u1", "case", 1), ("u2", "case", 1), ("u3", "visit", 1)],
+        ["uuid", "type", "version"],
+    )
+    upsert_by_key(spark, first, path, keys=["uuid", "type"])
+
+    # reprocess u1/case + add u4; u1 must be replaced, not duplicated
+    second = spark.createDataFrame(
+        [("u1", "case", 2), ("u4", "case", 2)], ["uuid", "type", "version"]
+    )
+    upsert_by_key(spark, second, path, keys=["uuid", "type"])
+
+    got = {
+        (r["uuid"], r["type"]): r["version"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        ("u1", "case"): 2,
+        ("u2", "case"): 1,
+        ("u3", "visit"): 1,
+        ("u4", "case"): 2,
+    }
