@@ -84,6 +84,7 @@ def translate_calculation(
     columns: list[str],
     epi_config: str | dict = "international",
     empty_as_zero: bool = True,
+    col_prefix: str | None = None,
 ) -> str:
     """Translate a reference calculation string into a Spark SQL expression.
 
@@ -104,6 +105,9 @@ def translate_calculation(
 
     for col in sorted(set(columns), key=len, reverse=True):
         quoted = "`" + col.replace("`", "``") + "`"
+        if col_prefix:
+            # struct-field path for multiple_link last/first rules
+            quoted = "`" + col_prefix.replace("`", "``") + "`." + quoted
         date_expr = (
             f"(unix_timestamp({_multiformat_parse_sql(quoted)}) - {offset_secs})"
         )

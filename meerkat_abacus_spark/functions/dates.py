@@ -44,10 +44,12 @@ def timestamp_of(df, column: str) -> Column:
     At scale this matters: the multiformat parse is 10 parser arms per row —
     never pay it for a column the scan already typed.
     """
+    from meerkat_abacus_spark.functions.cols import qcol
+
     dtype = dict(df.dtypes).get(column, "string")
     if dtype.startswith(("timestamp", "date")):
-        return F.col(column).cast("timestamp")
-    return parse_multiformat_timestamp(F.col(column).cast("string"))
+        return qcol(column).cast("timestamp")
+    return parse_multiformat_timestamp(qcol(column).cast("string"))
 
 
 def day_truncated(col: Column | str) -> Column:

@@ -86,43 +86,83 @@ def _col(name: str) -> Column:
     return F.col("`" + name.replace("`", "``") + "`")
 
 
-def _non_empty(name: str) -> Column:
-    c = _col(name)
+class Resolver:
+    """Maps a config column name to a Column — top-level by default, or a
+    field of a (materialized) linked-row struct for multiple_link rules
+    (C4, reference codes/to_codes.py:213-242)."""
+
+    def __init__(self, struct_col: str | None = None, getter=None):
+        self.struct_col = struct_col
+        self._getter = getter
+
+    def __call__(self, name: str) -> Column:
+        if self._getter is not None:
+            return self._getter(name)
+        if self.struct_col is not None:
+            return F.expr(
+                "`%s`.`%s`" % (self.struct_col.replace("`", "``"),
+                               name.replace("`", "``"))
+            )
+        return _col(name)
+
+    def sql_prefix(self) -> str | None:
+        """Prefix for translate_calculation (between/calc SQL paths)."""
+        return self.struct_col
+
+
+_DEFAULT = Resolver()
+
+
+def _non_empty(name: str, r: Resolver = _DEFAULT) -> Column:
+    c = r(name)
     return c.isNotNull() & (c.cast("string") != F.lit(""))
 
 
-def _test_match(cols: list[str], cond: list[str]) -> Column:
-    return _col(cols[0]).cast("string").isin([c for c in cond if c is not None])
+def _test_match(cols: list[str], cond: list[str], r: Resolver = _DEFAULT) -> Column:
+    return r(cols[0]).cast("string").isin([c for c in cond if c is not None])
 
 
-def _test_sub_match(cols: list[str], cond: list[str]) -> Column:
-    c = _col(cols[0]).cast("string")
+def _test_sub_match(
+    cols: list[str], cond: list[str], r: Resolver = _DEFAULT
+) -> Column:
+    c = r(cols[0]).cast("string")
     exact = c.isin(cond)
     subs = [c.contains(F.lit(v)) for v in cond if v]
     return reduce(lambda a, b: a | b, subs, exact)
 
 
-def _test_not_null(cols: list[str]) -> Column:
+def _test_not_null(cols: list[str], r: Resolver = _DEFAULT) -> Column:
     # Reference variable.py:226-231: value not in ("", None, 0) — with CSV
     # string semantics the numeric-0 arm only fires for genuinely numeric
     # columns, handled by the cast-compare.
-    return _non_empty(cols[0])
+    return _non_empty(cols[0], r)
 
 
 def _between(
-    cols: list[str], cond: list[str], calculation: str, epi_config: str | dict
+    cols: list[str],
+    cond: list[str],
+    calculation: str,
+    epi_config: str | dict,
+    r: Resolver = _DEFAULT,
 ) -> tuple[Column, Column]:
     """(applicable, passed) for a between test (variable.py:251-285)."""
     lo, hi = float(cond[0]), float(cond[1])
-    applicable = reduce(lambda a, b: a & b, [_non_empty(c) for c in cols])
+    applicable = reduce(lambda a, b: a & b, [_non_empty(c, r) for c in cols])
+    if r.sql_prefix() is None and r._getter is not None:
+        raise NameError("between is not supported inside any/all link rules")
     value = F.expr(
-        translate_calculation(calculation, cols, epi_config, empty_as_zero=False)
+        translate_calculation(
+            calculation, cols, epi_config, empty_as_zero=False,
+            col_prefix=r.sql_prefix(),
+        )
     )
     return applicable, applicable & (value >= F.lit(lo)) & (value < F.lit(hi))
 
 
 def compile_rule_test(
-    rule: Rule, epi_config: str | dict = "international"
+    rule: Rule,
+    epi_config: str | dict = "international",
+    resolver: Resolver = _DEFAULT,
 ) -> tuple[Column, Column]:
     """Compile one rule into ``(passed BOOLEAN, value)`` Columns.
 
@@ -130,6 +170,7 @@ def compile_rule_test(
     stored payload when the test passes — 1 for boolean tests, the computed
     number for ``calc``, the raw/ISO value for ``value``.
     """
+    r = resolver
     tests, ops = rule.tests()
     columns = rule.columns_per_test()
     conditions = rule.conditions_per_test()
@@ -139,8 +180,8 @@ def compile_rule_test(
     if "value" in tests:
         if len(tests) > 1:
             raise NameError("value must be only test type")
-        col = _col(columns[0][0])
-        applicable = _non_empty(columns[0][0])
+        col = r(columns[0][0])
+        applicable = _non_empty(columns[0][0], r)
         if rule.calculation == "date":
             value = F.date_format(
                 parse_multiformat_timestamp(col.cast("string")),
@@ -152,9 +193,12 @@ def compile_rule_test(
     if "calc" in tests:
         if len(tests) > 1:
             raise NameError("calc must be only test type")
+        if r.sql_prefix() is None and r._getter is not None:
+            raise NameError("calc is not supported inside any/all link rules")
         value = F.expr(
             translate_calculation(
-                rule.calculation or "", columns[0], epi_config, empty_as_zero=True
+                rule.calculation or "", columns[0], epi_config,
+                empty_as_zero=True, col_prefix=r.sql_prefix(),
             )
         ).cast("double")
         # Reference variable.py:163-171: calc is applicable whenever the
@@ -165,14 +209,14 @@ def compile_rule_test(
     results: list[Column] = []
     for i, tt in enumerate(tests):
         if tt == "match":
-            results.append(_test_match(columns[i], conditions[i]))
+            results.append(_test_match(columns[i], conditions[i], r))
         elif tt == "sub_match":
-            results.append(_test_sub_match(columns[i], conditions[i]))
+            results.append(_test_sub_match(columns[i], conditions[i], r))
         elif tt == "not_null":
-            results.append(_test_not_null(columns[i]))
+            results.append(_test_not_null(columns[i], r))
         elif tt == "between":
             calc = calcs[i] if i < len(calcs) else calcs[0]
-            _, passed = _between(columns[i], conditions[i], calc, epi_config)
+            _, passed = _between(columns[i], conditions[i], calc, epi_config, r)
             results.append(passed)
         else:
             raise NameError(f"unsupported test {tt} in combination")
@@ -199,8 +243,54 @@ class CodedOutput:
     disregard: Column
 
 
+def _compile_entry(
+    m: Rule,
+    epi_config: str | dict,
+    link_structs: dict[str, str] | None,
+) -> tuple[Column, Column]:
+    """(passed, value) for one rule, dispatching C4 multiple_link methods
+    over the rule's link array (reference codes/to_codes.py:213-242):
+
+    - ``last``/``first``: the rule test runs against the newest/oldest linked
+      row (materialized as a struct column so between/calc SQL paths work);
+    - ``count``: value = number of linked rows;
+    - ``any``/``all``: the test runs across the array via exists/forall.
+
+    An empty link array means "datum absent" — the rule is not applicable
+    (to_codes.py ``if datum:`` gate).
+    """
+    if not m.multiple_link:
+        return compile_rule_test(m, epi_config)
+    arr = F.col("`link_" + (m.form or "").replace("`", "``") + "`")
+    non_empty = F.size(arr) > 0
+    ml = m.multiple_link
+    if ml == "count":
+        return non_empty, F.size(arr)
+    if ml in ("last", "first"):
+        if not link_structs or m.id not in link_structs:
+            raise ValueError(
+                f"rule {m.id}: last/first link rules need code_dataframe "
+                "to materialize the linked-row struct"
+            )
+        r = Resolver(struct_col=link_structs[m.id])
+        passed, value = compile_rule_test(m, epi_config, r)
+        return non_empty & passed, value
+    if ml in ("any", "all"):
+        def row_test(x):
+            r = Resolver(getter=lambda name: x["row"][name])
+            return F.coalesce(
+                compile_rule_test(m, epi_config, r)[0], F.lit(False)
+            )
+
+        hof = F.exists(arr, row_test) if ml == "any" else F.forall(arr, row_test)
+        return non_empty & F.coalesce(hof, F.lit(False)), F.lit(1)
+    raise ValueError(f"unknown multiple_link method {ml!r} on rule {m.id}")
+
+
 def compile_rules(
-    rules: list[Rule], epi_config: str | dict = "international"
+    rules: list[Rule],
+    epi_config: str | dict = "international",
+    link_structs: dict[str, str] | None = None,
 ) -> CodedOutput:
     """Compile a rule table into the five output Columns of the coding step.
 
@@ -228,7 +318,7 @@ def compile_rules(
                 if m.calculation_priority not in ("", None)
                 else 1 << 30,
             )
-        compiled = [(m, *compile_rule_test(m, epi_config)) for m in members]
+        compiled = [(m, *_compile_entry(m, epi_config, link_structs)) for m in members]
 
         # First-match-wins within the group: one CASE WHEN for the id and one
         # for the value; Catalyst short-circuits like the reference's break.
@@ -291,8 +381,25 @@ def code_dataframe(
     Adds ``variables``, ``categories``, ``alert``, ``alert_reason``,
     ``disregard`` columns; ``extra_variables`` are the C8 literal entries
     (data_type var + data_entry, reference process_steps/to_codes.py:106-108).
+    Rules with ``multiple_link`` read their ``link_<form>`` array column
+    (attach it first with operators.links.add_links).
     """
-    out = compile_rules(rules, epi_config)
+    # Materialize the newest/oldest linked row once per last/first rule so
+    # rule tests (incl. between/calc SQL) bind to a named struct column.
+    link_structs: dict[str, str] = {}
+    for i, rule in enumerate(rules):
+        if rule.multiple_link in ("last", "first"):
+            cname = f"__lr_{i}"
+            idx = -1 if rule.multiple_link == "last" else 1
+            df = df.withColumn(
+                cname,
+                F.element_at(
+                    F.col("`link_" + (rule.form or "").replace("`", "``") + "`"),
+                    idx,
+                )["row"],
+            )
+            link_structs[rule.id] = cname
+    out = compile_rules(rules, epi_config, link_structs)
     variables = out.variables
     if extra_variables:
         variables = F.map_concat(
@@ -309,4 +416,4 @@ def code_dataframe(
             "alert_reason": out.alert_reason,
             "disregard": out.disregard,
         }
-    )
+    ).drop(*link_structs.values())

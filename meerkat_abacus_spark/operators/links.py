@@ -113,14 +113,17 @@ def add_links(
 
         conds: list[Column] = []
         for i, (fc, m) in enumerate(zip(from_cols, methods)):
+            # qcol, not out[fc]: bracket access parses dots as struct paths
+            # for ODK-style names; the to-side carries only __k*/__arr so the
+            # unbound reference is unambiguous.
             if m == "alert_match":
                 # add_links.py:79-83 — join the *suffix* of the base uuid
                 # against the to-row's key column.
                 base_key = F.substring(
-                    out[fc].cast("string"), -alert_id_len, alert_id_len
+                    qcol(fc).cast("string"), -alert_id_len, alert_id_len
                 )
             else:
-                base_key = _normalize(out[fc], m)
+                base_key = _normalize(qcol(fc), m)
             conds.append(base_key == to_side[f"__k{i}"])
         cond = conds[0]
         for c in conds[1:]:

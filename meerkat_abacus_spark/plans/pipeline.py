@@ -14,10 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from meerkat_abacus_spark.functions.dates import (
-    day_truncated,
-    parse_multiformat_timestamp,
-)
+from meerkat_abacus_spark.functions.dates import day_truncated, timestamp_of
 from meerkat_abacus_spark.functions.epi_week import epi_week_columns
 from meerkat_abacus_spark.operators.coding import Rule, code_dataframe
 from meerkat_abacus_spark.operators.links import LinkDef, add_links
@@ -45,21 +42,25 @@ def surveillance_pipeline(
     per_type: list[DataFrame] = []
     for spec in data_types:
         df = fan_out_data_types(forms, [spec])
+        attached_links: list[str] = []
         if links:
             applicable = [l for l in links if l.type.lower() == spec.type.lower()]
             if applicable:
                 df = add_links(df, forms, applicable)
+                attached_links = [l.name for l in applicable]
         # Rules apply to the data types whose name matches their ``type``
-        # (reference routes rules by data type, codes/to_codes.py:197).
+        # (reference routes rules by data type, codes/to_codes.py:197); a
+        # multiple_link rule additionally needs its link attached here.
         type_rules = [
-            r for r in rules if not r.type or r.type.lower() == spec.type.lower()
+            r
+            for r in rules
+            if (not r.type or r.type.lower() == spec.type.lower())
+            and (not r.multiple_link or r.form in attached_links)
         ]
         extra = {spec.var: "1", "data_entry": "1"} if spec.var else {"data_entry": "1"}
         df = code_dataframe(df, type_rules, epi_config, extra_variables=extra)
         if spec.date:
-            date_col = day_truncated(
-                parse_multiformat_timestamp(F.col(spec.date).cast("string"))
-            )
+            date_col = day_truncated(timestamp_of(df, spec.date))
             epi_year, epi_week = epi_week_columns(
                 date_col, epi_config, week_53_strategy
             )

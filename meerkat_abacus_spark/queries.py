@@ -1473,3 +1473,73 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
+
+
+# --- C4 multiple_link rules through the coding engine itself ---------------
+# (last/first/count/any/all evaluated by code_dataframe over a link array —
+# reference codes/to_codes.py:213-242.)
+
+_LINK_RULES = [
+    Rule(id="n_lines", method="value", db_column="l_orderkey", condition="",
+         multiple_link="count", form="lines"),
+    Rule(id="last_returned", method="match", db_column="l_returnflag",
+         condition="R", multiple_link="last", form="lines"),
+    Rule(id="first_cheap", method="between", db_column="l_extendedprice",
+         condition="0,2000", calculation="l_extendedprice",
+         multiple_link="first", form="lines"),
+    Rule(id="any_returned", method="match", db_column="l_returnflag",
+         condition="R", multiple_link="any", form="lines"),
+    Rule(id="all_fulfilled", method="match", db_column="l_linestatus",
+         condition="F", multiple_link="all", form="lines"),
+]
+
+_RANKED_CTE = """
+    ranked AS (
+        SELECT l_orderkey, l_returnflag, l_linestatus, l_extendedprice,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                   ORDER BY l_shipdate ASC, CAST(l_linenumber AS VARCHAR) ASC,
+                            l_partkey ASC, l_suppkey ASC, l_linenumber ASC,
+                            l_quantity ASC, l_extendedprice ASC, l_discount ASC,
+                            l_tax ASC, l_returnflag ASC, l_linestatus ASC) rn_a,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                   ORDER BY l_shipdate DESC, CAST(l_linenumber AS VARCHAR) DESC,
+                            l_partkey DESC, l_suppkey DESC, l_linenumber DESC,
+                            l_quantity DESC, l_extendedprice DESC, l_discount DESC,
+                            l_tax DESC, l_returnflag DESC, l_linestatus DESC) rn_d
+        FROM lineitem
+    )
+"""
+
+
+@_register(
+    "coding_multiple_link",
+    f"""
+    WITH {_RANKED_CTE},
+    per_order AS (
+        SELECT l_orderkey,
+               BOOL_OR(l_returnflag = 'R') AS any_r,
+               BOOL_AND(l_linestatus = 'F') AS all_f,
+               BOOL_OR(rn_d = 1 AND l_returnflag = 'R') AS last_r,
+               BOOL_OR(rn_a = 1 AND l_extendedprice >= 0
+                       AND l_extendedprice < 2000) AS first_cheap
+        FROM ranked GROUP BY 1
+    )
+    SELECT var_id, COUNT(*) AS n FROM (
+        SELECT 'n_lines' AS var_id FROM per_order
+        UNION ALL SELECT 'last_returned' FROM per_order WHERE last_r
+        UNION ALL SELECT 'first_cheap' FROM per_order WHERE first_cheap
+        UNION ALL SELECT 'any_returned' FROM per_order WHERE any_r
+        UNION ALL SELECT 'all_fulfilled' FROM per_order WHERE all_f
+    ) GROUP BY 1
+    """,
+)
+def coding_multiple_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    linked = add_links(orders, {"lineitem": lineitem}, [_ORDER_LINES_LINK])
+    coded = code_dataframe(linked, _LINK_RULES)
+    return (
+        coded.select(F.explode(F.map_keys(F.col("variables"))).alias("var_id"))
+        .groupBy("var_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

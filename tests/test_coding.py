@@ -210,3 +210,40 @@ def test_extra_variables(spark):
         "tot_1": "1",
         "data_entry": "1",
     }
+
+
+def test_multiple_link_rules(spark):
+    """C4 via the coding engine: last/first/count/any/all over a link array
+    (reference codes/to_codes.py:213-242)."""
+    from meerkat_abacus_spark.operators.links import LinkDef, add_links
+
+    base = spark.createDataFrame([("b1", "k"), ("b2", "nomatch")], ["uuid", "key"])
+    to_form = spark.createDataFrame(
+        [("t1", "k", "2017-01-01", "yes", "40"),
+         ("t2", "k", "2017-01-09", "no", "90")],
+        ["uuid", "key", "date", "returned", "score"],
+    )
+    link = LinkDef(name="fu", type="case", to_form="f", from_form="b",
+                   from_column="key", to_column="key",
+                   order_by="date;date", uuid="uuid")
+    linked = add_links(base, {"f": to_form}, [link])
+
+    rules = [
+        Rule(id="n_fu", method="value", db_column="uuid", condition="",
+             multiple_link="count", form="fu"),
+        Rule(id="last_no", method="match", db_column="returned",
+             condition="no", multiple_link="last", form="fu"),
+        Rule(id="first_low", method="between", db_column="score",
+             condition="0,50", calculation="score",
+             multiple_link="first", form="fu"),
+        Rule(id="any_yes", method="match", db_column="returned",
+             condition="yes", multiple_link="any", form="fu"),
+        Rule(id="all_yes", method="match", db_column="returned",
+             condition="yes", multiple_link="all", form="fu"),
+    ]
+    out = code_dataframe(linked, rules)
+    rows = {r["uuid"]: r["variables"] for r in out.collect()}
+    assert rows["b1"] == {
+        "n_fu": "2", "last_no": "1", "first_low": "1", "any_yes": "1",
+    }
+    assert rows["b2"] == {}  # empty link array → no link rule applicable
