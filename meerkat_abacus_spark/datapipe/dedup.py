@@ -56,24 +56,42 @@ def shingles_col(text: Column, k: int = 3) -> Column:
 
 
 def minhash_signature(shingle_arr: Column, num_hashes: int = 8) -> Column:
-    """Portable MinHash signature: per seed, the lexicographic min of
-    ``md5(seed || ':' || shingle)`` over the shingle set.
+    """Portable MinHash signature: 4 independent 32-bit hash slices per md5.
 
-    md5 output is uniform, so the min over hex strings is an order-preserving
-    stand-in for a min over 128-bit integers; any SQL engine reproduces it.
+    One ``md5(g || ':' || shingle)`` yields 32 hex chars = four 8-hex-char
+    slices; each slice is an independent uniform hash whose lexicographic
+    min equals the numeric min.  ``num_hashes`` hashes therefore cost only
+    ``num_hashes / 4`` md5 evaluations per shingle — md5 dominates this
+    operator's cost at corpus scale.  Any SQL engine reproduces the exact
+    strings (the DuckDB oracle does).
     """
+    if num_hashes % 4:
+        raise ValueError("num_hashes must be a multiple of 4")
+    groups = num_hashes // 4
 
-    # NB: single-argument lambdas only — PySpark calls a two-parameter
-    # higher-order-function lambda with (element, index).
     def _seeded(seed: int):
+        # NB: single-argument lambda — PySpark passes (element, index) to
+        # two-parameter higher-order-function lambdas.
         return lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))
 
-    return F.array(
-        *[
-            F.array_min(F.transform(shingle_arr, _seeded(i)))
-            for i in range(num_hashes)
-        ]
-    )
+    mins = []
+    for g in range(groups):
+        digests = F.transform(shingle_arr, _seeded(g))
+        mins.extend(_slice_mins(digests))
+    return F.array(*mins)
+
+
+def _slice(start: int):
+    """Factory (not a default-arg lambda): a 2-param HOF lambda would receive
+    (element, index) and clobber the slice offset."""
+    return lambda h: F.substring(h, start, 8)
+
+
+def _slice_mins(digests: Column) -> list[Column]:
+    """Four per-slice minima over a digest array column."""
+    return [
+        F.array_min(F.transform(digests, _slice(8 * j + 1))) for j in range(4)
+    ]
 
 
 def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
@@ -114,10 +132,15 @@ def minhash_lsh_candidates(
     join is on the band key only — at 100 TB the band key is the shuffle key
     and bucket sizes stay small, so no O(n²) blowup.
     """
+    if num_hashes % 4:
+        raise ValueError("num_hashes must be a multiple of 4")
     rows_per_band = num_hashes // bands
-    # Stage-wise materialization (tokens → shingles → signature → band keys):
-    # lambdas over unbound array expressions re-evaluate the whole upstream
-    # per element/reference — see datapipe/text.py perf contract.
+    # Stage-wise materialization (tokens → shingles → md5 digests → slice
+    # minima → band keys): lambdas over unbound array expressions re-evaluate
+    # the whole upstream per element/reference — see datapipe/text.py perf
+    # contract.  Digest arrays are materialized per seed group so the four
+    # slice-min passes share one md5 pass.
+    groups = num_hashes // 4
     base = (
         df.select(
             F.col(id_col).alias("id"),
@@ -127,7 +150,20 @@ def minhash_lsh_candidates(
             "sh", F.array_distinct(shingles_from_tokens(F.col("toks"), shingle_k))
         )
         .drop("toks")
-        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    )
+    def _seeded(seed: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))
+
+    for g in range(groups):
+        base = base.withColumn(
+            f"__dg{g}", F.transform(F.col("sh"), _seeded(g))
+        )
+    sig = F.array(
+        *[m for g in range(groups) for m in _slice_mins(F.col(f"__dg{g}"))]
+    )
+    base = (
+        base.withColumn("sig", sig)
+        .drop(*[f"__dg{g}" for g in range(groups)])
         .withColumn(
             "band_key",
             F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)),

@@ -770,13 +770,19 @@ _MINHASH_ORACLE = f"""
         FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
               FROM corpus)
     ),
+    dg AS (
+        SELECT doc_id, sh,
+               list_transform(sh, s -> md5('0:' || s)) AS dg0,
+               list_transform(sh, s -> md5('1:' || s)) AS dg1
+        FROM sh
+    ),
     sig AS (
         SELECT doc_id, sh,
                [{", ".join(
-                   "list_aggregate(list_transform(sh, s -> md5('%d:' || s)), 'min')"
-                   % i for i in range(8)
+                   "list_aggregate(list_transform(dg%d, h -> substr(h, %d, 8)), 'min')"
+                   % (g, 8 * j + 1) for g in range(2) for j in range(4)
                )}] AS sig
-        FROM sh
+        FROM dg
     ),
     banded AS (
         SELECT doc_id, sh, UNNEST([
@@ -1542,4 +1548,87 @@ def coding_multiple_link(spark: SparkSession, sf_dir: str) -> DataFrame:
         coded.select(F.explode(F.map_keys(F.col("variables"))).alias("var_id"))
         .groupBy("var_id")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- C9 week-53 strategies (include_in_52 / include_in_1) ------------------
+
+_S52_Y, _S52_W = epi_week_duckdb_sql("o_orderdate", "international", "include_in_52")
+_S1_Y, _S1_W = epi_week_duckdb_sql("o_orderdate", "international", "include_in_1")
+
+
+@_register(
+    "epiweek_strategies",
+    f"""
+    SELECT {_S52_Y} AS y52, {_S52_W} AS w52,
+           {_S1_Y} AS y1, {_S1_W} AS w1,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def epiweek_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    y52, w52 = epi_week_columns(F.col("o_orderdate"), "international", "include_in_52")
+    y1, w1 = epi_week_columns(F.col("o_orderdate"), "international", "include_in_1")
+    return (
+        orders.select(
+            y52.alias("y52"), w52.alias("w52"), y1.alias("y1"), w1.alias("w1")
+        )
+        .groupBy("y52", "w52", "y1", "w1")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- TPC-H Q5-shaped multi-join (join-ordering / broadcast-selection anchor)
+
+
+@_register(
+    "local_supplier_volume",
+    """
+    SELECT n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .filter(
+            (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.to_date("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(supplier),
+            (lineitem.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
     )

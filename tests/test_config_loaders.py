@@ -1,0 +1,71 @@
+"""Config loaders parse the reference's exact CSV formats (FIXTURES.md §2)."""
+
+import json
+
+from meerkat_abacus_spark.config.loaders import (
+    load_calculation_parameters,
+    load_data_types_csv,
+    load_links_csv,
+    load_rules_csv,
+)
+
+CODES_CSV = """id,name,type,form,multiple_link,db_column,alert,alert_type,method,condition,category,calculation,disregard,calculation_group,calculation_priority,classification_casedef,source,source_link,alert_desc,case_def,risk_factors,symptoms,labs_diagnostics,,
+submission_date,Submission Date,case,demo_case,,SubmissionDate,,,value,,,date,,,,,,,,,,,,,
+gen_1,Male,case,demo_case,,pt1./gender,,,match,male,"gender,demo",,,gender,,,,,,,,,,,
+age_1,Age 0-5,case,demo_case,,pt1./age,,,between,"0,5",,pt1./age,,,,,,,,,,,,,
+cmd_1,Cholera,case,demo_case,,icd_code,1,individual,match,A00,,,1,,,,,,,,,,,,
+ale_1,Investigated,case,alert_investigation,last,alert_labs./return_lab,,,value,,,,,,,,,,,,,,,,
+vgen_1,Priority rule,case,demo_case,,x,,,match,hit,,,,grp,2,,,,,,,,,,
+"""
+
+LINKS_CSV = """name,type,to_form,from_form,from_column,to_column,method,order_by,uuid,to_condition,aggregate_condition
+alert_investigation,Case,demo_alert,demo_case,meta/instanceID,pt./alert_id,alert_match,SubmissionDate;date,meta/instanceID,,
+return_visit,Case,demo_case,demo_case,pt./pid;icd_code,pt./pid;icd_code,match;match,pt./visit_date;date,meta/instanceID,intro./visit:return,
+"""
+
+DATA_TYPES_CSV = '''"name","type","form","db_column","condition","date","var","uuid","location","multiple_row"
+"Case","case","demo_case","intro./visit","new","pt./visit_date","tot_1","meta/instanceID","deviceid",
+"Register","register","demo_register",,,"SubmissionDate","reg_1","meta/instanceID","deviceid",
+'''
+
+
+def test_load_rules(tmp_path):
+    p = tmp_path / "codes.csv"
+    p.write_text(CODES_CSV)
+    rules = {r.id: r for r in load_rules_csv(p)}
+    assert len(rules) == 6
+    assert rules["submission_date"].method == "value"
+    assert rules["submission_date"].calculation == "date"
+    assert rules["gen_1"].category == ["gender", "demo"]
+    assert rules["gen_1"].calculation_group == "gender"
+    assert rules["age_1"].condition == "0,5"
+    assert rules["cmd_1"].alert and rules["cmd_1"].alert_type == "individual"
+    assert rules["cmd_1"].disregard is True
+    assert rules["ale_1"].multiple_link == "last"
+    assert rules["ale_1"].form == "alert_investigation"
+    assert rules["vgen_1"].calculation_priority == 2
+
+
+def test_load_links(tmp_path):
+    p = tmp_path / "links.csv"
+    p.write_text(LINKS_CSV)
+    links = {l.name: l for l in load_links_csv(p)}
+    assert links["alert_investigation"].method == "alert_match"
+    assert links["return_visit"].from_column == "pt./pid;icd_code"
+    assert links["return_visit"].to_condition == "intro./visit:return"
+
+
+def test_load_data_types(tmp_path):
+    p = tmp_path / "dt.csv"
+    p.write_text(DATA_TYPES_CSV)
+    specs = {s.name: s for s in load_data_types_csv(p)}
+    assert specs["Case"].condition == "new" and specs["Case"].var == "tot_1"
+    assert specs["Register"].db_column is None and specs["Register"].condition is None
+
+
+def test_load_calculation_parameters(tmp_path):
+    (tmp_path / "vaccination_vials.json").write_text(
+        json.dumps({"bcg": {"doses": 20}})
+    )
+    params = load_calculation_parameters(tmp_path)
+    assert params["vaccination_vials"]["bcg"]["doses"] == 20

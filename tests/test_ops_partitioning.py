@@ -1,0 +1,58 @@
+"""Ops mirroring + the `data` table's physical layout (partition pruning).
+
+SURVEY §1.1: partition `data` by type/epi_year so the A7 query surface
+("count where variables ? X by location/week") prunes partitions instead of
+scanning history.
+"""
+
+from pyspark.sql import functions as F
+
+from meerkat_abacus_spark.operators.ops import StepMonitor, make_step_failures
+from meerkat_abacus_spark.sinks.writers import dead_letter_split
+
+
+def test_step_monitor(spark):
+    mon = StepMonitor()
+    df = spark.range(100)
+    mon.timed("quality_control", df)
+    mon.timed("to_codes", df.filter(F.col("id") < 50))
+    rows = {r["step"]: r["n"] for r in mon.to_df(spark).collect()}
+    assert rows == {"quality_control": 100, "to_codes": 50}
+
+
+def test_dead_letter_and_step_failures(spark):
+    df = spark.createDataFrame(
+        [("u1", "demo_case", "ok"), ("u2", "demo_case", None)],
+        ["uuid", "form", "payload"],
+    )
+    good, bad = dead_letter_split(df, F.col("payload").isNull())
+    assert [r["uuid"] for r in good.collect()] == ["u1"]
+    failures = make_step_failures(bad.drop("__error_ts"), "quality_control")
+    row = failures.collect()[0]
+    assert row["form"] == "demo_case"
+    assert row["step_name"] == "quality_control"
+    assert '"uuid":"u2"' in row["data"]
+
+
+def test_partitioned_data_table_prunes(spark, tmp_path):
+    """Write coded data partitioned by (type, epi_year); a type/epi_year
+    filter must reach the scan as PartitionFilters, not a full read."""
+    path = str(tmp_path / "data_table")
+    df = spark.createDataFrame(
+        [(f"u{i}", "case" if i % 2 else "visit", 2016 + (i % 3), i)
+         for i in range(60)],
+        ["uuid", "type", "epi_year", "payload"],
+    )
+    df.write.mode("overwrite").partitionBy("type", "epi_year").parquet(path)
+
+    back = spark.read.parquet(path).filter(
+        (F.col("type") == "case") & (F.col("epi_year") == 2017)
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "isnotnull(type" in plan or "type#" in plan
+    got = back.count()
+    expected = sum(
+        1 for i in range(60) if i % 2 and 2016 + (i % 3) == 2017
+    )
+    assert got == expected
