@@ -56,6 +56,7 @@ def add_links(
     links: list[LinkDef],
     alert_id_len: int = 6,
     broadcast_to_side: bool = False,
+    payload_columns: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Attach one ``link_<name>`` ARRAY<STRUCT<__sort,__uuid,row>> column per
     link def, ordered by the link's order_by key (dates parsed with the
@@ -67,6 +68,10 @@ def add_links(
     joined rows by every base column — would shuffle the full fact table
     with wide grouping keys per link def.  Unmatched base rows get an empty
     array.
+
+    ``payload_columns`` ({link name: [cols]}) prunes the collected row struct
+    to the fields downstream rules actually read — at 100 TB the collected
+    payload IS the shuffle, so never collect columns nobody reads.
     """
     out = base
     for link in links:
@@ -94,7 +99,9 @@ def add_links(
             _normalize(qcol(tc), m).alias(f"__k{i}")
             for i, (tc, m) in enumerate(zip(to_cols, methods))
         ]
-        payload = F.struct(*[qcol(c).alias(c) for c in to_df.columns])
+        wanted = (payload_columns or {}).get(link.name)
+        keep_cols = [c for c in to_df.columns if wanted is None or c in wanted]
+        payload = F.struct(*[qcol(c).alias(c) for c in keep_cols])
         # one shuffle: group the linked form by its (normalized) key into
         # ordered arrays
         grouped = (

@@ -359,14 +359,10 @@ _ORDER_LINES_LINK = LinkDef(
                l_shipdate,
                ROW_NUMBER() OVER (PARTITION BY l_orderkey
                    ORDER BY l_shipdate ASC, CAST(l_linenumber AS VARCHAR) ASC,
-                            l_partkey ASC, l_suppkey ASC, l_linenumber ASC,
-                            l_quantity ASC, l_extendedprice ASC, l_discount ASC,
-                            l_tax ASC, l_returnflag ASC, l_linestatus ASC) rn_a,
+                            l_returnflag ASC) rn_a,
                ROW_NUMBER() OVER (PARTITION BY l_orderkey
                    ORDER BY l_shipdate DESC, CAST(l_linenumber AS VARCHAR) DESC,
-                            l_partkey DESC, l_suppkey DESC, l_linenumber DESC,
-                            l_quantity DESC, l_extendedprice DESC, l_discount DESC,
-                            l_tax DESC, l_returnflag DESC, l_linestatus DESC) rn_d,
+                            l_returnflag DESC) rn_d,
                COUNT(*) OVER (PARTITION BY l_orderkey) n_lines
         FROM lineitem
     )
@@ -382,7 +378,10 @@ _ORDER_LINES_LINK = LinkDef(
 def links_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     lineitem = _t(spark, sf_dir, "lineitem")
-    linked = add_links(orders, {"lineitem": lineitem}, [_ORDER_LINES_LINK])
+    linked = add_links(
+        orders, {"lineitem": lineitem}, [_ORDER_LINES_LINK],
+        payload_columns={"lines": ["l_returnflag", "l_shipdate"]},
+    )
     first = link_aggregate(linked, "lines", "first")
     last = link_aggregate(linked, "lines", "last")
     return linked.filter(F.size("link_lines") > 0).select(
@@ -415,9 +414,10 @@ def links_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 def links_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     lineitem = _t(spark, sf_dir, "lineitem")
-    linked = add_links(orders, {"lineitem": lineitem}, [_ORDER_LINES_LINK]).filter(
-        F.size("link_lines") > 0
-    )
+    linked = add_links(
+        orders, {"lineitem": lineitem}, [_ORDER_LINES_LINK],
+        payload_columns={"lines": ["l_returnflag", "l_linestatus"]},
+    ).filter(F.size("link_lines") > 0)
     any_r = link_aggregate(
         linked, "lines", "any", test=lambda row: row["l_returnflag"] == "R"
     )
@@ -1504,14 +1504,12 @@ _RANKED_CTE = """
         SELECT l_orderkey, l_returnflag, l_linestatus, l_extendedprice,
                ROW_NUMBER() OVER (PARTITION BY l_orderkey
                    ORDER BY l_shipdate ASC, CAST(l_linenumber AS VARCHAR) ASC,
-                            l_partkey ASC, l_suppkey ASC, l_linenumber ASC,
-                            l_quantity ASC, l_extendedprice ASC, l_discount ASC,
-                            l_tax ASC, l_returnflag ASC, l_linestatus ASC) rn_a,
+                            l_extendedprice ASC, l_returnflag ASC,
+                            l_linestatus ASC) rn_a,
                ROW_NUMBER() OVER (PARTITION BY l_orderkey
                    ORDER BY l_shipdate DESC, CAST(l_linenumber AS VARCHAR) DESC,
-                            l_partkey DESC, l_suppkey DESC, l_linenumber DESC,
-                            l_quantity DESC, l_extendedprice DESC, l_discount DESC,
-                            l_tax DESC, l_returnflag DESC, l_linestatus DESC) rn_d
+                            l_extendedprice DESC, l_returnflag DESC,
+                            l_linestatus DESC) rn_d
         FROM lineitem
     )
 """
@@ -1542,7 +1540,12 @@ _RANKED_CTE = """
 def coding_multiple_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     lineitem = _t(spark, sf_dir, "lineitem")
-    linked = add_links(orders, {"lineitem": lineitem}, [_ORDER_LINES_LINK])
+    linked = add_links(
+        orders, {"lineitem": lineitem}, [_ORDER_LINES_LINK],
+        payload_columns={
+            "lines": ["l_extendedprice", "l_returnflag", "l_linestatus"]
+        },
+    )
     coded = code_dataframe(linked, _LINK_RULES)
     return (
         coded.select(F.explode(F.map_keys(F.col("variables"))).alias("var_id"))
@@ -1631,4 +1634,72 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
+    )
+
+
+# --- The composed pipeline (§3.1) as one gate entry: fan-out → coding →
+# epi-week in a single plan via plans.surveillance_pipeline ----------------
+
+from meerkat_abacus_spark.plans.pipeline import surveillance_pipeline
+
+_PIPE_RULES = [
+    Rule(id="pur_1", method="match", db_column="event_type",
+         condition="purchase", calculation_group="etype", type="case"),
+    Rule(id="val_low", method="between", db_column="value",
+         condition="0,50", calculation="value", type="case"),
+    Rule(id="clk_1", method="match", db_column="event_type",
+         condition="click,view", calculation_group="etype", type="visit"),
+    Rule(id="err_1", method="match", db_column="event_type",
+         condition="error", calculation_group="etype", type="visit"),
+]
+
+_EP_Y, _EP_W = epi_week_duckdb_sql("ts", "day:0")
+
+
+@_register(
+    "pipeline_composed",
+    f"""
+    SELECT type, var_id, COUNT(*) AS n FROM (
+        SELECT 'case' AS type, 'pur_1' AS var_id, ts FROM events
+          WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT 'case', 'val_low', ts FROM events
+          WHERE event_type = 'purchase'
+            AND CAST(value AS VARCHAR) <> '' AND value >= 0 AND value < 50
+        UNION ALL
+        SELECT 'case', 'tot_1', ts FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT 'case', 'data_entry', ts FROM events
+          WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT 'visit', 'clk_1', ts FROM events
+          WHERE event_type IN ('click', 'view')
+        UNION ALL
+        SELECT 'visit', 'err_1', ts FROM events WHERE event_type = 'error'
+        UNION ALL
+        SELECT 'visit', 'vis_1', ts FROM events
+        UNION ALL
+        SELECT 'visit', 'data_entry', ts FROM events
+    )
+    WHERE {_EP_Y} >= 2023
+    GROUP BY 1, 2
+    """,
+)
+def pipeline_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    specs = [
+        DataTypeSpec(name="Case", type="case", form="events",
+                     db_column="event_type", condition="purchase",
+                     date="ts", var="tot_1", uuid="event_id"),
+        DataTypeSpec(name="Visit", type="visit", form="events",
+                     date="ts", var="vis_1", uuid="event_id"),
+    ]
+    data = surveillance_pipeline(
+        {"events": events}, specs, _PIPE_RULES, links=None, epi_config="day:0"
+    )
+    return (
+        data.filter(F.col("epi_year") >= 2023)
+        .select("type", F.explode(F.map_keys(F.col("variables"))).alias("var_id"))
+        .groupBy("type", "var_id")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
