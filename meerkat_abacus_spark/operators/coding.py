@@ -291,6 +291,7 @@ def compile_rules(
     rules: list[Rule],
     epi_config: str | dict = "international",
     link_structs: dict[str, str] | None = None,
+    alert_data: dict[str, str] | None = None,
 ) -> CodedOutput:
     """Compile a rule table into the five output Columns of the coding step.
 
@@ -340,6 +341,19 @@ def compile_rules(
             if m.disregard:
                 disregard_arms.append(hit)
 
+    alert = reduce(lambda a, b: a | b, alert_arms, F.lit(False))
+    # C6 alert_data: when an individual alert fires, copy the configured
+    # form columns into variables as alert_<name>, plus the alert marker
+    # entries themselves (to_codes.py:292-301; demo_config.py:148-155).
+    if alert_data:
+        for name, src in alert_data.items():
+            var_entries.append(
+                F.struct(
+                    F.when(alert, F.lit(f"alert_{name}")).alias("key"),
+                    _col(src).cast("string").alias("value"),
+                )
+            )
+
     entries = F.filter(
         F.array(*var_entries), lambda e: e["key"].isNotNull()
     ) if var_entries else F.array().cast("array<struct<key:string,value:string>>")
@@ -357,7 +371,6 @@ def compile_rules(
         else F.map_from_entries(F.array().cast("array<struct<key:string,value:string>>"))
     )
 
-    alert = reduce(lambda a, b: a | b, alert_arms, F.lit(False))
     alert_reason = F.coalesce(*alert_reason_arms, F.lit(None).cast("string")) if alert_reason_arms else F.lit(None).cast("string")
     disregard_raw = reduce(lambda a, b: a | b, disregard_arms, F.lit(False))
     # to_codes.py:302-309 — disregard is cancelled unless an individual alert
@@ -375,6 +388,7 @@ def code_dataframe(
     rules: list[Rule],
     epi_config: str | dict = "international",
     extra_variables: dict[str, str] | None = None,
+    alert_data: dict[str, str] | None = None,
 ) -> DataFrame:
     """Apply the compiled coding projection to a form DataFrame.
 
@@ -399,7 +413,7 @@ def code_dataframe(
                 )["row"],
             )
             link_structs[rule.id] = cname
-    out = compile_rules(rules, epi_config, link_structs)
+    out = compile_rules(rules, epi_config, link_structs, alert_data)
     variables = out.variables
     if extra_variables:
         variables = F.map_concat(

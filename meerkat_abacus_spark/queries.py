@@ -1703,3 +1703,41 @@ def pipeline_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type", "var_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --- Composite quality score (cheap pre-filter before expensive stages) ----
+
+
+@_register(
+    "text_quality",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ), parts AS (
+        SELECT doc_id,
+               least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) AS length_term,
+               1.0 - least(5.0 * CAST(len(regexp_replace(text,
+                     '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                   / greatest(len(text), 1), 1.0) AS punct_term,
+               least(5.0 * CAST(len(list_filter(toks,
+                     s -> s IN ('{_STOP_EN}'))) AS DOUBLE)
+                   / greatest(len(toks), 1), 1.0) AS stop_term
+        FROM t
+    )
+    SELECT doc_id,
+           ROUND((length_term + punct_term + stop_term) / 3, 4) AS quality
+    FROM parts
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "toks_lower", tx.tokens_col(F.lower(F.col("text")))
+    )
+    return docs.select(
+        "doc_id",
+        F.round(
+            tx.quality_score(F.col("text"), F.col("toks_lower")), 4
+        ).alias("quality"),
+    )

@@ -247,3 +247,43 @@ def test_multiple_link_rules(spark):
         "n_fu": "2", "last_no": "1", "first_low": "1", "any_yes": "1",
     }
     assert rows["b2"] == {}  # empty link array → no link rule applicable
+
+
+def test_alert_data_columns(spark):
+    """C6: individual alert copies alert_data columns as alert_<name>
+    (reference to_codes.py:292-301; FIXTURES.md §3 coding golden case)."""
+    rules = [
+        Rule(id="cmd_1", method="match", db_column="icd", condition="A00",
+             alert=True, alert_type="individual"),
+    ]
+    df = spark.createDataFrame(
+        [("A00", "34", "female"), ("B99", "7", "male")],
+        ["icd", "pt./age", "pt./gender"],
+    )
+    out = code_dataframe(
+        df, rules, alert_data={"age": "pt./age", "gender": "pt./gender"}
+    )
+    rows = {r["icd"]: r["variables"] for r in out.collect()}
+    assert rows["A00"]["alert_age"] == "34"
+    assert rows["A00"]["alert_gender"] == "female"
+    assert "alert_age" not in rows["B99"]
+
+
+def test_link_uuid_projection(spark):
+    """C11: links map {name: [uuid,...]} (process_steps/to_codes.py:99-104)."""
+    from meerkat_abacus_spark.operators.links import (
+        LinkDef, add_links, link_uuid_projection,
+    )
+
+    base = spark.createDataFrame([("b1", "k")], ["uuid", "key"])
+    to_form = spark.createDataFrame(
+        [("t1", "k", "2017-01-02"), ("t2", "k", "2017-01-01")],
+        ["uuid", "key", "date"],
+    )
+    link = LinkDef(name="fu", type="case", to_form="f", from_form="b",
+                   from_column="key", to_column="key",
+                   order_by="date;date", uuid="uuid")
+    linked = link_uuid_projection(
+        add_links(base, {"f": to_form}, [link]), ["fu"]
+    )
+    assert linked.collect()[0]["links"] == {"fu": ["t2", "t1"]}
