@@ -38,6 +38,8 @@ HEADLINE = [
     "ann_lsh_topk",
     "text_stats",
     "multimodal_decode",
+    "dedup_clusters",
+    "pipeline_composed",
 ]
 
 

@@ -360,3 +360,65 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= F.lit(min_cosine))
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 15,
+) -> DataFrame:
+    """Connected components over a near-duplicate candidate graph:
+    ``(node, component)`` where component = min node id reachable.
+
+    The canonical dedup tail: LSH candidates → verified pairs → components →
+    keep min-id per component.  Implementation is label propagation by
+    alternating min-joins (large-star/small-star style): each pass joins
+    labels across edges and keeps the minimum; iteration count is bounded by
+    graph diameter, which for near-dup graphs is tiny (dup clusters are
+    cliques-ish).  Each pass is one shuffle on the node id; convergence is
+    checked with a cheap count, so the driver loop runs O(log n) tiny jobs,
+    not per-row work.
+    """
+    sym = (
+        edges.selectExpr(f"{src} AS a", f"{dst} AS b")
+        .unionByName(edges.selectExpr(f"{dst} AS a", f"{src} AS b"))
+        .distinct()
+        .cache()  # the edge set is reused every iteration
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(sym.a.alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        # localCheckpoint truncates lineage — without it each pass replays
+        # every previous pass and the loop goes quadratic in plan size
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels

@@ -1741,3 +1741,67 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             tx.quality_score(F.col("text"), F.col("toks_lower")), 4
         ).alias("quality"),
     )
+
+
+# --- Dedup clusters: LSH pairs → connected components → keep-one ----------
+# A three-generation corpus (original, perturbed, doubly-perturbed) produces
+# transitive A—B—C duplicate chains; components must merge them.
+
+_DOC_CORPUS3_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text || ' zz qq ww' FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000, text || ' zz qq ww kk ll' FROM documents
+"""
+
+
+def _doc_corpus3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    p1 = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" zz qq ww")).alias("text"),
+    )
+    p2 = docs.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" zz qq ww kk ll")).alias("text"),
+    )
+    return docs.unionByName(p1).unionByName(p2)
+
+
+_CC_EDGES_SQL = _MINHASH_ORACLE.replace(_DOC_CORPUS_SQL, _DOC_CORPUS3_SQL)
+
+
+@_register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE edges AS ({_CC_EDGES_SQL}),
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM edges
+        UNION SELECT id_b, id_a FROM edges
+    ),
+    reach(node, lab) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY 1)
+    SELECT component, COUNT(*) AS cluster_size,
+           CAST(SUM(CASE WHEN node = component THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept
+    FROM comp GROUP BY 1
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _doc_corpus3(spark, sf_dir)
+    pairs = dd.minhash_lsh_candidates(
+        corpus, id_col="doc_id", text_col="text",
+        shingle_k=3, num_hashes=8, bands=4,
+    ).filter(F.col("jaccard") >= 0.4)
+    comps = dd.connected_components(pairs)
+    return comps.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.sum(
+            F.when(F.col("node") == F.col("component"), 1).otherwise(0)
+        ).alias("n_kept"),
+    )

@@ -225,3 +225,17 @@ def test_explode_deviceids(spark):
     clinics = spark.createDataFrame([(6, "1,2, 3")], ["id", "deviceid"])
     out = explode_deviceids(clinics)
     assert sorted(r["deviceid"] for r in out.collect()) == ["1", "2", "3"]
+
+
+def test_connected_components_transitive(spark):
+    """A—B—C chains and disjoint pairs resolve to min-id components."""
+    from meerkat_abacus_spark.datapipe.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (5, 3)], ["id_a", "id_b"]
+    )
+    comps = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 5: 1, 10: 10, 11: 10}
