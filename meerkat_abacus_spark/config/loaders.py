@@ -131,3 +131,37 @@ def load_calculation_parameters(directory: str | Path) -> dict[str, dict]:
         with open(p, encoding="utf-8") as fh:
             out[p.stem] = json.load(fh)
     return out
+
+
+def load_geojson_polygons(path: str | Path) -> list[dict]:
+    """GeoJSON FeatureCollection → polygon rows for geo.locate_points.
+
+    Reference: consumer/database_setup.py:226-252 reads Polygon/MultiPolygon
+    features keyed by ``properties.Name``.  Each output row is
+    ``{name, priority, vertices: [{x, y}, ...]}`` using the exterior ring
+    (holes are out of the reference's analytical scope); MultiPolygons emit
+    one row per part sharing the name, so containment in any part matches.
+    """
+    with open(path, encoding="utf-8") as fh:
+        doc = json.load(fh)
+    rows = []
+    for i, feat in enumerate(doc.get("features", [])):
+        name = (feat.get("properties") or {}).get("Name", f"feature_{i}")
+        geom = feat.get("geometry") or {}
+        gtype = geom.get("type")
+        coords = geom.get("coordinates") or []
+        parts = [coords] if gtype == "Polygon" else coords
+        for part in parts:
+            if not part:
+                continue
+            exterior = part[0]
+            rows.append(
+                {
+                    "name": name,
+                    "priority": i + 1,
+                    "vertices": [
+                        {"x": float(x), "y": float(y)} for x, y in exterior
+                    ],
+                }
+            )
+    return rows

@@ -106,3 +106,65 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_probe: int = 1,
+) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest centroid (the
+    inverted list), probe only the query's ``n_probe`` nearest lists.
+
+    ``centroids`` is (centroid_id, vector) — train however you like (k-means
+    upstream, or any deterministic subset for reproducible tests).  At scale
+    the corpus is hash-partitioned by ``centroid_id``, so a query touches
+    ``n_probe`` partitions instead of the full corpus; the centroid table
+    broadcasts.
+
+    Plan: two broadcast joins (corpus×centroids to build lists once —
+    amortized across queries; queries×centroids per query batch) and one
+    equi-join on centroid_id. No cross product ever materializes.
+    """
+    cent = F.broadcast(
+        centroids.select(
+            F.col("centroid_id"), F.col(vec_col).alias("cv_cent")
+        )
+    )
+
+    def assign(df: DataFrame, idc: str, out: str, probes: int) -> DataFrame:
+        sim = cosine_similarity(F.col(vec_col), F.col("cv_cent"))
+        w = Window.partitionBy(idc).orderBy(
+            F.col("__csim").desc(), F.col("centroid_id").asc()
+        )
+        return (
+            df.crossJoin(cent)
+            .withColumn("__csim", sim)
+            .withColumn("__crank", F.row_number().over(w))
+            .filter(F.col("__crank") <= probes)
+            .select(df["*"], F.col("centroid_id").alias(out))
+        )
+
+    lists = assign(corpus, id_col, "list_id", 1).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "list_id"
+    )
+    probed = assign(queries, id_col, "list_id", n_probe).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "list_id"
+    )
+    sim = cosine_similarity(F.col("qv"), F.col("cv"))
+    scored = (
+        probed.join(lists, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -101,3 +101,21 @@ def is_child(parent_id_col, row_level_cols: list[str]):
     """J9 — hierarchy membership over the flattened dim
     (util/__init__.py:49-72)."""
     return F.col(parent_id_col).isin([F.col(c) for c in row_level_cols])
+
+
+def attach_device_tags(
+    df: DataFrame,
+    devices: DataFrame,
+    device_col: str = "deviceid",
+    tags_col: str = "tags",
+) -> DataFrame:
+    """Attach per-device tags as ``tags`` (reference model.py:81-84;
+    codes/to_codes.py:127 joins device tags onto each record).  Broadcast
+    join — the device table is a dimension."""
+    dim = F.broadcast(
+        devices.select(
+            F.col(device_col).alias("__dev"), F.col(tags_col).alias("tags")
+        )
+    )
+    key = F.col("`" + device_col.replace("`", "``") + "`").cast("string")
+    return df.join(dim, key == F.col("__dev").cast("string"), "left").drop("__dev")

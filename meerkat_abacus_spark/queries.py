@@ -1805,3 +1805,65 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("node") == F.col("component"), 1).otherwise(0)
         ).alias("n_kept"),
     )
+
+
+# --- IVF-style ANN: nearest-centroid inverted lists, probe 2 lists ---------
+
+_CENT_COS = (
+    "(list_dot_product(v.v, c.cv) / "
+    "(sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cv, c.cv))))"
+)
+
+
+@_register(
+    "ann_ivf_topk",
+    f"""
+    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+        SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < 16
+    ),
+    assigned AS (
+        SELECT v.vec_id, v.v, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY {_CENT_COS} DESC, c.centroid_id ASC) AS crank
+        FROM corpus v CROSS JOIN cents c
+    ),
+    lists AS (
+        SELECT vec_id AS neighbor_id, v AS cv2, centroid_id AS list_id
+        FROM assigned WHERE crank = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, centroid_id AS list_id
+        FROM assigned WHERE crank <= 2 AND vec_id >= 100 AND vec_id < 120
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT p.query_id, l.neighbor_id,
+               ROUND(list_dot_product(p.qv, l.cv2) /
+                     (sqrt(list_dot_product(p.qv, p.qv)) *
+                      sqrt(list_dot_product(l.cv2, l.cv2))), 3) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                   ORDER BY list_dot_product(p.qv, l.cv2) /
+                            (sqrt(list_dot_product(p.qv, p.qv)) *
+                             sqrt(list_dot_product(l.cv2, l.cv2))) DESC,
+                            l.neighbor_id ASC) AS rank
+        FROM probes p JOIN lists l ON p.list_id = l.list_id
+        WHERE p.query_id <> l.neighbor_id
+    ) WHERE rank <= 3
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries_df = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120))
+    out = sim.ivf_topk(
+        emb, queries_df, centroids, id_col="vec_id", vec_col="embedding",
+        k=3, n_probe=2,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 3).alias("cosine"), "rank"
+    )

@@ -69,3 +69,51 @@ def test_load_calculation_parameters(tmp_path):
     )
     params = load_calculation_parameters(tmp_path)
     assert params["vaccination_vials"]["bcg"]["doses"] == 20
+
+
+def test_load_geojson_polygons(tmp_path, spark):
+    from meerkat_abacus_spark.operators.geo import locate_points
+
+    geo = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature",
+             "geometry": {"type": "Polygon",
+                          "coordinates": [[[0, 0], [0, 4], [4, 4], [4, 0], [0, 0]]]},
+             "properties": {"Name": "Demo"}},
+            {"type": "Feature",
+             "geometry": {"type": "MultiPolygon",
+                          "coordinates": [[[[10, 10], [10, 12], [12, 12], [12, 10], [10, 10]]]]},
+             "properties": {"Name": "Island"}},
+        ],
+    }
+    p = tmp_path / "geo.json"
+    p.write_text(json.dumps(geo))
+    from meerkat_abacus_spark.config.loaders import load_geojson_polygons
+
+    rows = load_geojson_polygons(p)
+    assert [r["name"] for r in rows] == ["Demo", "Island"]
+
+    polys = spark.createDataFrame(
+        rows, "name string, priority int, vertices array<struct<x:double,y:double>>"
+    )
+    pts = spark.createDataFrame(
+        [(1, 2.0, 2.0), (2, 11.0, 11.0), (3, 50.0, 50.0)], ["id", "x", "y"]
+    )
+    located = {
+        r["id"]: r["located_in"]
+        for r in locate_points(pts, polys, point_id_col="id",
+                               poly_priority_col="priority").collect()
+    }
+    assert located == {1: "Demo", 2: "Island", 3: None}
+
+
+def test_attach_device_tags(spark):
+    from meerkat_abacus_spark.operators.locations import attach_device_tags
+
+    df = spark.createDataFrame([("u1", "d1"), ("u2", "d9")], ["uuid", "deviceid"])
+    devices = spark.createDataFrame(
+        [("d1", "refugee_camp")], ["deviceid", "tags"]
+    )
+    out = {r["uuid"]: r["tags"] for r in attach_device_tags(df, devices).collect()}
+    assert out == {"u1": "refugee_camp", "u2": None}

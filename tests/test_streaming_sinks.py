@@ -81,3 +81,50 @@ def test_upsert_by_key_idempotent(spark, tmp_path):
         ("u3", "visit"): 1,
         ("u4", "case"): 2,
     }
+
+
+def test_streaming_threshold_alerts_equals_batch(spark, tmp_path):
+    """Watermarked windowed alert counts == batch threshold_alerts for
+    on-time data (availableNow over a file drop)."""
+    import datetime
+    from meerkat_abacus_spark.operators import alerts as al
+    from meerkat_abacus_spark.streaming.alerts_stream import (
+        streaming_threshold_alerts,
+    )
+
+    base = datetime.datetime(2024, 1, 10, 8, 0)
+    rows = []
+    for i in range(4):  # clinic 1: 4 errors same day → alert
+        rows.append((f"e{i}", 1, base + datetime.timedelta(minutes=i), "error"))
+    rows.append(("e9", 2, base, "error"))  # clinic 2: below limit
+    df = spark.createDataFrame(rows, ["uuid", "clinic", "ts", "event_type"])
+
+    src = tmp_path / "stream_src"
+    df.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    alerts_stream = streaming_threshold_alerts(
+        stream, var_predicate=F.col("event_type") == "error", daily_limit=3
+    )
+    q = (
+        alerts_stream.writeStream.format("memory")
+        .queryName("alerts_mem")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (r["clinic"], r["count"]): r["uuids"]
+        for r in spark.sql("SELECT * FROM alerts_mem").collect()
+    }
+
+    batch = al.threshold_alerts(
+        df, var_predicate=F.col("event_type") == "error",
+        clinic_col="clinic", date_col="ts", uuid_col="uuid", daily_limit=3,
+    )
+    expected = {
+        (r["clinic"], r["count"]): r["uuids"] for r in batch.collect()
+    }
+    assert got == expected and got == {(1, 4): ["e0", "e1", "e2", "e3"]}
