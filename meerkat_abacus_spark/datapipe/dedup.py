@@ -380,11 +380,14 @@ def connected_components(
     checked with a cheap count, so the driver loop runs O(log n) tiny jobs,
     not per-row work.
     """
+    # Materialize the (possibly expensive — LSH + Jaccard) edge pipeline ONCE:
+    # the symmetric union references `edges` twice and each iteration rescans.
+    edges = edges.select(src, dst).localCheckpoint()
     sym = (
         edges.selectExpr(f"{src} AS a", f"{dst} AS b")
         .unionByName(edges.selectExpr(f"{dst} AS a", f"{src} AS b"))
         .distinct()
-        .cache()  # the edge set is reused every iteration
+        .cache()
     )
     labels = (
         sym.select(F.col("a").alias("node"))

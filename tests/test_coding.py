@@ -287,3 +287,30 @@ def test_link_uuid_projection(spark):
         add_links(base, {"f": to_form}, [link]), ["fu"]
     )
     assert linked.collect()[0]["links"] == {"fu": ["t2", "t1"]}
+
+
+def test_between_on_dates(spark):
+    """between with Variable.to_date calculation (variable_test.py date
+    cases): a date-window rule passes only inside the window."""
+    # window: dates within ~1 week of 2017-06-01 measured in epi-epoch weeks
+    rule = Rule(
+        id="recent_1",
+        method="between",
+        db_column="d1,d2",
+        condition="0,2",
+        calculation=(
+            "abs(int(Variable.to_date(d1)/604800)"
+            " - int(Variable.to_date(d2)/604800))"
+        ),
+    )
+    res = _test_rows(
+        spark,
+        rule,
+        [
+            ("2017-06-01", "2017-06-03"),   # same week-ish → diff 0/1
+            ("2017-06-01", "2017-09-20"),   # months apart → fail
+            ("", "2017-06-01"),             # empty → not applicable
+        ],
+        ["d1", "d2"],
+    )
+    assert [p for p, _ in res] == [True, False, False]

@@ -239,3 +239,21 @@ def test_connected_components_transitive(spark):
         for r in connected_components(edges).collect()
     }
     assert comps == {1: 1, 2: 1, 3: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_salted_aggregation_equals_plain(spark):
+    """Two-phase salted count/sum == plain groupBy on a hot-key fixture."""
+    from meerkat_abacus_spark.functions.skew import salted_count, salted_sum
+
+    rows = [("hot", float(i)) for i in range(500)] + [("cold", 1.0)] * 3
+    df = spark.createDataFrame(rows, ["k", "v"])
+    plain = {
+        (r["k"]): (r["n"], r["s"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    salted_n = {r["k"]: r["count"] for r in salted_count(df, ["k"]).collect()}
+    salted_s = {r["k"]: r["sum"] for r in salted_sum(df, ["k"], "v").collect()}
+    assert salted_n == {k: v[0] for k, v in plain.items()}
+    assert salted_s == {k: v[1] for k, v in plain.items()}
