@@ -405,11 +405,13 @@ def code_dataframe(
         if rule.multiple_link in ("last", "first"):
             cname = f"__lr_{i}"
             idx = -1 if rule.multiple_link == "last" else 1
+            # try_element_at: an empty link array must yield NULL (rule not
+            # applicable), not an ANSI INVALID_ARRAY_INDEX error
             df = df.withColumn(
                 cname,
-                F.element_at(
+                F.try_element_at(
                     F.col("`link_" + (rule.form or "").replace("`", "``") + "`"),
-                    idx,
+                    F.lit(idx),
                 )["row"],
             )
             link_structs[rule.id] = cname

@@ -169,9 +169,9 @@ def link_aggregate(df: DataFrame, link_name: str, method: str, test=None) -> Col
     if method == "count":
         return F.size(arr)
     if method == "last":
-        return F.element_at(arr, -1)["row"]
+        return F.try_element_at(arr, F.lit(-1))["row"]
     if method == "first":
-        return F.element_at(arr, 1)["row"]
+        return F.try_element_at(arr, F.lit(1))["row"]
     if method == "any":
         return F.exists(arr, lambda x: test(x["row"]))
     if method == "all":

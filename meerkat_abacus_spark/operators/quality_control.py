@@ -130,3 +130,21 @@ def flatten_list_columns(df: DataFrame, columns: list[str]) -> DataFrame:
     return df.withColumns(
         {c: F.concat_ws(",", qcol(c)) for c in columns if c in df.columns}
     )
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = "smp"
+) -> DataFrame:
+    """F1 variant — content-keyed deterministic sampling.
+
+    ``rand()``-based sampling (the reference's IMPORT_FRACTION) is not
+    reproducible across runs/engines; hashing a stable key is: keep rows
+    where the first 4 hex chars of ``md5(salt || key)`` (a uniform 16-bit
+    value) fall under ``fraction``.  Any SQL engine reproduces the exact
+    sample — which also makes train/test splits and A/B cohorts stable at
+    100 TB.
+    """
+    threshold = int(fraction * 65536)
+    hex4 = F.substring(F.md5(F.concat(F.lit(salt + ":"), qcol(key_col).cast("string"))), 1, 4)
+    bucket = F.conv(hex4, 16, 10).cast("int")
+    return df.filter(bucket < F.lit(threshold))

@@ -1867,3 +1867,56 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 3).alias("cosine"), "rank"
     )
+
+
+# --- F1 deterministic sampling: engine-reproducible hash sampling ----------
+
+_HEX4_SQL = (
+    "((strpos('0123456789abcdef', substr(md5('smp:' || CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substr(md5('smp:' || CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substr(md5('smp:' || CAST(o_orderkey AS VARCHAR)), 3, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5('smp:' || CAST(o_orderkey AS VARCHAR)), 4, 1)) - 1))"
+)
+
+
+@_register(
+    "deterministic_sample",
+    f"""
+    SELECT o_orderstatus AS status, COUNT(*) AS n
+    FROM orders
+    WHERE {_HEX4_SQL} < CAST(0.1 * 65536 AS INT)
+    GROUP BY 1
+    """,
+)
+def deterministic_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    sampled = qc.deterministic_sample(orders, "o_orderkey", 0.1)
+    return sampled.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# --- Embedding near-dup at scale: sign-LSH buckets as the blocking key -----
+
+
+@_register(
+    "dedup_embedding_lsh",
+    f"""
+    WITH corpus AS ({_EMB_CORPUS_SQL})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_COS_SQL}, 3) AS cosine
+    FROM corpus a JOIN corpus b
+      ON ({_BUCKET_SQL.format(side='a')}) = ({_BUCKET_SQL.format(side='b')})
+     AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.99
+    """,
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _emb_corpus(spark, sf_dir).withColumn(
+        "bucket", sim.sign_lsh_bucket(F.col("embedding"), 8)
+    )
+    pairs = dd.embedding_near_dup_pairs(
+        corpus, id_col="vec_id", vec_col="embedding", block_col="bucket",
+        min_cosine=0.99,
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 3).alias("cosine"))
