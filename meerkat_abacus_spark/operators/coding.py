@@ -89,11 +89,23 @@ def _col(name: str) -> Column:
 class Resolver:
     """Maps a config column name to a Column — top-level by default, or a
     field of a (materialized) linked-row struct for multiple_link rules
-    (C4, reference codes/to_codes.py:213-242)."""
+    (C4, reference codes/to_codes.py:213-242).
 
-    def __init__(self, struct_col: str | None = None, getter=None):
+    ``available``: the form's column set; a rule referencing an absent
+    column is *not applicable* rather than an analysis error (reference
+    variable.py:226-231, 251-268, 288-302 all return 0/not_applicable for
+    ``column not in row`` — production codes files routinely carry rules
+    for fields a given deployment's forms don't collect).
+    """
+
+    def __init__(self, struct_col: str | None = None, getter=None,
+                 available: set[str] | None = None):
         self.struct_col = struct_col
         self._getter = getter
+        self.available = available
+
+    def is_missing(self, name: str) -> bool:
+        return self.available is not None and name not in self.available
 
     def __call__(self, name: str) -> Column:
         if self._getter is not None:
@@ -103,6 +115,8 @@ class Resolver:
                 "`%s`.`%s`" % (self.struct_col.replace("`", "``"),
                                name.replace("`", "``"))
             )
+        if self.is_missing(name):
+            return F.lit(None).cast("string")
         return _col(name)
 
     def sql_prefix(self) -> str | None:
@@ -147,6 +161,9 @@ def _between(
 ) -> tuple[Column, Column]:
     """(applicable, passed) for a between test (variable.py:251-285)."""
     lo, hi = float(cond[0]), float(cond[1])
+    if any(r.is_missing(c) for c in cols):
+        # column absent from the form → test fails (variable.py:265-268)
+        return F.lit(False), F.lit(False)
     applicable = reduce(lambda a, b: a & b, [_non_empty(c, r) for c in cols])
     if r.sql_prefix() is None and r._getter is not None:
         raise NameError("between is not supported inside any/all link rules")
@@ -195,6 +212,9 @@ def compile_rule_test(
             raise NameError("calc must be only test type")
         if r.sql_prefix() is None and r._getter is not None:
             raise NameError("calc is not supported inside any/all link rules")
+        if any(r.is_missing(c) for c in columns[0]):
+            # column not in row → not applicable (variable.py:288-302)
+            return F.lit(False), F.lit(None).cast("double")
         value = F.expr(
             translate_calculation(
                 rule.calculation or "", columns[0], epi_config,
@@ -247,6 +267,7 @@ def _compile_entry(
     m: Rule,
     epi_config: str | dict,
     link_structs: dict[str, str] | None,
+    available: set[str] | None = None,
 ) -> tuple[Column, Column]:
     """(passed, value) for one rule, dispatching C4 multiple_link methods
     over the rule's link array (reference codes/to_codes.py:213-242):
@@ -260,7 +281,7 @@ def _compile_entry(
     (to_codes.py ``if datum:`` gate).
     """
     if not m.multiple_link:
-        return compile_rule_test(m, epi_config)
+        return compile_rule_test(m, epi_config, Resolver(available=available))
     arr = F.col("`link_" + (m.form or "").replace("`", "``") + "`")
     non_empty = F.size(arr) > 0
     ml = m.multiple_link
@@ -292,6 +313,7 @@ def compile_rules(
     epi_config: str | dict = "international",
     link_structs: dict[str, str] | None = None,
     alert_data: dict[str, str] | None = None,
+    available: set[str] | None = None,
 ) -> CodedOutput:
     """Compile a rule table into the five output Columns of the coding step.
 
@@ -319,7 +341,10 @@ def compile_rules(
                 if m.calculation_priority not in ("", None)
                 else 1 << 30,
             )
-        compiled = [(m, *_compile_entry(m, epi_config, link_structs)) for m in members]
+        compiled = [
+            (m, *_compile_entry(m, epi_config, link_structs, available))
+            for m in members
+        ]
 
         # First-match-wins within the group: one CASE WHEN for the id and one
         # for the value; Catalyst short-circuits like the reference's break.
@@ -415,7 +440,9 @@ def code_dataframe(
                 )["row"],
             )
             link_structs[rule.id] = cname
-    out = compile_rules(rules, epi_config, link_structs, alert_data)
+    out = compile_rules(
+        rules, epi_config, link_structs, alert_data, available=set(df.columns)
+    )
     variables = out.variables
     if extra_variables:
         variables = F.map_concat(

@@ -42,6 +42,10 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Production-sized codes files (hundreds of rules) compile into deep
+        # Catalyst trees; the default JVM thread stack overflows in analysis.
+        .config("spark.driver.extraJavaOptions", "-Xss64m")
+        .config("spark.executor.extraJavaOptions", "-Xss64m")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
