@@ -24,9 +24,17 @@ def generate_form(
 
     - ``{"one": [choices]}``       uniform pick
     - ``{"multiple": [choices]}``  comma-joined random subset
+    - ``{"multiple-spaces": [..]}``  space-joined random subset
+      (create_fake_data.py:48-50)
     - ``{"integer": [lo, hi]}``    uniform int (as string, ODK semantics)
+    - ``{"range": [lo, hi]}``      uniform float (create_fake_data.py:53-55)
     - ``{"date": [start, end]}``   ISO date between bounds
     - ``{"patient_id": m}``        colliding small-int ids (dedup fixtures)
+    - ``{"data": [values]}``       pick from a caller-supplied value list —
+      the reference's ``data``-ref spec resolves a key in its side-band
+      ``data`` dict (create_fake_data.py:69-76); here the caller resolves
+      the key and passes the list (empty list → NULL, matching the
+      reference's ``len(data[argument]) == 0 → None``)
     """
     df = spark.range(n).withColumnRenamed("id", "__i")
     cols: dict[str, F.Column] = {
@@ -40,8 +48,9 @@ def generate_form(
                 F.array(*[F.lit(c) for c in choices]),
                 (F.floor(r * len(choices)) + 1).cast("int"),
             )
-        elif "multiple" in spec:
-            choices = spec["multiple"]
+        elif "multiple" in spec or "multiple-spaces" in spec:
+            sep = "," if "multiple" in spec else " "
+            choices = spec.get("multiple") or spec["multiple-spaces"]
             picks = F.filter(
                 F.array(
                     *[
@@ -51,10 +60,24 @@ def generate_form(
                 ),
                 lambda x: x.isNotNull(),
             )
-            cols[name] = F.concat_ws(",", picks)
+            cols[name] = F.concat_ws(sep, picks)
         elif "integer" in spec:
             lo, hi = spec["integer"]
             cols[name] = (F.floor(r * (hi - lo + 1)) + lo).cast("int").cast("string")
+        elif "range" in spec:
+            lo, hi = spec["range"]
+            cols[name] = (F.lit(float(lo)) + r * (float(hi) - float(lo))).cast(
+                "string"
+            )
+        elif "data" in spec:
+            values = list(spec["data"])
+            if not values:
+                cols[name] = F.lit(None).cast("string")
+            else:
+                cols[name] = F.element_at(
+                    F.array(*[F.lit(v) for v in values]),
+                    (F.floor(r * len(values)) + 1).cast("int"),
+                )
         elif "date" in spec:
             start, end = spec["date"]
             span = F.datediff(F.lit(end), F.lit(start))
