@@ -21,6 +21,7 @@ Pieces:
 
 from __future__ import annotations
 
+import ast
 import re
 
 from meerkat_abacus_spark.functions.dates import MULTIFORMAT_PATTERNS
@@ -51,6 +52,39 @@ def _multiformat_parse_sql(inner: str) -> str:
         for p in MULTIFORMAT_PATTERNS
     )
     return f"coalesce({arms}, try_to_timestamp({inner}))"
+
+
+class _DivRewriter(ast.NodeTransformer):
+    def visit_BinOp(self, node: ast.BinOp):
+        self.generic_visit(node)
+        if isinstance(node.op, ast.Div):
+            return ast.Call(
+                func=ast.Name(id="try_divide", ctx=ast.Load()),
+                args=[node.left, node.right],
+                keywords=[],
+            )
+        return node
+
+
+def _rewrite_divisions(sql: str) -> tuple[str, bool]:
+    """Rewrite every ``a / b`` into ``try_divide(a, b)``.
+
+    The reference evals the calculation with Python ``/`` and catches
+    ZeroDivisionError (variable.py:279-281, 315-319); a plain SQL ``/``
+    would instead raise DIVIDE_BY_ZERO under an ANSI caller session or
+    silently NULL under non-ANSI.  try_divide is NULL-on-zero in both modes;
+    the caller maps that NULL to the reference's 0-result where required.
+
+    The calc grammar is valid Python once column refs are stashed as
+    placeholders, so the rewrite is a real AST pass — no fragile regex over
+    nested parens.
+    """
+    if "/" not in sql:
+        return sql, False
+    tmp = re.sub("\x00(\\d+)\x00", r"__ph\1", sql)
+    tree = _DivRewriter().visit(ast.parse(tmp, mode="eval"))
+    new = ast.unparse(ast.fix_missing_locations(tree))
+    return re.sub(r"__ph(\d+)", lambda m: f"\x00{m.group(1)}\x00", new), True
 
 
 def _rewrite_int_calls(sql: str) -> str:
@@ -122,7 +156,14 @@ def translate_calculation(
             num = f"try_cast({stringified} AS DOUBLE)"
         sql = sql.replace(col, stash(num))
 
+    sql, had_division = _rewrite_divisions(sql)
     sql = _rewrite_int_calls(sql)
     for key, expr in placeholders.items():
         sql = sql.replace(key, expr)
+    if had_division and empty_as_zero:
+        # calc semantics: ZeroDivisionError aborts the whole eval and stores
+        # 0 with applicable=True (variable.py:315-319, test():163-171).  NULL
+        # from try_divide poisons the arithmetic upward, so one outer
+        # coalesce reproduces "any division by zero → whole result 0".
+        sql = f"coalesce(({sql}), 0.0D)"
     return sql

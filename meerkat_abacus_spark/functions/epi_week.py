@@ -78,22 +78,31 @@ def epi_week_columns(
             start_expr = F.when(cond, sd).otherwise(start_expr)
         epi_year, start = year_expr, start_expr
     elif isinstance(epi_config, str) and epi_config.startswith("day:"):
+        # Reference epi_week_for_date (util/epi_week.py:20-42): the raw week
+        # is ALWAYS measured from the date's own CALENDAR-year epi start —
+        # boundary dates (Jan 1 .. start-1) get raw week 0, which the
+        # week-53 strategy then remaps — while epi_year comes from
+        # epi_year_by_date (year-1 when the date precedes the start).
         cal_year = F.year(d)
         this_years_start = epi_year_start_col(cal_year, epi_config)
         epi_year = F.when(d < this_years_start, cal_year - 1).otherwise(cal_year)
-        start = epi_year_start_col(epi_year, epi_config)
+        start = this_years_start
     else:
         epi_year = F.year(d)
         start = epi_year_start_col(epi_year, epi_config)
 
     week = (F.floor(F.datediff(d, start) / 7) + 1).cast("int")
 
+    # __handle_epi_week_53 (util/epi_week.py:10-17): a raw week of 0 or 53
+    # is remapped under EVERY strategy — leave_as_is yields week 53.
     is_overflow = week.isin(0, 53)
     if week_53_strategy == "include_in_52":
         week = F.when(is_overflow, F.lit(52)).otherwise(week)
     elif week_53_strategy == "include_in_1":
         epi_year = F.when(is_overflow, epi_year + 1).otherwise(epi_year)
         week = F.when(is_overflow, F.lit(1)).otherwise(week)
+    else:  # leave_as_is
+        week = F.when(is_overflow, F.lit(53)).otherwise(week)
     return epi_year.cast("int").alias("epi_year"), week.alias("epi_week")
 
 
@@ -124,7 +133,9 @@ def epi_week_duckdb_sql(
             f"(CASE WHEN {d} < {start_for(year_raw)} THEN {year_raw} - 1 "
             f"ELSE {year_raw} END)"
         )
-        start = start_for(epi_year)
+        # raw week against the date's CALENDAR-year start (reference
+        # epi_week_for_date) — boundary dates yield week 0, remapped below.
+        start = start_for(year_raw)
     else:
         epi_year = f"year({d})"
         start = f"make_date({epi_year}, 1, 1)"
@@ -136,4 +147,6 @@ def epi_week_duckdb_sql(
     elif week_53_strategy == "include_in_1":
         epi_year = f"(CASE WHEN {overflow} THEN {epi_year} + 1 ELSE {epi_year} END)"
         week = f"(CASE WHEN {overflow} THEN 1 ELSE {week} END)"
+    else:  # leave_as_is: raw week 0 becomes 53 (util/epi_week.py:10-17)
+        week = f"(CASE WHEN {overflow} THEN 53 ELSE {week} END)"
     return f"CAST({epi_year} AS INT)", f"CAST({week} AS INT)"

@@ -328,38 +328,52 @@ def compile_rules(
         groups.setdefault(r.calculation_group or r.id, []).append(r)
 
     var_entries: list[Column] = []
-    cat_firsts: dict[str, list[Column]] = {}
+    cat_arms: dict[str, list[Column]] = {}
     alert_arms: list[Column] = []
     alert_reason_arms: list[Column] = []
     disregard_arms: list[Column] = []
 
     for gid, members in groups.items():
-        if any(m.calculation_priority not in ("", None) for m in members):
-            members = sorted(
-                members,
-                key=lambda m: int(m.calculation_priority)
-                if m.calculation_priority not in ("", None)
-                else 1 << 30,
-            )
+        # Compile each member once, in codes-file order.
         compiled = [
             (m, *_compile_entry(m, epi_config, link_structs, available))
             for m in members
         ]
+        has_priority = any(
+            m.calculation_priority not in ("", None) for m in members
+        )
+        if has_priority:
+            # Winner selection orders the CASE arms by priority (stable: ties
+            # keep file order — reference to_codes.py:269-281 only overwrites
+            # on a strictly lower priority number).
+            win_order = sorted(
+                compiled,
+                key=lambda e: int(e[0].calculation_priority)
+                if e[0].calculation_priority not in ("", None)
+                else 1 << 30,
+            )
+        else:
+            win_order = compiled
 
         # First-match-wins within the group: one CASE WHEN for the id and one
         # for the value; Catalyst short-circuits like the reference's break.
         winner_id = F.coalesce(
-            *[F.when(t, F.lit(m.id)) for (m, t, _v) in compiled]
+            *[F.when(t, F.lit(m.id)) for (m, t, _v) in win_order]
         ) if compiled else F.lit(None)
         winner_val = F.coalesce(
-            *[F.when(t, v.cast("string")) for (m, t, v) in compiled]
+            *[F.when(t, v.cast("string")) for (m, t, v) in win_order]
         ) if compiled else F.lit(None)
         var_entries.append(F.struct(winner_id.alias("key"), winner_val.alias("value")))
 
         for m, t, _v in compiled:
-            hit = t & (winner_id == F.lit(m.id))
+            # Side effects (categories/alert/disregard): in NON-priority
+            # groups the reference breaks after the first applicable member,
+            # so only the winner fires.  In priority groups there is no break
+            # (to_codes.py:287-303): EVERY applicable member fires, in file
+            # order, even if it loses the variable_json priority contest.
+            hit = t if has_priority else t & (winner_id == F.lit(m.id))
             for cat in m.category:
-                cat_firsts.setdefault(cat, []).append(F.when(hit, F.lit(m.id)))
+                cat_arms.setdefault(cat, []).append(F.when(hit, F.lit(m.id)))
             if m.alert and m.alert_type == "individual":
                 alert_arms.append(hit)
                 alert_reason_arms.append(F.when(hit, F.lit(m.id)))
@@ -384,9 +398,12 @@ def compile_rules(
     ) if var_entries else F.array().cast("array<struct<key:string,value:string>>")
     variables = F.map_from_entries(entries)
 
+    # Reference categories semantics is dict-update per firing member over
+    # the file-ordered iteration (to_codes.py:287-290): the LAST write wins,
+    # hence coalesce over the arms reversed.
     cat_entries = [
-        F.struct(F.lit(cat).alias("key"), F.coalesce(*arms).alias("value"))
-        for cat, arms in cat_firsts.items()
+        F.struct(F.lit(cat).alias("key"), F.coalesce(*reversed(arms)).alias("value"))
+        for cat, arms in cat_arms.items()
     ]
     categories = (
         F.map_from_entries(
@@ -396,7 +413,9 @@ def compile_rules(
         else F.map_from_entries(F.array().cast("array<struct<key:string,value:string>>"))
     )
 
-    alert_reason = F.coalesce(*alert_reason_arms, F.lit(None).cast("string")) if alert_reason_arms else F.lit(None).cast("string")
+    # alert_reason is likewise overwritten by every firing individual-alert
+    # rule (to_codes.py:295-301) — last write wins.
+    alert_reason = F.coalesce(*reversed(alert_reason_arms), F.lit(None).cast("string")) if alert_reason_arms else F.lit(None).cast("string")
     disregard_raw = reduce(lambda a, b: a | b, disregard_arms, F.lit(False))
     # to_codes.py:302-309 — disregard is cancelled unless an individual alert
     # also fired... reference keeps disregard only when alert_type is NOT

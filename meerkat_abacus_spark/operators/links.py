@@ -20,6 +20,7 @@ pin a broadcast-hash join and avoid shuffling the fact table at all.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -103,7 +104,17 @@ def add_links(
         keep_cols = [c for c in to_df.columns if wanted is None or c in wanted]
         payload = F.struct(*[qcol(c).alias(c) for c in keep_cols])
         # one shuffle: group the linked form by its (normalized) key into
-        # ordered arrays
+        # ordered arrays.  Blank keys are excluded on BOTH sides (reference
+        # add_links.py:69,129 appends `key != ''` for every link key):
+        # without the guard, every blank-keyed row cross-links to every other
+        # blank-keyed row — spurious link arrays AND a badly skewed join key.
+        key_guard = reduce(
+            lambda a, b: a & b,
+            [
+                F.col(f"__k{i}").isNotNull() & (F.col(f"__k{i}") != "")
+                for i in range(len(to_cols))
+            ],
+        )
         grouped = (
             to_df.select(
                 *key_exprs,
@@ -113,6 +124,7 @@ def add_links(
                     payload.alias("row"),
                 ).alias("__linked"),
             )
+            .filter(key_guard)
             .groupBy(*[f"__k{i}" for i in range(len(to_cols))])
             .agg(F.array_sort(F.collect_list("__linked")).alias("__arr"))
         )
@@ -131,7 +143,9 @@ def add_links(
                 )
             else:
                 base_key = _normalize(qcol(fc), m)
-            conds.append(base_key == to_side[f"__k{i}"])
+            # Blank base keys never match (NULLs fail equi-joins); mirrors
+            # the reference's from-side `!= ''` guard (add_links.py:69).
+            conds.append(F.nullif(base_key, F.lit("")) == to_side[f"__k{i}"])
         cond = conds[0]
         for c in conds[1:]:
             cond = cond & c

@@ -100,7 +100,9 @@ def apply_import_rules(
 ) -> DataFrame:
     """F7 — type="import" QC rules (quality_control.py:116-139).
 
-    A failing rule (test returns False on a non-empty cell):
+    A failing rule — the reference fires on ``not test(...)['value']``
+    (quality_control.py:122-136), which is ALSO true for empty cells, so
+    empty cells are discarded/replaced/nulled exactly like failing values:
     - ``category == ["discard"]``      → drop the whole row
     - ``category == ["replace:<col>"]`` → replace the cell from another column
     - otherwise                        → null out the cell
@@ -109,8 +111,7 @@ def apply_import_rules(
     for rule in rules:
         passed, _ = compile_rule_test(rule, epi_config)
         col = rule.columns_per_test()[0][0]
-        non_empty = qcol(col).isNotNull() & (qcol(col).cast("string") != "")
-        violated = non_empty & ~passed
+        violated = ~F.coalesce(passed, F.lit(False))
         if rule.category == ["discard"]:
             out = out.filter(~violated)
         elif rule.category and rule.category[0].startswith("replace:"):

@@ -173,6 +173,68 @@ def test_priority_overwrites(spark):
     assert df.collect()[0]["variables"] == {"high": "1"}
 
 
+def test_priority_group_side_effects_fire_for_losers(spark):
+    """Reference to_codes.py:287-303: in a calculation_priority group there
+    is no break — EVERY applicable member updates categories, raises
+    individual alerts and sets disregard, even when it loses the
+    variable_json priority contest; shared categories resolve to the LAST
+    applicable member in codes-file order."""
+    rules = [
+        Rule(id="loser", method="match", db_column="c", condition="hit",
+             calculation_group="grp", calculation_priority=2,
+             category=["flag_a", "shared"], disregard=True),
+        Rule(id="winner", method="match", db_column="c", condition="hit",
+             calculation_group="grp", calculation_priority=1,
+             category=["flag_b", "shared"], alert=True,
+             alert_type="individual"),
+    ]
+    df = code_dataframe(spark.createDataFrame([("hit",)], ["c"]), rules)
+    row = df.collect()[0]
+    # winner takes the variables slot...
+    assert row["variables"] == {"winner": "1"}
+    # ...but the loser's category/disregard side effects still fire
+    assert row["categories"] == {
+        "flag_a": "loser",
+        "flag_b": "winner",
+        "shared": "winner",  # last write in file order wins
+    }
+    assert row["alert"] is True
+    assert row["disregard"] is True  # loser's disregard + winner's indiv alert
+
+    # when only the low-priority member passes, it owns everything
+    rules2 = [
+        Rule(id="loser", method="match", db_column="c", condition="hit",
+             calculation_group="grp", calculation_priority=2,
+             category=["shared"]),
+        Rule(id="winner", method="match", db_column="c", condition="other",
+             calculation_group="grp", calculation_priority=1,
+             category=["shared"]),
+    ]
+    row2 = code_dataframe(
+        spark.createDataFrame([("hit",)], ["c"]), rules2
+    ).collect()[0]
+    assert row2["variables"] == {"loser": "1"}
+    assert row2["categories"] == {"shared": "loser"}
+
+
+def test_calc_division_by_zero_is_zero(spark):
+    """Reference variable.py:315-319 catches ZeroDivisionError and stores 0
+    with applicable=True; between's div-by-zero fails the test (:279-281)."""
+    calc_rule = Rule(id="ratio", method="calc", db_column="a,b",
+                     calculation="a/b")
+    res = _test_rows(
+        spark, calc_rule, [("10", "4"), ("10", "0"), ("10", "")], ["a", "b"]
+    )
+    assert res[0] == (True, "2.5")
+    assert res[1] == (True, "0.0")   # ZeroDivisionError → 0, applicable
+    assert res[2] == (True, "0.0")   # empty → 0 denominator → same path
+
+    between_rule = Rule(id="band", method="between", db_column="a,b",
+                        condition="0,100", calculation="a/b")
+    res2 = _test_rows(spark, between_rule, [("10", "4"), ("10", "0")], ["a", "b"])
+    assert [p for p, _ in res2] == [True, False]
+
+
 def test_alert_and_disregard(spark):
     # C6/C7: disregard only survives together with an individual alert
     rules_alert = [

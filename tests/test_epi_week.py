@@ -53,6 +53,38 @@ def test_day_config_monday(spark):
     assert res[datetime.date(2024, 1, 1)] == (2024, 1)
 
 
+def test_day_config_boundary_week_zero(spark):
+    """Dates between Jan 1 and the day:N epi-year start get raw week 0
+    against their own calendar-year start, then remap by strategy — the
+    reference epi_week_for_date path (util/epi_week.py:20-42, 10-17).
+
+    Truth values hand-computed from the reference algorithm: 2025-01-01 is a
+    Wednesday, so the day:0 (Monday) epi year 2025 starts 2025-01-06."""
+    jan1, jan5, jan6 = (
+        datetime.date(2025, 1, 1),
+        datetime.date(2025, 1, 5),
+        datetime.date(2025, 1, 6),
+    )
+    dec30 = datetime.date(2024, 12, 30)  # raw week 53 of 2024
+    res = _run(spark, [jan1, jan5, jan6, dec30], "day:0", "leave_as_is")
+    assert res[jan1] == (2024, 53)
+    assert res[jan5] == (2024, 53)
+    assert res[jan6] == (2025, 1)
+    assert res[dec30] == (2024, 53)
+    res = _run(spark, [jan1, jan6, dec30], "day:0", "include_in_1")
+    assert res[jan1] == (2025, 1)
+    assert res[jan6] == (2025, 1)
+    assert res[dec30] == (2025, 1)
+    res = _run(spark, [jan1, jan6], "day:0", "include_in_52")
+    assert res[jan1] == (2024, 52)
+    assert res[jan6] == (2025, 1)
+    # the lenient round-1 case, now pinned exactly: Sunday 2017-01-01 under
+    # day:0 is week 53 of epi year 2016
+    assert _run(spark, [datetime.date(2017, 1, 1)], "day:0")[
+        datetime.date(2017, 1, 1)
+    ] == (2016, 53)
+
+
 def test_week_53_strategies(spark):
     d = datetime.date(2016, 12, 31)
     assert _run(spark, [d], "international", "leave_as_is")[d] == (2016, 53)

@@ -199,6 +199,49 @@ def test_qc_import_rules(spark):
     assert got3 == {"u1": "2017-01-01", "u2": "2017-01-02"}
 
 
+def test_qc_import_rules_fire_on_empty_cells(spark):
+    """Reference quality_control.py:122-136 fires on ``not test(...)['value']``
+    — true for EMPTY cells too: discard rules drop empty-celled rows and
+    replace: rules fill empty cells from the source column."""
+    df = spark.createDataFrame(
+        [("u1", "170", "2017-01-01"),
+         ("u2", "", "2017-01-02"),
+         ("u3", None, "2017-01-03")],
+        ["uuid", "height", "SubmissionDate"],
+    )
+    discard_rule = Rule(id="qc_d", method="between", db_column="height",
+                        condition="50,220", calculation="height",
+                        category=["discard"], type="import")
+    kept = [r["uuid"] for r in qc.apply_import_rules(df, [discard_rule]).collect()]
+    assert kept == ["u1"]
+
+    replace_rule = Rule(id="qc_r", method="not_null", db_column="height",
+                        category=["replace:SubmissionDate"], type="import")
+    got = {r["uuid"]: r["height"]
+           for r in qc.apply_import_rules(df, [replace_rule]).collect()}
+    assert got == {"u1": "170", "u2": "2017-01-02", "u3": "2017-01-03"}
+
+
+def test_add_links_blank_keys_never_match(spark):
+    """Reference add_links.py:69,129 guards every link key with != '' —
+    blank-keyed rows must not cross-link to each other."""
+    base = spark.createDataFrame(
+        [("b1", "pid-1"), ("b2", ""), ("b3", None)], ["uuid", "pid"]
+    )
+    to_form = spark.createDataFrame(
+        [("t1", "pid-1", "2017-01-01"),
+         ("t2", "", "2017-01-02"),
+         ("t3", "", "2017-01-03")],
+        ["meta/instanceID", "pid", "SubmissionDate"],
+    )
+    link = LinkDef(name="visits", type="case", to_form="visit",
+                   from_form="case", from_column="pid", to_column="pid",
+                   method="match", order_by="SubmissionDate;date")
+    out = add_links(base, {"visit": to_form}, [link])
+    sizes = {r["uuid"]: len(r["link_visits"]) for r in out.collect()}
+    assert sizes == {"b1": 1, "b2": 0, "b3": 0}
+
+
 def test_location_flatten_null_district(spark):
     """A clinic hanging directly off a region leaves district NULL
     (reference codes/to_codes.py:138-146)."""
