@@ -1920,3 +1920,75 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_cosine=0.99,
     )
     return pairs.select("id_a", "id_b", F.round("cosine", 3).alias("cosine"))
+
+
+# ===========================================================================
+# Round 2: K2 partition-pruned upsert idempotency, J4 link self-union,
+# A2 weekly/hospital threshold alerts, A6 population rollup, dict-config
+# to_date, J8 alert_data copy onto threshold masters.
+# ===========================================================================
+
+_UPS_Y_SQL, _UPS_W_SQL = epi_week_duckdb_sql("ts", "international")
+
+
+@_register(
+    "upsert_idempotent",
+    f"""
+    WITH e AS (
+        SELECT event_id, event_type, {_UPS_W_SQL} AS epi_week, value
+        FROM events
+    ),
+    corrected AS (
+        SELECT event_id, event_type, epi_week, value * 2 AS value
+        FROM e WHERE epi_week >= 4
+    ),
+    final AS (
+        SELECT * FROM corrected
+        UNION ALL
+        SELECT * FROM e WHERE epi_week < 4
+    )
+    SELECT event_type, epi_week,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM final
+    GROUP BY 1, 2
+    """,
+)
+def upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 (write_to_db.py:40-49): delete+insert keyed (uuid, type) through
+    the partition-pruned dynamic-overwrite sink.  The initial load is
+    followed by a corrected re-submission of the epi_week>=4 slice — applied
+    TWICE; the oracle models exactly-once application, so a hash match IS
+    the idempotency proof.  Only the epi_week>=4 partitions rewrite (see
+    tests/test_streaming_sinks.py::test_upsert_partition_pruned_rewrite for
+    the file-level evidence)."""
+    import shutil
+    import tempfile
+
+    from meerkat_abacus_spark.sinks.writers import upsert_by_key
+
+    events = _t(spark, sf_dir, "events")
+    _, epi_week = epi_week_columns(F.col("ts"), "international")
+    base = events.select(
+        "event_id", "event_type", epi_week.alias("epi_week"), "value"
+    )
+    corrected = base.filter(F.col("epi_week") >= 4).withColumn(
+        "value", F.col("value") * 2
+    )
+
+    path = tempfile.gettempdir() + f"/msa_upsert_{abs(hash(sf_dir)) % 10**8}"
+    shutil.rmtree(path, ignore_errors=True)
+    keys = ["event_id", "event_type"]
+    parts = ["event_type", "epi_week"]
+    upsert_by_key(spark, base, path, keys=keys, partition_by=parts)
+    upsert_by_key(spark, corrected, path, keys=keys, partition_by=parts)
+    upsert_by_key(spark, corrected, path, keys=keys, partition_by=parts)
+
+    return (
+        spark.read.parquet(path)
+        .groupBy("event_type", "epi_week")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
