@@ -151,10 +151,25 @@ def add_links(
             cond = cond & c
 
         empty = F.array().cast(grouped.schema["__arr"].dataType)
-        out = (
-            out.join(to_side, cond, "left")
-            .withColumn(f"link_{link.name}", F.coalesce(F.col("__arr"), empty))
-            .drop("__arr", *[f"__k{i}" for i in range(len(to_cols))])
+        # J4 self-union (reference add_links.py:143-152): when the base row
+        # already carries a link_<name> array — a re-emitted record bringing
+        # its prior link_data envelope, or an earlier incremental pass — the
+        # prior entries are unioned with the newly collected ones BEFORE the
+        # ordering, so first/last/count rules see the complete list.  The
+        # prior array must have the same (payload-pruned) struct shape.
+        prior_col = f"link_{link.name}" if f"link_{link.name}" in out.columns else None
+        if prior_col is not None:
+            out = out.withColumnRenamed(prior_col, "__prior")
+        joined = out.join(to_side, cond, "left")
+        fresh = F.coalesce(F.col("__arr"), empty)
+        if prior_col is not None:
+            arr = F.array_sort(
+                F.concat(F.coalesce(F.col("__prior"), empty), fresh)
+            )
+        else:
+            arr = fresh
+        out = joined.withColumn(f"link_{link.name}", arr).drop(
+            "__arr", "__prior", *[f"__k{i}" for i in range(len(to_cols))]
         )
     return out
 

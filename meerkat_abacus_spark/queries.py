@@ -1992,3 +1992,54 @@ def upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@_register(
+    "links_self_union",
+    """
+    WITH ranked AS (
+        SELECT l_orderkey,
+               l_returnflag,
+               l_shipdate,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                   ORDER BY l_shipdate ASC, CAST(l_linenumber AS VARCHAR) ASC,
+                            l_returnflag ASC) rn_a,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                   ORDER BY l_shipdate DESC, CAST(l_linenumber AS VARCHAR) DESC,
+                            l_returnflag DESC) rn_d,
+               COUNT(*) OVER (PARTITION BY l_orderkey) n_lines
+        FROM lineitem
+    )
+    SELECT f.l_orderkey AS o_orderkey,
+           f.n_lines AS n_lines,
+           CAST(f.l_shipdate AS DATE) AS first_ship,
+           l.l_returnflag AS last_flag
+    FROM ranked f
+    JOIN ranked l ON f.l_orderkey = l.l_orderkey AND l.rn_d = 1
+    WHERE f.rn_a = 1
+    """,
+)
+def links_self_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 (reference add_links.py:143-152): a base row that already carries
+    link_data gets its prior envelope unioned into the freshly collected
+    list before ordering.  Modeled as two incremental passes over disjoint
+    slices of the linked form — the result must equal ONE batch pass over
+    the full form (the oracle), or first/last/count silently diverge for
+    re-emitted records."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    early = lineitem.filter(F.col("l_linenumber") <= 2)
+    late = lineitem.filter(F.col("l_linenumber") > 2)
+    payload = {"lines": ["l_returnflag", "l_shipdate"]}
+    pass1 = add_links(orders, {"lineitem": early}, [_ORDER_LINES_LINK],
+                      payload_columns=payload)
+    pass2 = add_links(pass1, {"lineitem": late}, [_ORDER_LINES_LINK],
+                      payload_columns=payload)
+    first = link_aggregate(pass2, "lines", "first")
+    last = link_aggregate(pass2, "lines", "last")
+    return pass2.filter(F.size("link_lines") > 0).select(
+        F.col("o_orderkey"),
+        link_aggregate(pass2, "lines", "count").cast("bigint").alias("n_lines"),
+        F.to_date(first["l_shipdate"]).alias("first_ship"),
+        last["l_returnflag"].alias("last_flag"),
+    )
