@@ -27,22 +27,37 @@ import re
 from meerkat_abacus_spark.functions.dates import MULTIFORMAT_PATTERNS
 
 
-def _epi_epoch_offset_days(epi_config: str | dict) -> int:
+def _epi_epoch_offset_days(epi_config: str) -> int:
     """Days between 1970-01-01 (a Thursday) and the first epi-week start day.
 
     Reference variable.py:344-352: ``(4 + weekday) % 7``.
     """
     if isinstance(epi_config, str) and epi_config.startswith("day:"):
         weekday = int(epi_config.split(":")[1])
-    elif isinstance(epi_config, dict):
-        # Reference uses the start date's weekday per year; for translation we
-        # use weekday of the earliest configured start (documented divergence:
-        # a per-year offset would need the date's year at runtime).
-        first = sorted(epi_config.items())[0][1]
-        weekday = first.weekday()
     else:
         weekday = 0
     return (4 + weekday) % 7
+
+
+def _epi_offset_secs_sql(epi_config: str | dict, parsed: str) -> str:
+    """SQL expression for the epi-epoch offset in seconds.
+
+    String configs yield a plan-time constant.  Dict configs follow the
+    reference (variable.py:344-352): the offset depends on the DATE's year —
+    the configured start's weekday for configured years, else the weekday of
+    Jan 1 of that year (``country_config['epi_week'].get(year,
+    datetime(year,1,1))``).  Emitted as a CASE over ``year(parsed)`` — still
+    pure projection, no shuffle; Spark's subexpression elimination dedups the
+    repeated parse inside the projection.
+    """
+    if isinstance(epi_config, dict):
+        arms = " ".join(
+            f"WHEN {int(year)} THEN {((4 + start.weekday()) % 7) * 86400}"
+            for year, start in sorted(epi_config.items())
+        )
+        default = f"((4 + weekday(make_date(year({parsed}), 1, 1))) % 7) * 86400"
+        return f"(CASE year({parsed}) {arms} ELSE {default} END)"
+    return str(_epi_epoch_offset_days(epi_config) * 86400)
 
 
 def _multiformat_parse_sql(inner: str) -> str:
@@ -126,7 +141,6 @@ def translate_calculation(
     from ``db_column``, variable.py:107-122); longest-first replacement
     prevents a column name that is a prefix of another from clobbering it.
     """
-    offset_secs = _epi_epoch_offset_days(epi_config) * 86400
     sql = calculation
 
     # Placeholders keep later replacements from touching earlier expansions.
@@ -142,8 +156,9 @@ def translate_calculation(
         if col_prefix:
             # struct-field path for multiple_link last/first rules
             quoted = "`" + col_prefix.replace("`", "``") + "`." + quoted
+        parsed = _multiformat_parse_sql(quoted)
         date_expr = (
-            f"(unix_timestamp({_multiformat_parse_sql(quoted)}) - {offset_secs})"
+            f"(unix_timestamp({parsed}) - {_epi_offset_secs_sql(epi_config, parsed)})"
         )
         # Variable.to_date(col) must win over the bare column replacement.
         sql = sql.replace(f"Variable.to_date({col})", stash(date_expr))

@@ -46,11 +46,17 @@ def threshold_alerts(
     """
     base = df.filter(var_predicate)
     outs: list[DataFrame] = []
+    type_cols = [F.col(clinic_type_col).alias("clinic_type")] if clinic_type_col else []
+    type_names = ["clinic_type"] if clinic_type_col else []
 
     def limit_expr(normal: int, hospital: int | None) -> Column:
+        # The reference first keeps groups >= the normal limit, THEN checks the
+        # hospital limit for Hospital clinics (add_multiple_alerts.py:193-216) —
+        # so a Hospital's effective threshold is max(normal, hospital).
         if hospital is not None and clinic_type_col is not None:
             return F.when(
-                F.col(clinic_type_col) == "Hospital", F.lit(hospital)
+                F.col("clinic_type") == "Hospital",
+                F.greatest(F.lit(normal), F.lit(hospital)),
             ).otherwise(F.lit(normal))
         return F.lit(normal)
 
@@ -59,7 +65,7 @@ def threshold_alerts(
             base.groupBy(
                 F.col(clinic_col).alias("clinic"),
                 F.date_trunc("DAY", F.col(date_col)).alias("period_start"),
-                *([F.col(clinic_type_col)] if clinic_type_col else []),
+                *type_cols,
             )
             .agg(
                 F.count(F.lit(1)).alias("count"),
@@ -68,6 +74,7 @@ def threshold_alerts(
             .filter(F.col("count") >= limit_expr(daily_limit, hospital_daily_limit))
             .select(
                 "clinic",
+                *type_names,
                 "period_start",
                 F.lit("day").alias("period"),
                 F.lit(reason).alias("reason"),
@@ -83,7 +90,7 @@ def threshold_alerts(
                 F.col(clinic_col).alias("clinic"),
                 F.col(epi_year_col).alias("epi_year"),
                 F.col(epi_week_col).alias("epi_week"),
-                *([F.col(clinic_type_col)] if clinic_type_col else []),
+                *type_cols,
             )
             .agg(
                 F.count(F.lit(1)).alias("count"),
@@ -92,6 +99,7 @@ def threshold_alerts(
             .filter(F.col("count") >= limit_expr(weekly_limit, hospital_weekly_limit))
             .select(
                 "clinic",
+                *type_names,
                 "epi_year",
                 "epi_week",
                 F.lit("week").alias("period"),
@@ -190,3 +198,39 @@ def assign_representatives(alerts: DataFrame, uuid_array_col: str = "uuids") -> 
         )
         .drop(uuid_array_col)
     )
+
+
+def attach_alert_data(
+    alerts: DataFrame,
+    form: DataFrame,
+    alert_data: dict[str, str],
+    uuid_col: str = "uuid",
+    form_uuid_col: str = "uuid",
+) -> DataFrame:
+    """J8 — copy configured form columns onto alert rows as ``alert_<var>``.
+
+    Reference ``add_multiple_alerts.py:140-144`` (``_add_alert_data``): for each
+    ``data_var -> data_column`` in the country config's ``alert_data[form]``
+    mapping, the alert record gains ``alert_<data_var>`` holding the raw form
+    record's ``data_column`` value, looked up by the alert's uuid
+    (``add_multiple_alerts.py:89-121`` joins masters back to the form table).
+
+    The form side is projected to (uuid, configured columns) before the join so
+    the broadcast carries only the needed payload; at scale the alert side is
+    tiny relative to the form table, so we broadcast *alerts* would be wrong —
+    instead the pruned form projection joins on the uuid equi-key and Catalyst
+    broadcasts whichever side is small enough.
+    """
+    from ..functions.cols import qcol
+
+    payload = form.select(
+        qcol(form_uuid_col).alias("__form_uuid"),
+        *[
+            qcol(data_column).alias("alert_" + data_var)
+            for data_var, data_column in alert_data.items()
+        ],
+    )
+    joined = alerts.join(
+        payload, on=alerts[uuid_col] == payload["__form_uuid"], how="left"
+    )
+    return joined.drop("__form_uuid")

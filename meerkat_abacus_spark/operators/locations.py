@@ -103,6 +103,47 @@ def is_child(parent_id_col, row_level_cols: list[str]):
     return F.col(parent_id_col).isin([F.col(c) for c in row_level_cols])
 
 
+def population_rollup(
+    flattened_leaves: DataFrame,
+    levels: tuple[str, ...] = ("clinic", "district", "region", "zone", "country"),
+    population_col: str = "population",
+) -> DataFrame:
+    """A6 — sum leaf (clinic) population into every ancestor level.
+
+    Reference ``consumer/database_setup.py:156-166`` walks ``parent_location``
+    per clinic row and increments each ancestor's population with one UPDATE
+    per hop.  Over the flattened dimension the same answer is a single pass:
+    explode each leaf row into one (level, ancestor_id) pair per non-null
+    level column, then one groupBy — one shuffle total (on a dimension-sized
+    table), no iteration, no per-row updates.
+
+    Output: ``level``, ``location_id``, ``population`` — one row per location
+    node that has at least one populated descendant (the clinic itself
+    included, matching the reference where the clinic keeps its own value).
+    """
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(lvl).alias("level"),
+                F.col(f"{lvl}_id").cast("long").alias("location_id"),
+            )
+            for lvl in levels
+        ]
+    )
+    return (
+        flattened_leaves.select(
+            F.explode(pairs).alias("node"),
+            F.col(population_col).alias("__pop"),
+        )
+        .filter(F.col("node.location_id").isNotNull())
+        .groupBy(
+            F.col("node.level").alias("level"),
+            F.col("node.location_id").alias("location_id"),
+        )
+        .agg(F.sum("__pop").alias("population"))
+    )
+
+
 def attach_device_tags(
     df: DataFrame,
     devices: DataFrame,

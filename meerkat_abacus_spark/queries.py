@@ -34,6 +34,7 @@ from meerkat_abacus_spark.operators import quality_control as qc
 from meerkat_abacus_spark.operators.coding import Rule, code_dataframe
 from meerkat_abacus_spark.operators.initial_visit import initial_visit_control
 from meerkat_abacus_spark.operators.links import LinkDef, add_links, link_aggregate
+from meerkat_abacus_spark.operators import locations as loc
 from meerkat_abacus_spark.operators.locations import flatten_location_hierarchy
 from meerkat_abacus_spark.operators.to_data_type import (
     DataTypeSpec,
@@ -586,6 +587,129 @@ def alert_double_double(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A2 weekly threshold + the 4-limit hospital variant: clinics alert at >= 4
+# errors per epi week, Hospitals only at >= 6 (add_multiple_alerts.py:218-252
+# applies the normal-limit cut first, then the hospital limit — max of both).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "alert_threshold_weekly",
+    f"""
+    WITH base AS (
+        SELECT user_id AS clinic,
+               CASE WHEN user_id % 4 = 0 THEN 'Hospital' ELSE 'Clinic' END
+                   AS clinic_type,
+               {_DD_Y_SQL} AS epi_year,
+               {_DD_W_SQL} AS epi_week,
+               CAST(event_id AS VARCHAR) AS uuid
+        FROM events
+        WHERE event_type = 'error'
+    ), weekly AS (
+        SELECT clinic, clinic_type, epi_year, epi_week,
+               COUNT(*) AS n,
+               array_to_string(list_sort(list(uuid)), ',') AS uuid_list
+        FROM base
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT clinic, clinic_type, epi_year, epi_week, n, uuid_list
+    FROM weekly
+    WHERE n >= CASE WHEN clinic_type = 'Hospital'
+                    THEN GREATEST(4, 6) ELSE 4 END
+    """,
+)
+def alert_threshold_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events").withColumns(
+        {
+            "uuid": F.col("event_id").cast("string"),
+            "clinic_type": F.when(
+                F.col("user_id") % 4 == 0, F.lit("Hospital")
+            ).otherwise(F.lit("Clinic")),
+        }
+    )
+    epi_year, epi_week = epi_week_columns(F.col("ts"), "day:0")
+    events = events.withColumns({"epi_year": epi_year, "epi_week": epi_week})
+    found = al.threshold_alerts(
+        events,
+        var_predicate=F.col("event_type") == "error",
+        clinic_col="user_id",
+        date_col="ts",
+        uuid_col="uuid",
+        weekly_limit=4,
+        hospital_weekly_limit=6,
+        clinic_type_col="clinic_type",
+    )
+    return found.select(
+        "clinic",
+        "clinic_type",
+        "epi_year",
+        "epi_week",
+        F.col("count").alias("n"),
+        F.array_join("uuids", ",").alias("uuid_list"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J8 alert_data copy: threshold masters join back to the raw form table on
+# uuid and carry the configured alert_data columns (add_multiple_alerts.py:
+# 89-121,140-144; demo_config.py:148-155 maps e.g. alert_gender/age).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "alert_masters_data",
+    """
+    WITH buckets AS (
+        SELECT user_id AS clinic,
+               date_trunc('day', ts) AS period_start,
+               COUNT(*) AS cnt,
+               MIN(CAST(event_id AS VARCHAR)) AS master_alert
+        FROM events
+        WHERE event_type = 'error'
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 3
+    )
+    SELECT b.clinic,
+           CAST(b.period_start AS DATE) AS period_start,
+           b.cnt AS n,
+           CAST(e.event_id AS VARCHAR) AS uuid,
+           e.event_type AS alert_reason,
+           ROUND(e.value, 3) AS alert_value,
+           e.props AS alert_props
+    FROM buckets b
+    JOIN events e ON CAST(e.event_id AS VARCHAR) = b.master_alert
+    """,
+)
+def alert_masters_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events").withColumn(
+        "uuid", F.col("event_id").cast("string")
+    )
+    found = al.threshold_alerts(
+        events,
+        var_predicate=F.col("event_type") == "error",
+        clinic_col="user_id",
+        date_col="ts",
+        uuid_col="uuid",
+        daily_limit=3,
+    )
+    masters = al.assign_representatives(found).filter(F.col("sub_alert") == 0)
+    enriched = al.attach_alert_data(
+        masters,
+        events,
+        alert_data={"reason": "event_type", "value": "value", "props": "props"},
+    )
+    return enriched.select(
+        "clinic",
+        F.to_date("period_start").alias("period_start"),
+        F.col("count").alias("n"),
+        "uuid",
+        "alert_reason",
+        F.round("alert_value", 3).alias("alert_value"),
+        "alert_props",
+    )
+
+
+# ---------------------------------------------------------------------------
 # J5 location hierarchy: adjacency (country→region→nation→customer) flattened
 # by iterative broadcast self-joins, then an A6-style rollup.
 # ---------------------------------------------------------------------------
@@ -656,6 +780,76 @@ def location_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 population rollup: clinic populations summed into every ancestor level
+# over the flattened dim (database_setup.py:156-166 walks parent_location with
+# per-row UPDATEs; here it's one explode + one groupBy).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "population_rollup",
+    """
+    WITH clinics AS (
+        SELECT c_custkey + 1000000 AS clinic_id,
+               c_nationkey + 2000 AS district_id,
+               n_regionkey + 1000 AS region_id,
+               0 AS country_id,
+               c_custkey % 1000 + 100 AS population
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+    ), pairs AS (
+        SELECT 'clinic' AS level, clinic_id AS location_id, population FROM clinics
+        UNION ALL
+        SELECT 'district', district_id, population FROM clinics
+        UNION ALL
+        SELECT 'region', region_id, population FROM clinics
+        UNION ALL
+        SELECT 'country', country_id, population FROM clinics
+    )
+    SELECT level, location_id, CAST(SUM(population) AS BIGINT) AS population
+    FROM pairs
+    GROUP BY 1, 2
+    """,
+)
+def population_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+
+    country = spark.range(1).select(
+        F.lit(0).alias("id"),
+        F.lit(None).cast("long").alias("parent_location"),
+        F.lit("country").alias("level"),
+        F.lit(0).cast("long").alias("population"),
+    )
+    regions = region.select(
+        (F.col("r_regionkey") + 1_000).cast("long").alias("id"),
+        F.lit(0).cast("long").alias("parent_location"),
+        F.lit("region").alias("level"),
+        F.lit(0).cast("long").alias("population"),
+    )
+    nations = nation.select(
+        (F.col("n_nationkey") + 2_000).cast("long").alias("id"),
+        (F.col("n_regionkey") + 1_000).cast("long").alias("parent_location"),
+        F.lit("district").alias("level"),
+        F.lit(0).cast("long").alias("population"),
+    )
+    clinics = customer.select(
+        (F.col("c_custkey") + 1_000_000).cast("long").alias("id"),
+        (F.col("c_nationkey") + 2_000).cast("long").alias("parent_location"),
+        F.lit("clinic").alias("level"),
+        (F.col("c_custkey") % 1000 + 100).cast("long").alias("population"),
+    )
+    adjacency = country.unionByName(regions).unionByName(nations).unionByName(clinics)
+    flat = flatten_location_hierarchy(
+        adjacency, levels=("clinic", "district", "region", "country")
+    ).filter(F.col("level") == "clinic")
+    return loc.population_rollup(
+        flat, levels=("clinic", "district", "region", "country")
     )
 
 
@@ -1434,6 +1628,63 @@ def coding_calc_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("weeks_diff")
         )
         .groupBy("weeks_diff")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- V5 calc with a per-year dict epi config ------------------------------
+# Reference variable.py:344-352: the epi-epoch offset depends on the DATE's
+# year — the configured start's weekday for configured years, else the
+# weekday of Jan 1 of that year.  1994 is configured to Mon Jan 3 (offset 4d),
+# 1996 to Thu Jan 4 (offset 0d); unconfigured years fall back to Jan 1.
+
+
+@_register(
+    "coding_calc_to_date_dict",
+    """
+    WITH t AS (
+        SELECT epoch(l_shipdate)::BIGINT AS ship_s,
+               CASE year(l_shipdate)
+                    WHEN 1994 THEN 345600
+                    WHEN 1996 THEN 0
+                    ELSE ((4 + isodow(make_date(year(l_shipdate), 1, 1)) - 1)
+                          % 7) * 86400
+               END AS off_s
+        FROM lineitem
+    )
+    SELECT CAST((ship_s - off_s) // 604800 AS DOUBLE) AS ship_epi_week,
+           COUNT(*) AS n
+    FROM t
+    GROUP BY 1
+    """,
+)
+def coding_calc_to_date_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    rule = Rule(
+        id="ship_epi_week",
+        method="calc",
+        db_column="l_shipdate",
+        condition="",
+        calculation="int(Variable.to_date(l_shipdate)/604800)",
+    )
+    coded = code_dataframe(
+        lineitem,
+        [rule],
+        epi_config={
+            1994: _dt.datetime(1994, 1, 3),
+            1996: _dt.datetime(1996, 1, 4),
+        },
+    )
+    return (
+        coded.select(
+            F.element_at(F.col("variables"), "ship_epi_week")
+            .cast("double")
+            .alias("ship_epi_week")
+        )
+        .groupBy("ship_epi_week")
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
