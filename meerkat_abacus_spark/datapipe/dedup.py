@@ -161,30 +161,37 @@ def minhash_lsh_candidates(
     sig = F.array(
         *[m for g in range(groups) for m in _slice_mins(F.col(f"__dg{g}"))]
     )
-    base = (
-        base.withColumn("sig", sig)
-        .drop(*[f"__dg{g}" for g in range(groups)])
-        .withColumn(
-            "band_key",
-            F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)),
-        )
-        .drop("sig")
+    # The band join and the pair-dedup shuffle only (id, band_key) /
+    # (id_a, id_b) — never the shingle arrays.  A duplicate pair collides in
+    # up to `bands` bands, so carrying both shingle sets through the join and
+    # the dropDuplicates (as a naive select would) multiplies the shuffle
+    # payload by ~bands × avg-document-size; bare ids make those shuffles a
+    # few bytes per row.  The shingle sets re-attach once per UNIQUE pair via
+    # two equi-joins against the (id, sh) projection; re-deriving shingles for
+    # that projection is map-side CPU on the scan, no extra shuffle.
+    keys = base.withColumn("sig", sig).select(
+        "id",
+        F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias(
+            "band_key"
+        ),
     )
-    left = base.alias("a")
-    right = base.alias("b")
-    pairs = (
-        left.join(
-            right,
+    id_pairs = (
+        keys.alias("a")
+        .join(
+            keys.alias("b"),
             (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_docs = base.select("id", "sh")
+    pairs = id_pairs.join(
+        sh_docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+        "id_a",
+    ).join(
+        sh_docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+        "id_b",
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter

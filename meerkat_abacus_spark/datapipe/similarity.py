@@ -123,37 +123,58 @@ def ivf_topk(
     ``centroids`` is (centroid_id, vector) — train however you like (k-means
     upstream, or any deterministic subset for reproducible tests).  At scale
     the corpus is hash-partitioned by ``centroid_id``, so a query touches
-    ``n_probe`` partitions instead of the full corpus; the centroid table
-    broadcasts.
+    ``n_probe`` partitions instead of the full corpus.
 
-    Plan: two broadcast joins (corpus×centroids to build lists once —
-    amortized across queries; queries×centroids per query batch) and one
-    equi-join on centroid_id. No cross product ever materializes.
+    Plan: centroid assignment is a pure PROJECTION — the centroid table is
+    inlined as an array-of-structs literal (it is dimension-sized by
+    construction: the thing IVF buys is few lists over many vectors), and
+    each vector's nearest centroid is an ``array_sort(transform(...))[0]``
+    argmax evaluated inside whole-stage codegen.  No Exchange touches the
+    corpus until the single centroid_id equi-join with the probed queries.
+    A ``row_number`` window here (the previous form) forced a full-corpus
+    shuffle on vec_id just to rank centroids per vector — at 100 TB the
+    index build is the dominant cost, and this removes its shuffle entirely.
     """
-    cent = F.broadcast(
-        centroids.select(
-            F.col("centroid_id"), F.col(vec_col).alias("cv_cent")
-        )
+    rows = centroids.select("centroid_id", vec_col).collect()
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(r["centroid_id"]).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r[vec_col]]).alias("cv_cent"),
+            )
+            for r in rows
+        ]
     )
 
-    def assign(df: DataFrame, idc: str, out: str, probes: int) -> DataFrame:
-        sim = cosine_similarity(F.col(vec_col), F.col("cv_cent"))
-        w = Window.partitionBy(idc).orderBy(
-            F.col("__csim").desc(), F.col("centroid_id").asc()
-        )
-        return (
-            df.crossJoin(cent)
-            .withColumn("__csim", sim)
-            .withColumn("__crank", F.row_number().over(w))
-            .filter(F.col("__crank") <= probes)
-            .select(df["*"], F.col("centroid_id").alias(out))
+    def _ranked(vec: Column) -> Column:
+        # struct sort order = (-cosine asc, centroid_id asc) → element [0]
+        # is the nearest centroid with deterministic tie-break.
+        return F.array_sort(
+            F.transform(
+                cent_arr,
+                lambda c: F.struct(
+                    (-cosine_similarity(vec, c["cv_cent"])).alias("neg"),
+                    c["cid"].alias("cid"),
+                ),
+            )
         )
 
-    lists = assign(corpus, id_col, "list_id", 1).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "list_id"
+    lists = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _ranked(F.col(vec_col))[0]["cid"].alias("list_id"),
     )
-    probed = assign(queries, id_col, "list_id", n_probe).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "list_id"
+    probed = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.slice(_ranked(F.col(vec_col)), 1, n_probe).alias("__probes"),
+        )
+        .select(
+            "query_id",
+            "qv",
+            F.explode(F.col("__probes")["cid"]).alias("list_id"),
+        )
     )
     sim = cosine_similarity(F.col("qv"), F.col("cv"))
     scored = (
