@@ -2246,6 +2246,92 @@ def upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "streaming_equals_batch",
+    f"""
+    WITH e AS (
+        SELECT event_id, event_type, {_UPS_W_SQL} AS epi_week, value
+        FROM events
+    )
+    SELECT event_type, epi_week,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM e
+    GROUP BY 1, 2
+    """,
+)
+def streaming_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 + SURVEY §3.2: the streaming path (file-dropped ``{{formId, data}}``
+    envelopes → Structured Streaming → foreachBatch → upsert sink) must
+    produce EXACTLY the batch answer over the same rows.  The oracle is the
+    plain batch aggregation in DuckDB, so a hash match is the guarantee —
+    not a row-count smoke test.  Micro-batches arrive in
+    ``maxFilesPerTrigger`` slices, so the sink accumulates incrementally
+    across several triggers (get_data.py:128-165's SQS loop shape)."""
+    import shutil
+    import tempfile
+
+    from meerkat_abacus_spark.sinks.writers import upsert_by_key
+    from meerkat_abacus_spark.streaming.foreach_batch import stream_pipeline
+
+    events = _t(spark, sf_dir, "events")
+    tag = abs(hash(sf_dir)) % 10**8
+    src = tempfile.gettempdir() + f"/msa_stream_src_{tag}"
+    out = tempfile.gettempdir() + f"/msa_stream_out_{tag}"
+    ckpt = tempfile.gettempdir() + f"/msa_stream_ckpt_{tag}"
+    for p in (src, out, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    # SQS-envelope encoding: every form cell stringified into the data map
+    # (get_data.py:143-152).
+    envelope = events.select(
+        F.lit("events").alias("formId"),
+        F.create_map(
+            F.lit("event_id"), F.col("event_id").cast("string"),
+            F.lit("event_type"), F.col("event_type"),
+            F.lit("ts"), F.col("ts").cast("string"),
+            F.lit("value"), F.col("value").cast("string"),
+        ).alias("data"),
+    )
+    envelope.repartition(8).write.json(src)
+
+    _, epi_week = epi_week_columns(F.col("ts"), "international")
+
+    def transform(batch: DataFrame) -> DataFrame:
+        typed = batch.filter(F.col("formId") == "events").select(
+            F.col("data")["event_id"].cast("long").alias("event_id"),
+            F.col("data")["event_type"].alias("event_type"),
+            F.col("data")["ts"].cast("timestamp").alias("ts"),
+            F.col("data")["value"].cast("double").alias("value"),
+        )
+        return typed.select(
+            "event_id", "event_type", epi_week.alias("epi_week"), "value"
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int):
+        upsert_by_key(
+            spark,
+            batch_df,
+            out,
+            keys=["event_id", "event_type"],
+            partition_by=["event_type", "epi_week"],
+        )
+
+    q = stream_pipeline(
+        spark, src, transform, sink, ckpt, max_files_per_trigger=3
+    )
+    q.awaitTermination()
+
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type", "epi_week")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@_register(
     "links_self_union",
     """
     WITH ranked AS (
