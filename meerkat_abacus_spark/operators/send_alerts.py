@@ -77,10 +77,24 @@ def publish_alerts(
     df: DataFrame, send: Callable[[dict], None] | None = None
 ) -> int:
     """K5 publish stub: hand each rendered alert to ``send`` (HTTP in
-    production — hermes, util/__init__.py:495-588).  Driver-side loop is fine
-    here: alert volume is tiny relative to data volume.  Returns the count."""
-    rows = df.collect()
-    for row in rows:
-        if send is not None:
-            send(row.asDict())
-    return len(rows)
+    production — hermes, util/__init__.py:495-588).
+
+    Delivery runs on the EXECUTORS via ``foreachPartition`` — the driver
+    never materializes the alert set, and a wide alert day fans out across
+    the cluster instead of serializing through one process.  ``send`` must
+    be picklable (a module-level function or a closure over simple state);
+    per-partition batching is where an HTTP client would keep one session
+    per partition.  Returns the number of alerts published (counted with an
+    accumulator inside the same pass — no second job)."""
+    acc = df.sparkSession.sparkContext.accumulator(0)
+
+    def _partition(rows) -> None:
+        n = 0
+        for row in rows:
+            if send is not None:
+                send(row.asDict())
+            n += 1
+        acc.add(n)
+
+    df.foreachPartition(_partition)
+    return acc.value

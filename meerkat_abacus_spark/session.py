@@ -41,6 +41,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # The driver testdata's events.parquet carries TIMESTAMP(NANOS),
+        # which the vectorized reader rejects; reading nanos as long is the
+        # exact-integer path (queries._t rebuilds µs timestamps).  Set here
+        # so library sessions never trip on it; query code still sets it
+        # defensively for caller-owned sessions (e.g. the round driver's).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # Production-sized codes files (hundreds of rules) compile into deep
         # Catalyst trees; the default JVM thread stack overflows in analysis.
