@@ -390,10 +390,13 @@ def connected_components(
     # Materialize the (possibly expensive — LSH + Jaccard) edge pipeline ONCE:
     # the symmetric union references `edges` twice and each iteration rescans.
     edges = edges.select(src, dst).localCheckpoint()
+    # No distinct here: the input is canonical (src < dst) pairs, so the two
+    # mirrored directions cannot collide — a distinct would be a pure extra
+    # shuffle of the whole edge list.  (Duplicate edges, if a caller passed
+    # any, only feed a min() and cannot change the result.)
     sym = (
         edges.selectExpr(f"{src} AS a", f"{dst} AS b")
         .unionByName(edges.selectExpr(f"{dst} AS a", f"{src} AS b"))
-        .distinct()
         .cache()
     )
     labels = (
@@ -409,7 +412,10 @@ def connected_components(
             .agg(F.min("component").alias("nbr_min"))
         )
         # localCheckpoint truncates lineage — without it each pass replays
-        # every previous pass and the loop goes quadratic in plan size
+        # every previous pass and the loop goes quadratic in plan size.
+        # The convergence flag rides in the SAME projection, so checking it
+        # is a filter over the checkpointed rows — no join against the old
+        # labels, no second shuffle per pass.
         updated = (
             labels.join(neighbor_min, "node", "left")
             .select(
@@ -417,17 +423,14 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
+                (
+                    F.coalesce("nbr_min", F.col("component")) < F.col("component")
+                ).alias("__chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("u.component") != F.col("l.component"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        changed = updated.filter(F.col("__chg")).limit(1).count()
+        labels = updated.drop("__chg")
         if changed == 0:
             break
     sym.unpersist()

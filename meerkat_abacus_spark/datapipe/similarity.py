@@ -68,6 +68,52 @@ def brute_force_topk(
     )
 
 
+def multiprobe_buckets(vec: Column, dims: int = 8, probes: int = 1) -> Column:
+    """Array of bucket keys: the home bucket plus ``probes-1`` single-bit
+    flips, flipping the LOWEST-magnitude coordinates first.
+
+    Classic multi-probe LSH: a vector whose coordinate sits near the
+    hyperplane is the one most likely to land on the wrong side, so probing
+    the bucket with that bit flipped recovers most of the lost recall while
+    touching ``probes`` buckets instead of 2^dims.  The plan stays a bucket
+    equi-join — probing only fans out the (small) query side.
+    """
+    bits = [
+        F.when(F.element_at(vec, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(dims)
+    ]
+    home = F.concat(*bits)
+    if probes <= 1:
+        return F.array(home)
+    # order coordinates by |value| ascending: nearest-to-hyperplane first
+    mags = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.abs(F.element_at(vec, i + 1)).alias("mag"),
+                    F.lit(i).alias("idx"),
+                )
+                for i in range(dims)
+            ]
+        )
+    )
+
+    def flipped(pos: Column) -> Column:
+        # flip the bit at 0-based position `pos` of the home key
+        return F.concat(
+            home.substr(F.lit(1), pos),
+            F.when(home.substr(pos + 1, F.lit(1)) == "1", F.lit("0")).otherwise(
+                F.lit("1")
+            ),
+            home.substr(pos + 2, F.lit(dims)),
+        )
+
+    probe_keys = [
+        flipped(F.element_at(mags, p + 1)["idx"]) for p in range(probes - 1)
+    ]
+    return F.array_distinct(F.array(home, *probe_keys))
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -75,11 +121,15 @@ def lsh_topk(
     vec_col: str = "embedding",
     k: int = 3,
     bucket_dims: int = 8,
+    n_probe: int = 1,
 ) -> DataFrame:
-    """ANN top-k: candidates limited to the query's sign-LSH bucket.
+    """ANN top-k: candidates limited to the query's sign-LSH bucket(s).
 
-    Recall < 1 by construction; at scale add multi-probe (flip one bit per
-    probe) by unioning bucket keys — the plan stays a bucket-key equi-join.
+    ``n_probe > 1`` enables multi-probe: the query side explodes into the
+    home bucket plus the nearest bit-flip buckets (see multiprobe_buckets),
+    recovering recall lost to hyperplane-adjacent coordinates.  The corpus
+    side never fans out — at 100 TB the corpus stays hash-partitioned by its
+    single home bucket and each query probe touches one partition.
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -90,7 +140,9 @@ def lsh_topk(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
-            sign_lsh_bucket(F.col(vec_col), bucket_dims).alias("bucket"),
+            F.explode(
+                multiprobe_buckets(F.col(vec_col), bucket_dims, n_probe)
+            ).alias("bucket"),
         )
     )
     sim = cosine_similarity(F.col("qv"), F.col("cv"))

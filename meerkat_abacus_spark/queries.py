@@ -1191,6 +1191,58 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Multi-probe variant: each query also probes the bucket with its most
+# hyperplane-adjacent bit flipped (lowest |coordinate| first) — recall
+# recovery with the corpus side untouched (single home bucket, equi-join).
+
+_MAGS_SQL = "list_value(" + ", ".join(f"abs(a.v[{i + 1}])" for i in range(8)) + ")"
+_FLIP_BUCKET_SQL = "|| ".join(
+    f"(CASE WHEN {i + 1} = a.mi"
+    f" THEN (CASE WHEN a.v[{i + 1}] >= 0 THEN '0' ELSE '1' END)"
+    f" ELSE (CASE WHEN a.v[{i + 1}] >= 0 THEN '1' ELSE '0' END) END) "
+    for i in range(8)
+)
+
+
+@_register(
+    "ann_lsh_multiprobe",
+    f"""
+    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (
+        SELECT vec_id, v,
+               ({_BUCKET_SQL.format(side='a')}) AS home,
+               list_position({_MAGS_SQL}, list_min({_MAGS_SQL})) AS mi
+        FROM corpus a WHERE vec_id < 20
+    ),
+    probes AS (
+        SELECT vec_id, v, home AS bucket FROM q
+        UNION ALL
+        SELECT vec_id, v, ({_FLIP_BUCKET_SQL}) FROM q a
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROUND({_COS_SQL}, 3) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                   ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS rank
+        FROM probes a JOIN corpus b
+          ON a.vec_id <> b.vec_id
+         AND a.bucket = ({_BUCKET_SQL.format(side='b')})
+    ) WHERE rank <= 3
+    """,
+)
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = sim.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 20), id_col="vec_id",
+        vec_col="embedding", k=3, bucket_dims=8, n_probe=2,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 3).alias("cosine"), "rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis: token counts, quality heuristics, language-ID — all pure
 # column expressions (codegen'd; no Python in the row loop).
@@ -2328,6 +2380,37 @@ def streaming_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
+    )
+
+
+@_register(
+    "skew_salted_agg",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (functions/skew.py) must equal the plain
+    groupBy — the salt only bounds per-task fan-in (no task sees more than
+    ~1/B of a hot key), it cannot change algebraic results.  event_type is
+    the engine's canonical hot key (a national outbreak = one event_type
+    dominating the stream)."""
+    from meerkat_abacus_spark.functions.skew import salted_count, salted_sum
+
+    events = _t(spark, sf_dir, "events")
+    counts = salted_count(
+        events, ["event_type"], salt_buckets=16, salt_on=F.col("event_id")
+    ).withColumnRenamed("count", "n")
+    sums = salted_sum(
+        events, ["event_type"], "value", salt_buckets=16,
+        salt_on=F.col("event_id"),
+    )
+    return counts.join(sums, "event_type").select(
+        "event_type", "n", F.round("sum", 2).alias("sum_value")
     )
 
 
