@@ -149,3 +149,34 @@ def deterministic_sample(
     hex4 = F.substring(F.md5(F.concat(F.lit(salt + ":"), qcol(key_col).cast("string"))), 1, 4)
     bucket = F.conv(hex4, 16, 10).cast("int")
     return df.filter(bucket < F.lit(threshold))
+
+
+def stratified_deterministic_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "smp",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the dataset-mixing primitive.
+
+    A training-data pipeline rarely samples uniformly: it up-weights scarce
+    languages/domains and down-weights boilerplate-heavy sources.  Same
+    md5-keyed mechanism as :func:`deterministic_sample`, but the 16-bit
+    threshold is a CASE over the stratum column — still a pure filter
+    projection (pushed to the scan, zero shuffles), still bit-reproducible
+    in any engine, and rows keep/drop CONSISTENTLY across strata reweights
+    because the hash never changes, only the threshold.
+    """
+    hex4 = F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), qcol(key_col).cast("string"))), 1, 4
+    )
+    bucket = F.conv(hex4, 16, 10).cast("int")
+    threshold: Column = F.lit(int(default_fraction * 65536))
+    for stratum, fraction in sorted(fractions.items()):
+        threshold = F.when(
+            qcol(strata_col).cast("string") == stratum,
+            F.lit(int(fraction * 65536)),
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from meerkat_abacus_spark.datapipe import dedup as dd
@@ -2411,6 +2411,109 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return counts.join(sums, "event_type").select(
         "event_type", "n", F.round("sum", 2).alias("sum_value")
+    )
+
+
+def _hex4_sql(key_sql: str, salt: str = "smp") -> str:
+    """DuckDB mirror of the md5-hex4 16-bit bucket used by deterministic
+    sampling (strpos arithmetic — portable, no engine-specific hex cast)."""
+    m = f"md5('{salt}:' || {key_sql})"
+    return (
+        f"((strpos('0123456789abcdef', substr({m}, 1, 1)) - 1) * 4096"
+        f" + (strpos('0123456789abcdef', substr({m}, 2, 1)) - 1) * 256"
+        f" + (strpos('0123456789abcdef', substr({m}, 3, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr({m}, 4, 1)) - 1))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation: per-stratum sampling (dataset mixing) and per-source
+# top-k quality selection (domain-balanced filtering).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "stratified_sample",
+    f"""
+    SELECT lang,
+           COUNT(*) AS n,
+           MIN(doc_id) AS min_doc
+    FROM documents
+    WHERE {_hex4_sql('CAST(doc_id AS VARCHAR)')} <
+          CASE lang WHEN 'en' THEN CAST(0.75 * 65536 AS INT)
+                    WHEN 'zh' THEN CAST(0.5 * 65536 AS INT)
+                    WHEN 'de' THEN CAST(0.25 * 65536 AS INT)
+                    ELSE CAST(0.1 * 65536 AS INT) END
+    GROUP BY 1
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing: per-language keep fractions, md5-keyed so the sample
+    is bit-reproducible in any engine and rows keep/drop consistently when
+    only the weights change (operators/quality_control.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    sampled = qc.stratified_deterministic_sample(
+        docs, key_col="doc_id", strata_col="lang",
+        fractions={"en": 0.75, "zh": 0.5, "de": 0.25},
+        default_fraction=0.1,
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_doc")
+    )
+
+
+@_register(
+    "quality_topk_per_source",
+    f"""
+    WITH t AS (
+        SELECT doc_id, source, text,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ), parts AS (
+        SELECT doc_id, source,
+               least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) AS length_term,
+               1.0 - least(5.0 * CAST(len(regexp_replace(text,
+                     '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                   / greatest(len(text), 1), 1.0) AS punct_term,
+               least(5.0 * CAST(len(list_filter(toks,
+                     s -> s IN ('{_STOP_EN}'))) AS DOUBLE)
+                   / greatest(len(toks), 1), 1.0) AS stop_term
+        FROM t
+    ), scored AS (
+        SELECT doc_id, source,
+               ROUND((length_term + punct_term + stop_term) / 3, 4) AS quality
+        FROM parts
+    )
+    SELECT doc_id, source, quality, rank FROM (
+        SELECT doc_id, source, quality,
+               ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY quality DESC, doc_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def quality_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-balanced selection: keep the k highest-quality documents per
+    source.  Ranking runs on the ROUNDED score in both engines so the
+    tie-break (doc_id) is hit identically; the plan is one window over a
+    (source)-partitioned shuffle with WindowGroupLimit pushing k into the
+    sort — no full sort of the corpus."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "toks_lower", tx.tokens_col(F.lower(F.col("text")))
+    )
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.round(
+            tx.quality_score(F.col("text"), F.col("toks_lower")), 4
+        ).alias("quality"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
     )
 
 
