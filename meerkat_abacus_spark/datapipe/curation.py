@@ -1,0 +1,62 @@
+"""Training-data curation: text cleanup and token-budget document packing.
+
+Both are pure column/window expressions — no Python in the row loop, no
+UDFs — so they codegen and scale like any other projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def clean_text(text: Column, lowercase: bool = False) -> Column:
+    """Deterministic text cleanup: strip control characters, collapse runs
+    of whitespace to single spaces, trim.
+
+    The standard pre-dedup normalization pass — near-dup rates collapse when
+    formatting noise (CRLF, tabs, NBSP, zero-width chars) is removed before
+    shingling.  Unicode NFC normalization is deliberately NOT attempted:
+    Spark has no built-in for it, and a per-row Python UDF would put the
+    interpreter in the hottest loop of a 100 TB pass; run upstream tooling
+    for NFC if the corpus needs it.
+    """
+    out = F.regexp_replace(
+        text, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\\u200b\\ufeff]", ""
+    )
+    out = F.trim(F.regexp_replace(out, "\\s+", " "))
+    if lowercase:
+        out = F.lower(out)
+    return out
+
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    strata_col: str | None = None,
+    budget: int = 256,
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget pack (pretraining batch
+    packing): documents are concatenated in ``id_col`` order and chunked
+    every ``budget`` tokens; a document belongs to the pack where it STARTS
+    (block-packing semantics — a long document may straddle a boundary, which
+    is exactly what concat-then-chunk training does).
+
+    pack_id = floor(exclusive-prefix-sum(tokens) / budget), computed with
+    one running-sum window.  ``strata_col`` bounds the window: packing runs
+    independently per stratum (language, source shard), so the sort is
+    per-stratum, not a global single-partition sort — at 100 TB ALWAYS pass
+    a stratum whose per-key volume fits a task (shard id, date bucket);
+    ``None`` is for small corpora only.
+    """
+    parts = [F.col(strata_col)] if strata_col else []
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum(F.col(tokens_col)).over(w), F.lit(0))
+    return df.withColumn(
+        "pack_id", F.floor(prefix / F.lit(budget)).cast("bigint")
+    )

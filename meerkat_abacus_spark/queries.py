@@ -2518,6 +2518,71 @@ def quality_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "doc_packing",
+    """
+    WITH toks AS (
+        SELECT doc_id, lang,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents
+    ), packed AS (
+        SELECT lang, n_tokens,
+               CAST(floor(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   / 256.0) AS BIGINT) AS pack_id
+        FROM toks
+    )
+    SELECT lang, pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM packed
+    GROUP BY 1, 2
+    """,
+)
+def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget block packing (datapipe/curation.py): concat-order
+    chunking into 256-token packs, windowed per language so no global
+    sort exists in the plan."""
+    from meerkat_abacus_spark.datapipe.curation import pack_documents
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(tx.tokens_col(F.col("text"))).alias("n_tokens"),
+    )
+    packed = pack_documents(
+        docs, id_col="doc_id", tokens_col="n_tokens",
+        strata_col="lang", budget=256,
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+@_register(
+    "text_clean",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(text,
+                   '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\\u200b\\ufeff]',
+                   '', 'g'),
+               '\\s+', ' ', 'g')) AS cleaned
+    FROM documents
+    """,
+)
+def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic cleanup projection (datapipe/curation.py): control
+    chars stripped, whitespace collapsed, trimmed — the canonical pre-dedup
+    normalization."""
+    from meerkat_abacus_spark.datapipe.curation import clean_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", clean_text(F.col("text")).alias("cleaned"))
+
+
+@_register(
     "links_self_union",
     """
     WITH ranked AS (
