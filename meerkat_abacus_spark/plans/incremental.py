@@ -60,13 +60,17 @@ def incremental_recode(
     recompute: Callable[[DataFrame], DataFrame],
     output_path: str,
     keys: list[str],
+    partition_by: list[str] | None = None,
 ) -> None:
     """Recompute only the affected base slice and MERGE it into the output.
 
     ``recompute`` is the same batch transform used for bootstrap (it must
     join against the *full, updated* linked table) — the SURVEY §3.2
     incremental ≡ batch guarantee then follows from key-based idempotency.
+    ``partition_by`` must match the bootstrap write's layout so the upsert
+    stays partition-pruned (only partitions present in the recoded slice
+    are rewritten).
     """
     affected = affected_base_rows(base, new_to_rows, link)
     recoded = recompute(affected)
-    upsert_by_key(spark, recoded, output_path, keys=keys)
+    upsert_by_key(spark, recoded, output_path, keys=keys, partition_by=partition_by)

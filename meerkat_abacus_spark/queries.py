@@ -2384,6 +2384,88 @@ def streaming_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "incremental_links_equals_batch",
+    """
+    WITH ranked AS (
+        SELECT l_orderkey,
+               l_returnflag,
+               l_shipdate,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                   ORDER BY l_shipdate ASC, CAST(l_linenumber AS VARCHAR) ASC,
+                            l_returnflag ASC) rn_a,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                   ORDER BY l_shipdate DESC, CAST(l_linenumber AS VARCHAR) DESC,
+                            l_returnflag DESC) rn_d,
+               COUNT(*) OVER (PARTITION BY l_orderkey) n_lines
+        FROM lineitem
+    )
+    SELECT f.l_orderkey AS o_orderkey,
+           f.n_lines AS n_lines,
+           CAST(f.l_shipdate AS DATE) AS first_ship,
+           l.l_returnflag AS last_flag
+    FROM ranked f
+    JOIN ranked l ON f.l_orderkey = l.l_orderkey AND l.rn_d = 1
+    WHERE f.rn_a = 1
+    """,
+)
+def incremental_links_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 (add_links.py:45-97): linked rows arriving AFTER the base record
+    trigger re-emission of the affected base slice, recomputed against the
+    full linked table and upserted by key.  Bootstrap runs on a partial
+    lineitem slice (linenumber <= 3), the remainder 'arrives' afterwards;
+    the MERGE'd output must hash-equal one batch pass over everything (the
+    oracle is links_ordered's batch SQL).  The affected slice is found with
+    one broadcast semi-join; the upsert stays partition-pruned."""
+    import shutil
+    import tempfile
+
+    from meerkat_abacus_spark.plans.incremental import incremental_recode
+    from meerkat_abacus_spark.sinks.writers import upsert_by_key
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    li_old = lineitem.filter(F.col("l_linenumber") <= 3)
+    li_new = lineitem.filter(F.col("l_linenumber") > 3)
+    path = tempfile.gettempdir() + f"/msa_increm_{abs(hash(sf_dir)) % 10**8}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    def project(linked: DataFrame) -> DataFrame:
+        first = link_aggregate(linked, "lines", "first")
+        last = link_aggregate(linked, "lines", "last")
+        return linked.filter(F.size("link_lines") > 0).select(
+            "o_orderkey",
+            "o_orderstatus",
+            link_aggregate(linked, "lines", "count").cast("bigint").alias("n_lines"),
+            F.to_date(first["l_shipdate"]).alias("first_ship"),
+            last["l_returnflag"].alias("last_flag"),
+        )
+
+    def recompute_against(li: DataFrame):
+        def rc(base: DataFrame) -> DataFrame:
+            return project(
+                add_links(
+                    base, {"lineitem": li}, [_ORDER_LINES_LINK],
+                    payload_columns={"lines": ["l_returnflag", "l_shipdate"]},
+                )
+            )
+
+        return rc
+
+    upsert_by_key(
+        spark, recompute_against(li_old)(orders), path,
+        keys=["o_orderkey"], partition_by=["o_orderstatus"],
+    )
+    incremental_recode(
+        spark, orders, li_new, _ORDER_LINES_LINK,
+        recompute_against(lineitem), path,
+        keys=["o_orderkey"], partition_by=["o_orderstatus"],
+    )
+    return spark.read.parquet(path).select(
+        "o_orderkey", "n_lines", "first_ship", "last_flag"
+    )
+
+
+@_register(
     "skew_salted_agg",
     """
     SELECT event_type,
