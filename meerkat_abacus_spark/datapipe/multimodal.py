@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -89,3 +90,96 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "media_type", "payload").mapInPandas(
         _decode, DECODED_SCHEMA
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("out_len", IntegerType()),
+    ]
+)
+
+
+def resize_media(df: DataFrame, target_bytes: int = 32) -> DataFrame:
+    """Binary-in → binary-out transform plumbing (image resize shape).
+
+    The stub truncates the payload to ``target_bytes`` — a real
+    implementation decodes and resizes via PIL/ffmpeg in the same loop; the
+    plan (narrow mapInPandas, no shuffle, binary column in and out, typed
+    schema) is unchanged by that swap.  Downstream stages keep pruning: a
+    metadata query over the output never deserializes ``payload``.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["payload"].map(
+                lambda p: None if p is None else bytes(p)[:target_bytes]
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": resized,
+                    "out_len": resized.map(
+                        lambda p: 0 if p is None else len(p)
+                    ).astype("int32"),
+                }
+            )
+
+    return df.select("doc_id", "media_type", "payload").mapInPandas(
+        _resize, RESIZED_SCHEMA
+    )
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_len", IntegerType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, frame_size: int = 64, every_n: int = 2
+) -> DataFrame:
+    """Video frame sampling plumbing: one input row fans out to one row per
+    sampled frame (the 1→N ``mapInPandas`` shape — the batch yields MORE
+    rows than it received, something a plain projection cannot express).
+
+    The stub treats the payload as fixed-size frames and keeps every
+    ``every_n``-th complete frame; a real implementation seeks keyframes
+    with ffmpeg in the same loop.  Emits the frame's md5 so correctness is
+    checkable without shipping frame bytes around.
+    """
+    import hashlib
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            lens: list[int] = []
+            md5s: list[str] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                raw = bytes(payload)
+                for idx in range(0, len(raw) // frame_size, every_n):
+                    chunk = raw[idx * frame_size : (idx + 1) * frame_size]
+                    ids.append(doc_id)
+                    idxs.append(idx)
+                    lens.append(len(chunk))
+                    md5s.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                    "frame_md5": pd.Series(md5s, dtype="object"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(_frames, FRAMES_SCHEMA)

@@ -184,17 +184,32 @@ def double_double_alerts(
     return flagged
 
 
-def assign_representatives(alerts: DataFrame, uuid_array_col: str = "uuids") -> DataFrame:
+def assign_representatives(
+    alerts: DataFrame, uuid_array_col: str = "uuids", alert_id_len: int = 6
+) -> DataFrame:
     """A4 — explode each alert's member uuids; the minimum uuid is the master,
-    the others become sub-alerts pointing at it (add_multiple_alerts.py:78-138)."""
+    the others become sub-alerts pointing at it (add_multiple_alerts.py:78-138).
+
+    ``alert_id_len`` mirrors the country config's ``alert_id_length``
+    (demo_config.py:156; add_multiple_alerts.py:108-111 slices
+    ``uuid[-alert_id_length:]``).
+
+    The reference's ``found_uuids`` set (add_multiple_alerts.py:34,63,125) is
+    an incremental-emission artifact: each arriving record re-queries ±7 days
+    and would re-emit the same alert members, so emission is suppressed per
+    batch.  In this engine every (clinic, bucket) group is computed exactly
+    once per pass and replays are absorbed by the (uuid, type) upsert (K2),
+    so no driver-side dedup set exists or is needed."""
     return (
         alerts.withColumn("master_alert", F.array_min(F.col(uuid_array_col)))
         .withColumn("uuid", F.explode(F.col(uuid_array_col)))
         .withColumn("sub_alert", (F.col("uuid") != F.col("master_alert")).cast("int"))
         .withColumn(
             "alert_id",
-            # alert_id = last 6 chars of the master uuid (demo_config.py:156)
-            F.when(F.col("sub_alert") == 0, F.right(F.col("uuid"), F.lit(6))),
+            F.when(
+                F.col("sub_alert") == 0,
+                F.right(F.col("uuid"), F.lit(alert_id_len)),
+            ),
         )
         .drop(uuid_array_col)
     )
