@@ -153,6 +153,35 @@ def test_publish_alerts_runs_on_executors(spark):
     shutil.rmtree(outdir, ignore_errors=True)
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    # Scale design: pre-bucketing both sides of a recurring join key
+    # (spark.write.bucketBy) co-locates matching rows at WRITE time, so the
+    # join plan has zero Exchange — the pattern for the data⋈form-table
+    # joins that repeat every pipeline pass at 100 TB.
+    import uuid as uuid_mod
+
+    suffix = uuid_mod.uuid4().hex[:8]
+    ta, tb = f"bjoin_a_{suffix}", f"bjoin_b_{suffix}"
+    facts = spark.range(0, 1000).selectExpr("id AS uuid", "id % 7 AS v")
+    forms = spark.range(0, 1000, 3).selectExpr("id AS uuid", "id % 5 AS w")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # tiny test tables would be broadcast; at 100 TB neither side is.
+        # Force the sort-merge path to show what bucketing buys there.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        facts.write.bucketBy(8, "uuid").sortBy("uuid").saveAsTable(ta)
+        forms.write.bucketBy(8, "uuid").sortBy("uuid").saveAsTable(tb)
+        joined = spark.table(ta).join(spark.table(tb), "uuid")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 334
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
 def test_append_sink_accumulates(spark):
     path = tempfile.gettempdir() + "/msa_append_sink_test"
     shutil.rmtree(path, ignore_errors=True)
