@@ -69,10 +69,29 @@ def _multiformat_parse_sql(inner: str) -> str:
     return f"coalesce({arms}, try_to_timestamp({inner}))"
 
 
-class _DivRewriter(ast.NodeTransformer):
+class _CalcRewriter(ast.NodeTransformer):
+    """Two plan-time rewrites over the (valid-Python) calc grammar:
+
+    - ``a / b`` → ``try_divide(a, b)``: the reference evals with Python ``/``
+      and catches ZeroDivisionError (variable.py:279-281, 315-319); a plain
+      SQL ``/`` would raise DIVIDE_BY_ZERO under an ANSI caller session or
+      silently NULL under non-ANSI.  try_divide is NULL-on-zero in both
+      modes; the caller maps that NULL to the reference's 0-result.
+    - float literals → ``double(lit)``: a bare ``0.5`` parses as SQL
+      DECIMAL(1,1), and decimal arithmetic (division scale truncation in
+      particular, once ``int()``'s BIGINT cast is in the mix) diverges from
+      the reference's Python-float semantics.  Forcing double keeps every
+      intermediate in IEEE binary64, exactly like the reference's eval.
+      (Caught by tests/test_calc_translator_property.py.)
+    """
+
+    def __init__(self) -> None:
+        self.had_division = False
+
     def visit_BinOp(self, node: ast.BinOp):
         self.generic_visit(node)
         if isinstance(node.op, ast.Div):
+            self.had_division = True
             return ast.Call(
                 func=ast.Name(id="try_divide", ctx=ast.Load()),
                 args=[node.left, node.right],
@@ -80,26 +99,26 @@ class _DivRewriter(ast.NodeTransformer):
             )
         return node
 
+    def visit_Constant(self, node: ast.Constant):
+        if isinstance(node.value, float):
+            return ast.Call(
+                func=ast.Name(id="double", ctx=ast.Load()),
+                args=[node],
+                keywords=[],
+            )
+        return node
 
-def _rewrite_divisions(sql: str) -> tuple[str, bool]:
-    """Rewrite every ``a / b`` into ``try_divide(a, b)``.
 
-    The reference evals the calculation with Python ``/`` and catches
-    ZeroDivisionError (variable.py:279-281, 315-319); a plain SQL ``/``
-    would instead raise DIVIDE_BY_ZERO under an ANSI caller session or
-    silently NULL under non-ANSI.  try_divide is NULL-on-zero in both modes;
-    the caller maps that NULL to the reference's 0-result where required.
-
-    The calc grammar is valid Python once column refs are stashed as
-    placeholders, so the rewrite is a real AST pass — no fragile regex over
-    nested parens.
-    """
-    if "/" not in sql:
-        return sql, False
+def _rewrite_calc_ast(sql: str) -> tuple[str, bool]:
+    """Run :class:`_CalcRewriter` over the expression (column refs are
+    stashed as placeholders, so it parses as Python — no fragile regex over
+    nested parens).  Returns (rewritten, had_division)."""
     tmp = re.sub("\x00(\\d+)\x00", r"__ph\1", sql)
-    tree = _DivRewriter().visit(ast.parse(tmp, mode="eval"))
+    rewriter = _CalcRewriter()
+    tree = rewriter.visit(ast.parse(tmp, mode="eval"))
     new = ast.unparse(ast.fix_missing_locations(tree))
-    return re.sub(r"__ph(\d+)", lambda m: f"\x00{m.group(1)}\x00", new), True
+    out = re.sub(r"__ph(\d+)", lambda m: f"\x00{m.group(1)}\x00", new)
+    return out, rewriter.had_division
 
 
 def _rewrite_int_calls(sql: str) -> str:
@@ -171,7 +190,7 @@ def translate_calculation(
             num = f"try_cast({stringified} AS DOUBLE)"
         sql = sql.replace(col, stash(num))
 
-    sql, had_division = _rewrite_divisions(sql)
+    sql, had_division = _rewrite_calc_ast(sql)
     sql = _rewrite_int_calls(sql)
     for key, expr in placeholders.items():
         sql = sql.replace(key, expr)

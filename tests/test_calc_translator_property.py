@@ -1,0 +1,75 @@
+"""Property test: the calculation-grammar → Spark SQL translator agrees with
+the reference's Python-eval semantics (meerkat_abacus/codes/variable.py:
+96-122, 251-319) on randomly generated expressions.
+
+Reference calc semantics reproduced here as the model:
+- column values: empty string → 0.0, otherwise float() (variable.py:305-311)
+- ``int(x)``: Python truncation toward zero
+- any ZeroDivisionError aborts the whole eval → value 0, applicable=True
+  (variable.py:315-319)
+
+One Spark job evaluates every generated expression as one projection over a
+small table, so the property sweep costs a single collect.
+"""
+
+import random
+
+from pyspark.sql import functions as F
+
+from meerkat_abacus_spark.functions.calculation import translate_calculation
+
+COLS = ["a", "b", "c"]
+
+ROWS = [
+    {"a": "3", "b": "4", "c": "2"},
+    {"a": "", "b": "7", "c": "0"},      # empty → 0; zero divisor
+    {"a": "-5", "b": "0", "c": "1.5"},  # negative; float
+    {"a": "2.25", "b": "-0.5", "c": ""},
+    {"a": "0", "b": "10", "c": "3"},
+]
+
+
+def _gen_expr(rng: random.Random, depth: int = 0) -> str:
+    if depth >= 3 or rng.random() < 0.3:
+        kind = rng.random()
+        if kind < 0.5:
+            return rng.choice(COLS)
+        if kind < 0.8:
+            return str(rng.randint(0, 9))
+        return str(rng.choice([0.5, 1.5, 2.0, 3.25]))
+    op = rng.choice(["+", "-", "*", "/"])
+    left = _gen_expr(rng, depth + 1)
+    right = _gen_expr(rng, depth + 1)
+    inner = f"({left} {op} {right})"
+    if rng.random() < 0.25:
+        return f"int{inner}"
+    return inner
+
+
+def _model_eval(expr: str, row: dict) -> float:
+    # the reference's semantics: float-coerce with empty→0, int() truncates,
+    # ZeroDivisionError → whole result 0 (variable.py:305-319)
+    env = {c: float(v) if v != "" else 0.0 for c, v in row.items()}
+    try:
+        return float(eval(expr, {"int": int, "__builtins__": {}}, env))
+    except ZeroDivisionError:
+        return 0.0
+
+
+def test_translator_matches_reference_eval(spark):
+    rng = random.Random(20260813)
+    exprs = [_gen_expr(rng) for _ in range(60)]
+
+    df = spark.createDataFrame([tuple(r[c] for c in COLS) for r in ROWS], COLS)
+    projections = [
+        F.expr(translate_calculation(e, COLS, "day:0")).alias(f"e{i}")
+        for i, e in enumerate(exprs)
+    ]
+    got = df.select(*projections).collect()
+
+    for ri, row in enumerate(ROWS):
+        for i, e in enumerate(exprs):
+            expected = _model_eval(e, row)
+            actual = got[ri][f"e{i}"]
+            assert actual is not None, (e, row)
+            assert abs(actual - expected) < 1e-9, (e, row, actual, expected)
