@@ -114,11 +114,23 @@ def epi_week_duckdb_sql(
     """The same epi-year/epi-week formula as ANSI SQL for the DuckDB oracle.
 
     Returns ``(epi_year_sql, epi_week_sql)`` string expressions over
-    ``date_expr``.  Supports the ``international`` and ``day:N`` configs used
-    by the oracle-checked queries.
+    ``date_expr``.  Supports all three config shapes — ``international``,
+    ``day:N`` and per-year dict — so every config path is oracle-checkable.
     """
     d = f"CAST({date_expr} AS DATE)"
-    if isinstance(epi_config, str) and epi_config.startswith("day:"):
+    if isinstance(epi_config, dict):
+        # Mirror the Spark dict branch: epi year = largest configured year
+        # whose start date <= d (chained CASE, descending so the first match
+        # wins); the raw week is measured from that start.
+        items = sorted(epi_config.items(), reverse=True)
+        year_arms, start_arms = [], []
+        for y, start in items:
+            sd = (start.date() if isinstance(start, _dt.datetime) else start).isoformat()
+            year_arms.append(f"WHEN {d} >= DATE '{sd}' THEN {int(y)}")
+            start_arms.append(f"WHEN {d} >= DATE '{sd}' THEN DATE '{sd}'")
+        epi_year = "(CASE " + " ".join(year_arms) + " ELSE NULL END)"
+        start = "(CASE " + " ".join(start_arms) + " ELSE NULL END)"
+    elif isinstance(epi_config, str) and epi_config.startswith("day:"):
         target = int(epi_config.split(":")[1])
 
         def start_for(year_sql: str) -> str:

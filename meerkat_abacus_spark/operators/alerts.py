@@ -77,6 +77,8 @@ def threshold_alerts(
                 *type_names,
                 "period_start",
                 F.lit("day").alias("period"),
+                # alert_duration=1 for daily alerts (add_multiple_alerts.py:211)
+                F.lit(1).alias("duration"),
                 F.lit(reason).alias("reason"),
                 "count",
                 "uuids",
@@ -103,6 +105,8 @@ def threshold_alerts(
                 "epi_year",
                 "epi_week",
                 F.lit("week").alias("period"),
+                # alert_duration=7 for weekly alerts (add_multiple_alerts.py:244)
+                F.lit(7).alias("duration"),
                 F.lit(reason).alias("reason"),
                 "count",
                 "uuids",

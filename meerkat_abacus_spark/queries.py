@@ -16,6 +16,7 @@ coding/link/alert operators run with configs declared inline here.
 
 from __future__ import annotations
 
+import datetime as _dt
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -586,6 +587,37 @@ def alert_double_double(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("clinic", "epi_year", "epi_week", F.col("count").alias("n"))
 
 
+_DICT_EPI_CONFIG = {
+    2023: _dt.date(2023, 1, 5),
+    2024: _dt.date(2024, 1, 4),
+}
+_DICT_Y_SQL, _DICT_W_SQL = epi_week_duckdb_sql("ts", _DICT_EPI_CONFIG)
+
+
+@_register(
+    "epiweek_dict_config",
+    f"""
+    SELECT {_DICT_Y_SQL} AS epi_year,
+           {_DICT_W_SQL} AS epi_week,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def epiweek_dict_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 per-year dict epi config (util/epi_week.py:45-82 dict branch):
+    epi year = largest configured year whose start <= date.  The 2024 start
+    (Jan 4) puts Jan 1-3 events into epi year 2023 at week ~52 — both the
+    lookback and the in-year branch are exercised."""
+    events = _t(spark, sf_dir, "events")
+    epi_year, epi_week = epi_week_columns(F.col("ts"), _DICT_EPI_CONFIG)
+    return (
+        events.select(epi_year, epi_week)
+        .groupBy("epi_year", "epi_week")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # A2 weekly threshold + the 4-limit hospital variant: clinics alert at >= 4
 # errors per epi week, Hospitals only at >= 6 (add_multiple_alerts.py:218-252
@@ -612,7 +644,8 @@ def alert_double_double(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM base
         GROUP BY 1, 2, 3, 4
     )
-    SELECT clinic, clinic_type, epi_year, epi_week, n, uuid_list
+    SELECT clinic, clinic_type, epi_year, epi_week,
+           CAST(7 AS INT) AS duration, n, uuid_list
     FROM weekly
     WHERE n >= CASE WHEN clinic_type = 'Hospital'
                     THEN GREATEST(4, 6) ELSE 4 END
@@ -644,6 +677,7 @@ def alert_threshold_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clinic_type",
         "epi_year",
         "epi_week",
+        "duration",
         F.col("count").alias("n"),
         F.array_join("uuids", ",").alias("uuid_list"),
     )
