@@ -138,7 +138,12 @@ def double_double_alerts(
     the reference's factor is exactly 2 — "double-double").
 
     The reference's raw-SQL ±2-week window with year wraparound becomes an
-    absolute-week axis (epi_year*53 + epi_week) with lag/sum windows.
+    absolute-week axis with lag/sum windows.  The axis is ``epi_year * 52 +
+    epi_week`` because the reference's wraparound arithmetic assumes 52-week
+    years (add_multiple_alerts.py:288-316 maps week 52 of year Y and week 1
+    of year Y+1 to adjacent slots); a 53-multiplier would insert a phantom
+    gap at every ordinary year boundary and silently drop cross-New-Year
+    doubling trends.
     """
     weekly = (
         df.filter(var_predicate)
@@ -152,7 +157,7 @@ def double_double_alerts(
             F.array_sort(F.collect_list(F.col(uuid_col))).alias("uuids"),
         )
         .withColumn(
-            "abs_week", F.col("epi_year") * 53 + F.col("epi_week")
+            "abs_week", F.col("epi_year") * 52 + F.col("epi_week")
         )
     )
     w = Window.partitionBy("clinic").orderBy("abs_week")

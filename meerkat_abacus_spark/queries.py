@@ -550,15 +550,15 @@ _DD_Y_SQL, _DD_W_SQL = epi_week_duckdb_sql("ts", "day:0")
         GROUP BY 1, 2, 3
     ), lagged AS (
         SELECT clinic, epi_year, epi_week, cnt,
-               epi_year * 53 + epi_week AS abs_week,
+               epi_year * 52 + epi_week AS abs_week,
                LAG(cnt, 1) OVER w AS lag1,
                LAG(cnt, 2) OVER w AS lag2,
-               LAG(epi_year * 53 + epi_week, 1) OVER w AS abs_lag1,
-               LAG(epi_year * 53 + epi_week, 2) OVER w AS abs_lag2,
-               SUM(cnt) OVER (PARTITION BY clinic ORDER BY epi_year * 53 + epi_week
+               LAG(epi_year * 52 + epi_week, 1) OVER w AS abs_lag1,
+               LAG(epi_year * 52 + epi_week, 2) OVER w AS abs_lag2,
+               SUM(cnt) OVER (PARTITION BY clinic ORDER BY epi_year * 52 + epi_week
                               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS total5
         FROM weekly
-        WINDOW w AS (PARTITION BY clinic ORDER BY epi_year * 53 + epi_week)
+        WINDOW w AS (PARTITION BY clinic ORDER BY epi_year * 52 + epi_week)
     )
     SELECT clinic, epi_year, epi_week, cnt AS n
     FROM lagged

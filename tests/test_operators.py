@@ -170,6 +170,25 @@ def test_double_double_exact_factor(spark):
     assert (out[0]["epi_week"], out[0]["count"]) == (12, 8)
 
 
+def test_double_double_across_year_boundary(spark):
+    """Weeks 51,52 of year Y and week 1 of Y+1 are CONSECUTIVE (reference
+    add_multiple_alerts.py:288-316 wraps assuming 52-week years); a doubling
+    trend spanning New Year must fire."""
+    rows = []
+    uid = 0
+    for year, week, n in [(2017, 51, 2), (2017, 52, 4), (2018, 1, 8)]:
+        for _ in range(n):
+            rows.append((f"u{uid}", 1, year, week))
+            uid += 1
+    df = spark.createDataFrame(rows, ["uuid", "clinic", "epi_year", "epi_week"])
+    out = al.double_double_alerts(
+        df, var_predicate=F.lit(True), clinic_col="clinic",
+        uuid_col="uuid", min_total=14, factor=2.0,
+    ).collect()
+    assert len(out) == 1
+    assert (out[0]["epi_year"], out[0]["epi_week"], out[0]["count"]) == (2018, 1, 8)
+
+
 def test_qc_import_rules(spark):
     """Reference tests/test_quality_control.py:26-56 — failing between rule
     nulls the cell; category=['discard'] drops the row; replace:<col>
