@@ -73,8 +73,21 @@ def topic_fan_out(
     return df.withColumn("topic", F.explode(topics))
 
 
+def recent_alerts_only(
+    df: DataFrame, date_col: str, as_of, days: int = 7
+) -> DataFrame:
+    """Reference util/__init__.py:514 — only alerts newer than ``as_of -
+    days`` are published.  ``as_of`` is an explicit parameter (the reference
+    uses ``datetime.now()``): deterministic plans, reproducible tests, and
+    correct semantics when replaying historical batches."""
+    cutoff = F.lit(as_of) - F.expr(f"INTERVAL {int(days)} DAYS")
+    return df.filter(qcol(date_col).cast("timestamp") > cutoff)
+
+
 def publish_alerts(
-    df: DataFrame, send: Callable[[dict], None] | None = None
+    df: DataFrame,
+    send: Callable[[dict], None] | None = None,
+    silent: bool = False,
 ) -> int:
     """K5 publish stub: hand each rendered alert to ``send`` (HTTP in
     production — hermes, util/__init__.py:495-588).
@@ -85,14 +98,19 @@ def publish_alerts(
     be picklable (a module-level function or a closure over simple state);
     per-partition batching is where an HTTP client would keep one session
     per partition.  Returns the number of alerts published (counted with an
-    accumulator inside the same pass — no second job)."""
+    accumulator inside the same pass — no second job).
+
+    ``silent`` mirrors the country config's ``messaging_silent``
+    (util/__init__.py:587): the pipeline runs end-to-end but nothing leaves
+    the cluster — the count still reflects what WOULD have been sent."""
     acc = df.sparkSession.sparkContext.accumulator(0)
+    do_send = None if silent else send
 
     def _partition(rows) -> None:
         n = 0
         for row in rows:
-            if send is not None:
-                send(row.asDict())
+            if do_send is not None:
+                do_send(row.asDict())
             n += 1
         acc.add(n)
 

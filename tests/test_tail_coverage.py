@@ -153,6 +153,30 @@ def test_publish_alerts_runs_on_executors(spark):
     shutil.rmtree(outdir, ignore_errors=True)
 
 
+def test_recent_alerts_and_silent_mode(spark):
+    # util/__init__.py:514 (7-day recency) and :587 (messaging_silent).
+    import datetime
+
+    from meerkat_abacus_spark.operators.send_alerts import (
+        publish_alerts,
+        recent_alerts_only,
+    )
+
+    as_of = datetime.datetime(2024, 2, 1)
+    alerts = spark.createDataFrame(
+        [
+            ("a1", datetime.datetime(2024, 1, 30)),   # 2 days old → sent
+            ("a2", datetime.datetime(2024, 1, 25, 1)),  # ~7 days minus 1h → sent
+            ("a3", datetime.datetime(2024, 1, 24)),   # 8 days old → dropped
+        ],
+        ["alert_id", "date"],
+    )
+    recent = recent_alerts_only(alerts, "date", as_of, days=7)
+    assert sorted(r.alert_id for r in recent.collect()) == ["a1", "a2"]
+    # silent mode counts without delivering
+    assert publish_alerts(recent, send=None, silent=True) == 2
+
+
 def test_bucketed_join_has_no_exchange(spark):
     # Scale design: pre-bucketing both sides of a recurring join key
     # (spark.write.bucketBy) co-locates matching rows at WRITE time, so the
