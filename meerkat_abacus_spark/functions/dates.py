@@ -22,8 +22,14 @@ MULTIFORMAT_PATTERNS: tuple[str, ...] = (
     "yyyy-MM-dd HH:mm:ss",
     "yyyy-MM-dd",
     "MMM d, yyyy",
+    # Full month names: the reference's QC path parses with dateutil
+    # (quality_control.py:237 `parse(string_date)`), which is permissive —
+    # "June 14, 2015" passes QC there.  MMMM arms cover the month-name
+    # space; dateutil's wilder inputs (ordinal days, fuzzy text) stay NULL.
+    "MMMM d, yyyy",
     "d-MMM-yyyy HH:mm:ss",
     "d-MMM-yyyy",
+    "d-MMMM-yyyy",
     "MMM d, yyyy h:mm:ss a",
 )
 

@@ -88,11 +88,67 @@ def clinic_start_date_filter(
     )
 
 
-def date_validity_filter(df: DataFrame, date_col: str) -> DataFrame:
-    """F6 — the per-data-type date column must parse (quality_control.py:190-245)."""
-    return df.filter(
-        parse_multiformat_timestamp(qcol(date_col).cast("string")).isNotNull()
-    )
+def date_validity_filter(
+    df: DataFrame, date_col: str, epi_config: str | dict = "international"
+) -> DataFrame:
+    """F6 — the per-data-type date column must parse AND convert to an epi
+    week (quality_control.py:190-245, ``_validate_date_to_epi_week_convertion``).
+
+    Under a per-year dict epi config a date before the earliest configured
+    start has no epi year — the reference logs and DROPS the row (reference
+    test ``test_bypass_if_date_out_of_custom_epi_config``); string configs
+    convert every parseable date, so only the parse check applies.
+    """
+    ts = parse_multiformat_timestamp(qcol(date_col).cast("string"))
+    ok = ts.isNotNull()
+    if isinstance(epi_config, dict):
+        from meerkat_abacus_spark.functions.epi_week import epi_week_columns
+
+        epi_year, _ = epi_week_columns(ts, epi_config)
+        ok = ok & epi_year.isNotNull()
+    return df.filter(ok)
+
+
+def validate_datetype_dates(
+    df: DataFrame,
+    data_types,
+    epi_config: str | dict = "international",
+) -> DataFrame:
+    """F6 form-level date gate (quality_control.py:190-245,
+    ``_validate_date_to_epi_week_convertion``): a form row is DROPPED when
+    any data type whose condition it fulfills has a date cell that is empty,
+    unparseable, or outside the epi config's convertible range.
+
+    Mirrors the reference's per-filter loop as one OR of per-spec violation
+    predicates — same verdicts, one projection.  ``$``-group date columns
+    validate the first group's column (the reference intends ``$``→``1``;
+    its ``str.replace`` result is discarded at quality_control.py:229 — a
+    no-op bug — we implement the intent).  A date column absent from the
+    form counts as empty, like the reference's empty-cell branch.
+    """
+    violated: Column = F.lit(False)
+    for spec in data_types:
+        if not spec.date:
+            continue
+        date_col = spec.date.replace("$", "1")
+        if spec.condition and spec.db_column:
+            applicable = qcol(spec.db_column).cast("string") == spec.condition
+        else:
+            applicable = F.lit(True)
+        if date_col not in df.columns:
+            bad: Column = F.lit(True)
+        else:
+            ts = parse_multiformat_timestamp(qcol(date_col).cast("string"))
+            bad = ts.isNull()
+            if isinstance(epi_config, dict):
+                from meerkat_abacus_spark.functions.epi_week import (
+                    epi_week_columns,
+                )
+
+                epi_year, _ = epi_week_columns(ts, epi_config)
+                bad = bad | epi_year.isNull()
+        violated = violated | (F.coalesce(applicable, F.lit(False)) & bad)
+    return df.filter(~violated)
 
 
 def apply_import_rules(

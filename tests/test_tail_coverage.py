@@ -153,6 +153,70 @@ def test_publish_alerts_runs_on_executors(spark):
     shutil.rmtree(outdir, ignore_errors=True)
 
 
+def test_date_validity_with_dict_epi_config(spark):
+    # quality_control.py:190-245 + reference test
+    # test_bypass_if_date_out_of_custom_epi_config: a date BEFORE the
+    # earliest configured epi year start cannot convert → row dropped.
+    import datetime
+
+    from meerkat_abacus_spark.operators.quality_control import (
+        date_validity_filter,
+    )
+
+    rows = spark.createDataFrame(
+        [
+            ("2015-06-14", "in-config"),
+            ("2014-05-03", "before-config"),
+            ("not a date", "unparseable"),
+        ],
+        ["d", "label"],
+    )
+    cfg = {2015: datetime.datetime(2015, 3, 5)}
+    kept = date_validity_filter(rows, "d", cfg)
+    assert [r.label for r in kept.collect()] == ["in-config"]
+    # string configs: every parseable date converts
+    kept_str = date_validity_filter(rows, "d", "international")
+    assert sorted(r.label for r in kept_str.collect()) == [
+        "before-config",
+        "in-config",
+    ]
+
+
+def test_validate_datetype_dates_mixed_conditions(spark):
+    # Reference tests test_multiple_data_types_{with_valid_dates,
+    # fails_if_single_date_invalid, passes_for_mixed_conditions}: the row
+    # drops iff a FULFILLED condition's date is invalid.
+    from meerkat_abacus_spark.operators.to_data_type import DataTypeSpec
+    from meerkat_abacus_spark.operators.quality_control import (
+        validate_datetype_dates,
+    )
+
+    specs = [
+        DataTypeSpec(name="A", type="a", form="f", db_column="condition1",
+                     condition="valid", date="first_date"),
+        DataTypeSpec(name="B", type="b", form="f", db_column="condition2",
+                     condition="valid", date="second_date"),
+    ]
+    rows = spark.createDataFrame(
+        [
+            # both conditions fulfilled, both dates valid → keep
+            ("valid", "valid", "2017-01-01", "June 14, 2015", "keep-both"),
+            # second condition fulfilled but its date invalid → drop
+            ("other", "valid", "2017-01-01", "31 Feb 2011", "drop-bad-date"),
+            # the invalid date belongs to an UNFULFILLED condition → keep
+            ("valid", "other", "2017-01-01", "31 Feb 2011", "keep-mixed"),
+            # fulfilled condition with empty date cell → drop
+            ("valid", "other", "", "June 14, 2015", "drop-empty"),
+        ],
+        ["condition1", "condition2", "first_date", "second_date", "label"],
+    )
+    kept = validate_datetype_dates(rows, specs)
+    assert sorted(r.label for r in kept.collect()) == [
+        "keep-both",
+        "keep-mixed",
+    ]
+
+
 def test_recent_alerts_and_silent_mode(spark):
     # util/__init__.py:514 (7-day recency) and :587 (messaging_silent).
     import datetime
