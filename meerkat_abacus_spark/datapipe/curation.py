@@ -30,6 +30,29 @@ def clean_text(text: Column, lowercase: bool = False) -> Column:
     return out
 
 
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    # order matters: emails before bare domains, long digit runs after
+    # structured formats so a phone number is not half-eaten by the
+    # digit-run rule.
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Training-data PII scrub: emails, IPv4 addresses, phone-shaped digit
+    runs → typed placeholders.  A chain of ``regexp_replace`` — pure
+    codegen'd projection, no UDF, safe to run over 100 TB as part of any
+    scan.  The pattern list is deliberately conservative (high precision):
+    corpus-specific recall tuning belongs in config, not code.
+    """
+    out = text
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
 def pack_documents(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -2754,6 +2754,48 @@ def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_redact_pii",
+    r"""
+    WITH seeded AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id ||
+               '@example.com ip 10.0.' || (doc_id % 256) || '.7 tel +1 555-010-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+               '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g')) AS redacted_md5
+    FROM seeded
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (datapipe/curation.py redact_pii): deterministic synthetic
+    email/IP/phone are appended so every row exercises every pattern; the
+    oracle applies the identical regex chain in DuckDB and compares md5 of
+    the redacted text."""
+    from meerkat_abacus_spark.datapipe.curation import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel +1 555-010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    return seeded.select(
+        "doc_id", F.md5(redact_pii(F.col("t"))).alias("redacted_md5")
+    )
+
+
+@_register(
     "links_self_union",
     """
     WITH ranked AS (
