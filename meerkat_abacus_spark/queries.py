@@ -2796,6 +2796,67 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "event_sessionize",
+    """
+    WITH gaps AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_seq,
+               ts
+        FROM gaps
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT)
+               AS duration_s
+    FROM sessions
+    GROUP BY 1, 2
+    """,
+)
+def event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session): one
+    window pass marks session starts, a running sum numbers them, one
+    groupBy aggregates.  Both shuffles hash on user_id and the window sort
+    is per-user — the same plan at 100 TB.  (The streaming analogue is
+    ``session_window``; this is the batch/backfill form.)"""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = events.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+            > 1_800_000_000,
+            1,
+        )
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0)
+        .alias("new_session"),
+        "event_id",
+    )
+    sessions = gaps.select(
+        "user_id",
+        "ts",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_seq"),
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
+        .alias("duration_s"),
+    )
+
+
+@_register(
     "links_self_union",
     """
     WITH ranked AS (
