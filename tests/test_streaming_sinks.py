@@ -56,6 +56,40 @@ def test_stream_equals_batch(spark, tmp_path):
     assert got == expected
 
 
+def test_stream_restart_processes_only_new_files(spark, tmp_path):
+    """Exactly-once across restarts: a second run against the SAME
+    checkpoint skips already-committed files and processes only new drops
+    (the SQS consumer's at-least-once + K2-idempotency contract, upgraded
+    to exactly-once by checkpointed source offsets)."""
+    src = tmp_path / "drops"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def envelopes(lo, hi):
+        return "\n".join(
+            json.dumps(
+                {"formId": "demo_case", "data": {"uuid": f"u{i}", "value": str(i)}}
+            )
+            for i in range(lo, hi)
+        )
+
+    (src / "a.json").write_text(envelopes(0, 20))
+    seen: list[str] = []
+
+    def sink(df, batch_id):
+        seen.extend(r["uuid"] for r in df.collect())
+
+    stream_pipeline(spark, str(src), _transform, sink, ckpt).awaitTermination(60)
+    assert sorted(seen) == sorted(f"u{i}" for i in range(20))
+
+    # restart with one NEW drop: only its rows may flow
+    (src / "b.json").write_text(envelopes(20, 30))
+    stream_pipeline(spark, str(src), _transform, sink, ckpt).awaitTermination(60)
+    assert sorted(seen) == sorted(f"u{i}" for i in range(30)), (
+        "restart reprocessed already-committed files"
+    )
+
+
 def test_upsert_by_key_idempotent(spark, tmp_path):
     """K2 (write_to_db.py:40-49): reprocessing replaces rows by (uuid, type)."""
     path = str(tmp_path / "data_table")
