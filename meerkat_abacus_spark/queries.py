@@ -2097,6 +2097,47 @@ def pipeline_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- §3.3 implied API path: the coded `data` table registered as a view,
+# consumed by plain spark.sql with map_contains_key/element_at — the exact
+# query shape Meerkat API issues against the data table (model.py:125-128,
+# GIN-indexed `variables ? :id` in Postgres).
+
+
+@_register(
+    "sql_api_cases",
+    f"""
+    SELECT {_EP_Y} AS epi_year, {_EP_W} AS epi_week,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+    """,
+)
+def sql_api_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    specs = [
+        DataTypeSpec(name="Case", type="case", form="events",
+                     db_column="event_type", condition="purchase",
+                     date="ts", var="tot_1", uuid="event_id"),
+    ]
+    data = surveillance_pipeline(
+        {"events": events}, specs, _PIPE_RULES, links=None, epi_config="day:0"
+    )
+    data.createOrReplaceTempView("data")
+    return spark.sql(
+        """
+        SELECT epi_year, epi_week,
+               COUNT(*) AS n,
+               ROUND(SUM(CAST(element_at(variables, 'pur_1') AS DOUBLE)
+                         * CAST(value AS DOUBLE)), 2) AS sum_value
+        FROM data
+        WHERE map_contains_key(variables, 'pur_1')
+        GROUP BY epi_year, epi_week
+        """
+    )
+
+
 # --- Composite quality score (cheap pre-filter before expensive stages) ----
 
 
