@@ -30,6 +30,46 @@ def clean_text(text: Column, lowercase: bool = False) -> Column:
     return out
 
 
+def type_token_ratio(toks: Column) -> Column:
+    """Distinct tokens / tokens (1.0 for empty docs) — boilerplate and
+    template spam score low.  ``toks`` must be a materialized column."""
+    n = F.size(toks)
+    return F.when(
+        n > 0, F.size(F.array_distinct(toks)).cast("double") / n.cast("double")
+    ).otherwise(F.lit(1.0))
+
+
+def bigram_col(toks: Column) -> Column:
+    """Word bigrams ("a b") of a MATERIALIZED token array, via the
+    (element, index) two-parameter transform lambda: output i pairs
+    toks[i+1] (1-based element_at) with toks[i+2]."""
+    n = F.size(toks)
+    return F.transform(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2)),
+    )
+
+
+def top_bigram_fraction(bigrams: Column) -> Column:
+    """Gopher-style repetition signal: occurrences of the most frequent
+    bigram / total bigrams — detects looping generation and repeated
+    headers.  O(distinct × n) per row (bounded by document length, not
+    corpus size).  ``bigrams`` MUST be a materialized column — the nested
+    lambdas reference it per element, and an unbound expression would
+    re-evaluate the whole upstream each time (datapipe/text.py perf
+    contract)."""
+    nb = F.size(bigrams)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(bigrams),
+            lambda b: F.size(F.filter(bigrams, lambda x: x == b)),
+        )
+    )
+    return F.when(nb > 0, top.cast("double") / nb.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
     # order matters: emails before bare domains, long digit runs after
     # structured formats so a phone number is not half-eaten by the

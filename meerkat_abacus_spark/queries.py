@@ -2898,6 +2898,54 @@ def event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_repetition",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), b AS (
+        SELECT doc_id, toks,
+               list_transform(range(1, greatest(len(toks), 1)),
+                              i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+        FROM t
+    )
+    SELECT doc_id,
+           ROUND(CASE WHEN len(toks) > 0
+                      THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                      ELSE 1.0 END, 4) AS ttr,
+           ROUND(CASE WHEN len(bigrams) > 0
+                      THEN CAST(list_max(list_transform(list_distinct(bigrams),
+                               bg -> len(list_filter(bigrams, x -> x = bg))))
+                           AS DOUBLE) / len(bigrams)
+                      ELSE 0.0 END, 4) AS top_bigram_frac
+    FROM b
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (datapipe/curation.py):
+    type-token ratio and top-bigram fraction.  toks and bigrams are
+    materialized columns per the HOF perf contract."""
+    from meerkat_abacus_spark.datapipe.curation import (
+        bigram_col,
+        top_bigram_fraction,
+        type_token_ratio,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("toks", tx.tokens_col(F.col("text")))
+        .withColumn("bigrams", bigram_col(F.col("toks")))
+    )
+    return docs.select(
+        "doc_id",
+        F.round(type_token_ratio(F.col("toks")), 4).alias("ttr"),
+        F.round(top_bigram_fraction(F.col("bigrams")), 4).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
+@_register(
     "links_self_union",
     """
     WITH ranked AS (
