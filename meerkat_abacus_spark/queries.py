@@ -302,6 +302,43 @@ def coding_groups_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "category_pivot",
+    """
+    SELECT event_type,
+           CAST(SUM(CASE WHEN value >= 0 AND value < 40 THEN 1 ELSE 0 END)
+                AS BIGINT) AS band_low,
+           CAST(SUM(CASE WHEN value >= 40 AND value < 70 THEN 1 ELSE 0 END)
+                AS BIGINT) AS band_mid,
+           CAST(SUM(CASE WHEN value >= 70 AND value < 90 THEN 1 ELSE 0 END)
+                AS BIGINT) AS band_high,
+           CAST(SUM(CASE WHEN value >= 90 THEN 1 ELSE 0 END)
+                AS BIGINT) AS band_vhigh
+    FROM events
+    WHERE CAST(value AS VARCHAR) <> ''
+    GROUP BY 1
+    """,
+)
+def category_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 cross-tab consumption: categories map → pivot columns.  Spark's
+    ``pivot`` with an explicit value list compiles to conditional partial
+    aggregates — same single-exchange plan as any groupBy, no extra pass."""
+    events = _t(spark, sf_dir, "events")
+    coded = code_dataframe(events, _BAND_RULES)
+    bands = ["band_low", "band_mid", "band_high", "band_vhigh"]
+    return (
+        coded.select(
+            "event_type",
+            F.element_at(F.col("categories"), "band").alias("band"),
+        )
+        .filter(F.col("band").isNotNull())
+        .groupBy("event_type")
+        .pivot("band", bands)
+        .count()
+        .fillna(0, subset=bands)
+    )
+
+
 # ---------------------------------------------------------------------------
 # C9 epi-week bucketing over the events stream (day:2 exercises the
 # year-boundary path: Jan 1-2 2024 belong to epi year 2023).
