@@ -138,12 +138,24 @@ def double_double_alerts(
     the reference's factor is exactly 2 — "double-double").
 
     The reference's raw-SQL ±2-week window with year wraparound becomes an
-    absolute-week axis with lag/sum windows.  The axis is ``epi_year * 52 +
-    epi_week`` because the reference's wraparound arithmetic assumes 52-week
-    years (add_multiple_alerts.py:288-316 maps week 52 of year Y and week 1
-    of year Y+1 to adjacent slots); a 53-multiplier would insert a phantom
-    gap at every ordinary year boundary and silently drop cross-New-Year
-    doubling trends.
+    absolute-week axis with lag/sum windows.  The axis doubles ``epi_year *
+    52 + epi_week`` and parks week 53 on the odd slot between week 52 and
+    the next year's week 1::
+
+        slot(Y, w)  = 2 * (Y*52 + least(w, 52)) + int(w == 53)
+
+    because the reference's wraparound arithmetic assumes 52-week years
+    (add_multiple_alerts.py:288-316 maps week 52 of year Y and week 1 of
+    year Y+1 to adjacent slots) *but* the ``leave_as_is`` week-53 strategy
+    (epi_week.py) emits genuine week-53 buckets: a plain 52-multiplier
+    would collide (Y, 53) with (Y+1, 1) — nondeterministic LAG ordering and
+    a double-counted 5-week sum — while a 53-multiplier would insert a
+    phantom gap at every ordinary year boundary and silently drop
+    cross-New-Year doubling trends.  On the doubled axis adjacency is
+    ``gap <= 2``: within-year successors and (Y,52)->(Y+1,1) have gap 2,
+    (Y,52)->(Y,53) and (Y,53)->(Y+1,1) have gap 1, and every non-adjacent
+    pair has gap >= 3, so the axis is injective and the reference's
+    adjacency assumptions are preserved exactly where they apply.
     """
     weekly = (
         df.filter(var_predicate)
@@ -157,7 +169,9 @@ def double_double_alerts(
             F.array_sort(F.collect_list(F.col(uuid_col))).alias("uuids"),
         )
         .withColumn(
-            "abs_week", F.col("epi_year") * 52 + F.col("epi_week")
+            "abs_week",
+            (F.col("epi_year") * 52 + F.least(F.col("epi_week"), F.lit(52))) * 2
+            + (F.col("epi_week") == 53).cast("int"),
         )
     )
     w = Window.partitionBy("clinic").orderBy("abs_week")
@@ -172,10 +186,12 @@ def double_double_alerts(
                 "total5": F.sum("count").over(w5),
             }
         )
-        # consecutive weeks only (the reference window is contiguous weeks)
+        # consecutive weeks only (the reference window is contiguous weeks);
+        # on the doubled axis adjacency is gap <= 2 (gap 1 only across a
+        # week-53 half-slot, gap 2 otherwise; ordering is strict so gaps > 0)
         .filter(
-            (F.col("abs_lag1") == F.col("abs_week") - 1)
-            & (F.col("abs_lag2") == F.col("abs_week") - 2)
+            (F.col("abs_week") - F.col("abs_lag1") <= 2)
+            & (F.col("abs_lag1") - F.col("abs_lag2") <= 2)
             & (F.col("lag2") > 1)
             & (F.col("lag1") >= F.lit(factor) * F.col("lag2"))
             & (F.col("count") >= F.lit(factor) * F.col("lag1"))

@@ -189,6 +189,36 @@ def test_double_double_across_year_boundary(spark):
     assert (out[0]["epi_year"], out[0]["epi_week"], out[0]["count"]) == (2018, 1, 8)
 
 
+def test_double_double_week53_chain(spark):
+    """(Y,52) -> (Y,53) -> (Y+1,1) are three DISTINCT consecutive slots:
+    the leave_as_is strategy emits genuine week-53 buckets (epi_week.py),
+    which must neither collide with (Y+1,1) on the axis (nondeterministic
+    LAG, double-counted 5-week sum) nor break the adjacency chain."""
+    rows = []
+    uid = 0
+    for year, week, n in [(2017, 52, 2), (2017, 53, 4), (2018, 1, 8)]:
+        for _ in range(n):
+            rows.append((f"u{uid}", 1, year, week))
+            uid += 1
+    df = spark.createDataFrame(rows, ["uuid", "clinic", "epi_year", "epi_week"])
+    out = al.double_double_alerts(
+        df, var_predicate=F.lit(True), clinic_col="clinic",
+        uuid_col="uuid", min_total=14, factor=2.0,
+    ).collect()
+    assert len(out) == 1
+    assert (out[0]["epi_year"], out[0]["epi_week"], out[0]["count"]) == (2018, 1, 8)
+    # a week-53 half-slot must NOT create a phantom gap for ordinary years
+    # ((Y,52) -> (Y+1,1) with no week-53 row stays adjacent):
+    rows2 = [(f"v{i}", 2, 2017, 52) for i in range(2)]
+    rows2 += [(f"w{i}", 2, 2017, 53) for i in range(1)]  # week 53 present but low
+    df2 = spark.createDataFrame(rows2, ["uuid", "clinic", "epi_year", "epi_week"])
+    out2 = al.double_double_alerts(
+        df2, var_predicate=F.lit(True), clinic_col="clinic",
+        uuid_col="uuid", min_total=14, factor=2.0,
+    ).collect()
+    assert out2 == []
+
+
 def test_qc_import_rules(spark):
     """Reference tests/test_quality_control.py:26-56 — failing between rule
     nulls the cell; category=['discard'] drops the row; replace:<col>
