@@ -585,21 +585,26 @@ _DD_Y_SQL, _DD_W_SQL = epi_week_duckdb_sql("ts", "day:0")
         FROM events
         WHERE event_type = 'error'
         GROUP BY 1, 2, 3
+    ), slotted AS (
+        -- week-53-safe axis: (Y,53) sits on the odd slot between (Y,52)
+        -- and (Y+1,1); adjacency below is gap <= 2 (see alerts.py A3)
+        SELECT *, (epi_year * 52 + LEAST(epi_week, 52)) * 2
+                  + CASE WHEN epi_week = 53 THEN 1 ELSE 0 END AS abs_week
+        FROM weekly
     ), lagged AS (
-        SELECT clinic, epi_year, epi_week, cnt,
-               epi_year * 52 + epi_week AS abs_week,
+        SELECT clinic, epi_year, epi_week, cnt, abs_week,
                LAG(cnt, 1) OVER w AS lag1,
                LAG(cnt, 2) OVER w AS lag2,
-               LAG(epi_year * 52 + epi_week, 1) OVER w AS abs_lag1,
-               LAG(epi_year * 52 + epi_week, 2) OVER w AS abs_lag2,
-               SUM(cnt) OVER (PARTITION BY clinic ORDER BY epi_year * 52 + epi_week
+               LAG(abs_week, 1) OVER w AS abs_lag1,
+               LAG(abs_week, 2) OVER w AS abs_lag2,
+               SUM(cnt) OVER (PARTITION BY clinic ORDER BY abs_week
                               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS total5
-        FROM weekly
-        WINDOW w AS (PARTITION BY clinic ORDER BY epi_year * 52 + epi_week)
+        FROM slotted
+        WINDOW w AS (PARTITION BY clinic ORDER BY abs_week)
     )
     SELECT clinic, epi_year, epi_week, cnt AS n
     FROM lagged
-    WHERE abs_lag1 = abs_week - 1 AND abs_lag2 = abs_week - 2
+    WHERE abs_week - abs_lag1 <= 2 AND abs_lag1 - abs_lag2 <= 2
       AND lag2 > 1 AND lag1 >= 1.0 * lag2 AND cnt >= 1.0 * lag1
       AND total5 >= 14
     """,
@@ -2448,6 +2453,70 @@ def upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = tempfile.gettempdir() + f"/msa_upsert_{abs(hash(sf_dir)) % 10**8}"
     shutil.rmtree(path, ignore_errors=True)
+    keys = ["event_id", "event_type"]
+    parts = ["event_type", "epi_week"]
+    upsert_by_key(spark, base, path, keys=keys, partition_by=parts)
+    upsert_by_key(spark, corrected, path, keys=keys, partition_by=parts)
+    upsert_by_key(spark, corrected, path, keys=keys, partition_by=parts)
+
+    return (
+        spark.read.parquet(path)
+        .groupBy("event_type", "epi_week")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@_register(
+    "upsert_partition_move",
+    f"""
+    WITH e AS (
+        SELECT event_id, event_type, {_UPS_W_SQL} AS epi_week, value
+        FROM events
+    ),
+    final AS (
+        SELECT event_id, event_type, epi_week + 1 AS epi_week, value * 2 AS value
+        FROM e WHERE epi_week IN (3, 4)
+        UNION ALL
+        SELECT event_id, event_type, epi_week, value
+        FROM e WHERE epi_week NOT IN (3, 4)
+    )
+    SELECT event_type, epi_week,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM final
+    GROUP BY 1, 2
+    """,
+)
+def upsert_partition_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 partition-MOVING correction (reference write_to_db.py:40-49 deletes
+    by key regardless of partition): a correction shifts every epi_week 3/4
+    row one week later — its (event_type, epi_week) PARTITION changes — and
+    is applied TWICE.  The oracle models exactly-once application, so a hash
+    match proves the stale versions were deleted from their old partitions
+    (epi_week=3 vanishes entirely, exercising the emptied-partition-dir
+    delete) and the replay added nothing."""
+    import shutil
+    import tempfile
+
+    from meerkat_abacus_spark.sinks.writers import upsert_by_key
+
+    events = _t(spark, sf_dir, "events")
+    _, epi_week = epi_week_columns(F.col("ts"), "international")
+    base = events.select(
+        "event_id", "event_type", epi_week.alias("epi_week"), "value"
+    )
+    corrected = (
+        base.filter(F.col("epi_week").isin(3, 4))
+        .withColumn("epi_week", F.col("epi_week") + 1)
+        .withColumn("value", F.col("value") * 2)
+    )
+
+    path = tempfile.gettempdir() + f"/msa_upsmove_{abs(hash(sf_dir)) % 10**8}"
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path + ".staging", ignore_errors=True)
     keys = ["event_id", "event_type"]
     parts = ["event_type", "epi_week"]
     upsert_by_key(spark, base, path, keys=keys, partition_by=parts)

