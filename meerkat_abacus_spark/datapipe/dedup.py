@@ -374,6 +374,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 15,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a near-duplicate candidate graph:
     ``(node, component)`` where component = min node id reachable.
@@ -386,10 +387,27 @@ def connected_components(
     cliques-ish).  Each pass is one shuffle on the node id; convergence is
     checked with a cheap count, so the driver loop runs O(log n) tiny jobs,
     not per-row work.
+
+    ``checkpoint_dir`` selects the lineage-truncation strategy: ``None``
+    uses ``localCheckpoint`` (executor memory/disk — fine single-node and
+    fastest), a path switches to RELIABLE ``checkpoint()`` into that
+    directory, which survives executor loss — the right setting on a real
+    cluster where a lost executor would otherwise kill a multi-hour dedup
+    job mid-iteration.
     """
+    spark = edges.sparkSession
+
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _pin(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint()
+        return df.localCheckpoint()
+
     # Materialize the (possibly expensive — LSH + Jaccard) edge pipeline ONCE:
     # the symmetric union references `edges` twice and each iteration rescans.
-    edges = edges.select(src, dst).localCheckpoint()
+    edges = _pin(edges.select(src, dst))
     # No distinct here: the input is canonical (src < dst) pairs, so the two
     # mirrored directions cannot collide — a distinct would be a pure extra
     # shuffle of the whole edge list.  (Duplicate edges, if a caller passed
@@ -403,8 +421,8 @@ def connected_components(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
     )
+    labels = _pin(labels)
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
@@ -427,8 +445,8 @@ def connected_components(
                     F.coalesce("nbr_min", F.col("component")) < F.col("component")
                 ).alias("__chg"),
             )
-            .localCheckpoint()
         )
+        updated = _pin(updated)
         changed = updated.filter(F.col("__chg")).limit(1).count()
         labels = updated.drop("__chg")
         if changed == 0:

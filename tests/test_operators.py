@@ -333,6 +333,28 @@ def test_connected_components_transitive(spark):
     assert comps == {1: 1, 2: 1, 3: 1, 5: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches lineage pinning from localCheckpoint
+    (executor memory) to reliable checkpoint() files that survive executor
+    loss — the cluster-scale path is a config flip, not a code edit."""
+    import os
+
+    from meerkat_abacus_spark.datapipe.dedup import connected_components
+
+    ckpt = str(tmp_path / "ckpt")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (5, 3)], ["id_a", "id_b"]
+    )
+    comps = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 5: 1, 10: 10, 11: 10}
+    # checkpoint files actually landed in the requested directory
+    found = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert found, "no reliable checkpoint files written"
+
+
 def test_salted_aggregation_equals_plain(spark):
     """Two-phase salted count/sum == plain groupBy on a hot-key fixture."""
     from meerkat_abacus_spark.functions.skew import salted_count, salted_sum
