@@ -86,12 +86,14 @@ class _CalcRewriter(ast.NodeTransformer):
     """
 
     def __init__(self) -> None:
-        self.had_division = False
+        self.divisors: list[str] = []
 
     def visit_BinOp(self, node: ast.BinOp):
         self.generic_visit(node)
         if isinstance(node.op, ast.Div):
-            self.had_division = True
+            # Record the divisor so the caller can scope the zero-fallback
+            # to actual division-by-zero (not to every NULL result).
+            self.divisors.append(ast.unparse(node.right))
             return ast.Call(
                 func=ast.Name(id="try_divide", ctx=ast.Load()),
                 args=[node.left, node.right],
@@ -109,16 +111,19 @@ class _CalcRewriter(ast.NodeTransformer):
         return node
 
 
-def _rewrite_calc_ast(sql: str) -> tuple[str, bool]:
+def _rewrite_calc_ast(sql: str) -> tuple[str, list[str]]:
     """Run :class:`_CalcRewriter` over the expression (column refs are
     stashed as placeholders, so it parses as Python — no fragile regex over
-    nested parens).  Returns (rewritten, had_division)."""
+    nested parens).  Returns (rewritten, divisor expressions)."""
     tmp = re.sub("\x00(\\d+)\x00", r"__ph\1", sql)
     rewriter = _CalcRewriter()
     tree = rewriter.visit(ast.parse(tmp, mode="eval"))
     new = ast.unparse(ast.fix_missing_locations(tree))
-    out = re.sub(r"__ph(\d+)", lambda m: f"\x00{m.group(1)}\x00", new)
-    return out, rewriter.had_division
+
+    def _unstash(s: str) -> str:
+        return re.sub(r"__ph(\d+)", lambda m: f"\x00{m.group(1)}\x00", s)
+
+    return _unstash(new), [_unstash(d) for d in rewriter.divisors]
 
 
 def _rewrite_int_calls(sql: str) -> str:
@@ -190,14 +195,24 @@ def translate_calculation(
             num = f"try_cast({stringified} AS DOUBLE)"
         sql = sql.replace(col, stash(num))
 
-    sql, had_division = _rewrite_calc_ast(sql)
+    sql, divisors = _rewrite_calc_ast(sql)
     sql = _rewrite_int_calls(sql)
+    if divisors and empty_as_zero:
+        # calc semantics: ZeroDivisionError aborts the whole eval and stores
+        # 0 with applicable=True (variable.py:315-319, test():163-171).  The
+        # fallback is scoped to the divisions themselves — "any divisor
+        # evaluates to 0 → whole result 0" — NOT a blanket
+        # coalesce(expr, 0): a NULL from e.g. Variable.to_date over an
+        # unparseable date must stay NULL exactly as it does in a
+        # division-free calc (the reference only converts
+        # ZeroDivisionError).  A NULL divisor leaves the CASE arm false and
+        # try_divide propagates the NULL.  Divisors appear twice (flag +
+        # division); both are projections and Spark's subexpression
+        # elimination shares the evaluation.
+        flags = " OR ".join(
+            f"(({_rewrite_int_calls(d)}) = 0.0D)" for d in divisors
+        )
+        sql = f"(CASE WHEN {flags} THEN 0.0D ELSE ({sql}) END)"
     for key, expr in placeholders.items():
         sql = sql.replace(key, expr)
-    if had_division and empty_as_zero:
-        # calc semantics: ZeroDivisionError aborts the whole eval and stores
-        # 0 with applicable=True (variable.py:315-319, test():163-171).  NULL
-        # from try_divide poisons the arithmetic upward, so one outer
-        # coalesce reproduces "any division by zero → whole result 0".
-        sql = f"coalesce(({sql}), 0.0D)"
     return sql

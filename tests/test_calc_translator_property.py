@@ -73,3 +73,29 @@ def test_translator_matches_reference_eval(spark):
             actual = got[ri][f"e{i}"]
             assert actual is not None, (e, row)
             assert abs(actual - expected) < 1e-9, (e, row, actual, expected)
+
+
+def test_null_handling_consistent_across_operator_mix(spark):
+    """The zero-fallback is scoped to actual division-by-zero: a NULL from
+    Variable.to_date over an unparseable date stays NULL whether or not the
+    calc also contains a '/' (the reference only converts ZeroDivisionError,
+    variable.py:315-319 — round-2 ADVICE item 3)."""
+    df = spark.createDataFrame([("not-a-date", "2", "0")], ["d", "x", "z"])
+    no_div = translate_calculation("Variable.to_date(d) + x", ["d", "x"], "day:0")
+    with_div = translate_calculation(
+        "Variable.to_date(d) / 86400 + x", ["d", "x"], "day:0"
+    )
+    null_divisor = translate_calculation(
+        "x / Variable.to_date(d)", ["d", "x"], "day:0"
+    )
+    zero_div = translate_calculation("x / z", ["x", "z"], "day:0")
+    row = df.select(
+        F.expr(no_div).alias("no_div"),
+        F.expr(with_div).alias("with_div"),
+        F.expr(null_divisor).alias("null_divisor"),
+        F.expr(zero_div).alias("zero_div"),
+    ).collect()[0]
+    assert row["no_div"] is None
+    assert row["with_div"] is None      # NULL stays NULL even with '/'
+    assert row["null_divisor"] is None  # NULL divisor is not a zero divisor
+    assert row["zero_div"] == 0.0       # genuine zero divisor -> 0
