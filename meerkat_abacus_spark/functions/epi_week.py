@@ -67,16 +67,34 @@ def epi_week_columns(
     d = F.to_date(date_col)
 
     if isinstance(epi_config, dict):
-        # epi year = largest configured year whose start date <= d.
+        # epi year = largest configured year whose start <= the record's
+        # TIMESTAMP: the reference compares full datetimes
+        # (__get_epi_week_for_custom_config, util/epi_week.py:44-60), so a
+        # configured start of e.g. 12:00 splits its own start day.  The
+        # raw week is the full-seconds difference floored to days then to
+        # weeks — floor(floor(s/86400)/7) — matching timedelta ``.days``
+        # followed by ``// 7``.
+        t = F.to_timestamp(date_col)
         items = sorted(epi_config.items())
         year_expr: Column = F.lit(None).cast("int")
-        start_expr: Column = F.lit(None).cast("date")
+        start_expr: Column = F.lit(None).cast("timestamp")
         for y, start in items:  # ascending: later matches overwrite earlier
-            sd = F.lit(start.date() if isinstance(start, _dt.datetime) else start)
-            cond = d >= sd
+            start_dt = (
+                start
+                if isinstance(start, _dt.datetime)
+                else _dt.datetime.combine(start, _dt.time())
+            )
+            sd = F.lit(start_dt)
+            cond = t >= sd
             year_expr = F.when(cond, F.lit(int(y))).otherwise(year_expr)
             start_expr = F.when(cond, sd).otherwise(start_expr)
-        epi_year, start = year_expr, start_expr
+        days = F.floor(
+            (F.unix_timestamp(t) - F.unix_timestamp(start_expr)) / 86400
+        )
+        week = (F.floor(days / 7) + 1).cast("int")
+        return _apply_week_53(
+            year_expr.cast("int"), week, week_53_strategy
+        )
     elif isinstance(epi_config, str) and epi_config.startswith("day:"):
         # Reference epi_week_for_date (util/epi_week.py:20-42): the raw week
         # is ALWAYS measured from the date's own CALENDAR-year epi start —
@@ -92,9 +110,14 @@ def epi_week_columns(
         start = epi_year_start_col(epi_year, epi_config)
 
     week = (F.floor(F.datediff(d, start) / 7) + 1).cast("int")
+    return _apply_week_53(epi_year.cast("int"), week, week_53_strategy)
 
-    # __handle_epi_week_53 (util/epi_week.py:10-17): a raw week of 0 or 53
-    # is remapped under EVERY strategy — leave_as_is yields week 53.
+
+def _apply_week_53(
+    epi_year: Column, week: Column, week_53_strategy: str
+) -> tuple[Column, Column]:
+    """__handle_epi_week_53 (util/epi_week.py:10-17): a raw week of 0 or 53
+    is remapped under EVERY strategy — leave_as_is yields week 53."""
     is_overflow = week.isin(0, 53)
     if week_53_strategy == "include_in_52":
         week = F.when(is_overflow, F.lit(52)).otherwise(week)
@@ -103,7 +126,7 @@ def epi_week_columns(
         week = F.when(is_overflow, F.lit(1)).otherwise(week)
     else:  # leave_as_is
         week = F.when(is_overflow, F.lit(53)).otherwise(week)
-    return epi_year.cast("int").alias("epi_year"), week.alias("epi_week")
+    return epi_year.alias("epi_year"), week.alias("epi_week")
 
 
 def epi_week_duckdb_sql(
@@ -120,16 +143,31 @@ def epi_week_duckdb_sql(
     d = f"CAST({date_expr} AS DATE)"
     if isinstance(epi_config, dict):
         # Mirror the Spark dict branch: epi year = largest configured year
-        # whose start date <= d (chained CASE, descending so the first match
-        # wins); the raw week is measured from that start.
+        # whose start TIMESTAMP <= the record's timestamp (chained CASE,
+        # descending so the first match wins); the raw week is the
+        # full-seconds difference floored to days then to weeks — the
+        # reference compares datetimes, not dates (util/epi_week.py:44-60).
+        t = f"CAST({date_expr} AS TIMESTAMP)"
         items = sorted(epi_config.items(), reverse=True)
         year_arms, start_arms = [], []
         for y, start in items:
-            sd = (start.date() if isinstance(start, _dt.datetime) else start).isoformat()
-            year_arms.append(f"WHEN {d} >= DATE '{sd}' THEN {int(y)}")
-            start_arms.append(f"WHEN {d} >= DATE '{sd}' THEN DATE '{sd}'")
+            start_dt = (
+                start
+                if isinstance(start, _dt.datetime)
+                else _dt.datetime.combine(start, _dt.time())
+            )
+            sd = start_dt.isoformat(sep=" ")
+            year_arms.append(f"WHEN {t} >= TIMESTAMP '{sd}' THEN {int(y)}")
+            start_arms.append(
+                f"WHEN {t} >= TIMESTAMP '{sd}' THEN TIMESTAMP '{sd}'"
+            )
         epi_year = "(CASE " + " ".join(year_arms) + " ELSE NULL END)"
         start = "(CASE " + " ".join(start_arms) + " ELSE NULL END)"
+        week = (
+            f"(CAST(floor(floor(date_diff('second', {start}, {t}) / 86400.0)"
+            f" / 7) AS INT) + 1)"
+        )
+        return _week_53_sql(f"CAST({epi_year} AS INT)", week, week_53_strategy)
     elif isinstance(epi_config, str) and epi_config.startswith("day:"):
         target = int(epi_config.split(":")[1])
 
@@ -153,6 +191,13 @@ def epi_week_duckdb_sql(
         start = f"make_date({epi_year}, 1, 1)"
 
     week = f"(CAST(floor(datediff('day', {start}, {d}) / 7) AS INT) + 1)"
+    return _week_53_sql(f"CAST({epi_year} AS INT)", week, week_53_strategy)
+
+
+def _week_53_sql(
+    epi_year: str, week: str, week_53_strategy: str
+) -> tuple[str, str]:
+    """SQL mirror of :func:`_apply_week_53`."""
     overflow = f"({week} IN (0, 53))"
     if week_53_strategy == "include_in_52":
         week = f"(CASE WHEN {overflow} THEN 52 ELSE {week} END)"
@@ -161,4 +206,4 @@ def epi_week_duckdb_sql(
         week = f"(CASE WHEN {overflow} THEN 1 ELSE {week} END)"
     else:  # leave_as_is: raw week 0 becomes 53 (util/epi_week.py:10-17)
         week = f"(CASE WHEN {overflow} THEN 53 ELSE {week} END)"
-    return f"CAST({epi_year} AS INT)", f"CAST({week} AS INT)"
+    return epi_year, f"CAST({week} AS INT)"

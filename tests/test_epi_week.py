@@ -107,6 +107,41 @@ def test_dict_config(spark):
     assert res[datetime.date(2012, 1, 5)] == (2012, 1)
 
 
+def test_dict_config_timestamp_granularity(spark):
+    """Dict start datetimes with a nonzero time split their own start DAY —
+    the reference compares full datetimes (util/epi_week.py:44-60,
+    __get_epi_week_for_custom_config); round-2 ADVICE item 4."""
+    config = {
+        2022: datetime.datetime(2022, 1, 6),
+        2023: datetime.datetime(2023, 1, 5, 12, 0),
+    }
+    before = datetime.datetime(2023, 1, 5, 6, 0)    # before the 12:00 start
+    after = datetime.datetime(2023, 1, 5, 13, 0)    # after it
+    res = _run(spark, [before, after], config)
+    # 13:00 is past the 2023 start -> (2023, week 1)
+    assert res[after] == (2023, 1)
+    # 06:00 still belongs to epi year 2022: 364 full days from 2022-01-06
+    # -> raw week 53 (leave_as_is keeps it)
+    assert res[before] == (2022, 53)
+
+    # the emitted DuckDB SQL agrees at timestamp granularity
+    import duckdb
+
+    from meerkat_abacus_spark.functions.epi_week import epi_week_duckdb_sql
+
+    y_sql, w_sql = epi_week_duckdb_sql("t", config)
+    con = duckdb.connect()
+    duck = con.sql(
+        f"""
+        SELECT {y_sql} AS epi_year, {w_sql} AS epi_week
+        FROM (VALUES (TIMESTAMP '2023-01-05 06:00:00'),
+                     (TIMESTAMP '2023-01-05 13:00:00')) AS v(t)
+        ORDER BY t
+        """
+    ).fetchall()
+    assert duck == [(2022, 53), (2023, 1)]
+
+
 def test_matches_duckdb_oracle(spark):
     """The Spark formula and the emitted DuckDB SQL agree over a dense range."""
     import duckdb
