@@ -52,13 +52,21 @@ def attach_binary_payload(
     )
 
 
-def _decode_stub(payload: bytes) -> tuple[int, int, int]:
+KNOWN_MEDIA_TYPES = ("image", "audio", "video")
+
+
+def _decode_stub(payload: bytes, media_type: str = "image") -> tuple[int, int, int]:
     """Deterministic fake decode: (byte_len, first_byte, feature).
 
     A real implementation would decode the image/audio frame here and emit
     shape/duration/etc.  Raising NotImplementedError for unknown media types
     keeps the contract honest.
     """
+    if media_type not in KNOWN_MEDIA_TYPES:
+        raise NotImplementedError(
+            f"no decoder for media_type {media_type!r}; known: "
+            f"{KNOWN_MEDIA_TYPES}"
+        )
     if payload is None:
         return 0, -1, 0
     first = payload[0] if payload else -1
@@ -76,7 +84,11 @@ def decode_media(df: DataFrame) -> DataFrame:
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = pdf["payload"].map(_decode_stub)
+            decoded = [
+                _decode_stub(p, m)
+                for p, m in zip(pdf["payload"], pdf["media_type"])
+            ]
+            decoded = pd.Series(decoded, index=pdf.index)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -136,13 +136,19 @@ def lsh_topk(
         F.col(vec_col).alias("cv"),
         sign_lsh_bucket(F.col(vec_col), bucket_dims).alias("bucket"),
     )
+    if n_probe <= 1:
+        # fast path: the home bucket is a plain column — no probe array,
+        # no Generate node on the broadcast side
+        bucket = sign_lsh_bucket(F.col(vec_col), bucket_dims).alias("bucket")
+    else:
+        bucket = F.explode(
+            multiprobe_buckets(F.col(vec_col), bucket_dims, n_probe)
+        ).alias("bucket")
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
-            F.explode(
-                multiprobe_buckets(F.col(vec_col), bucket_dims, n_probe)
-            ).alias("bucket"),
+            bucket,
         )
     )
     sim = cosine_similarity(F.col("qv"), F.col("cv"))

