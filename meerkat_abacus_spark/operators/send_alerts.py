@@ -21,6 +21,19 @@ from pyspark.sql import functions as F
 from meerkat_abacus_spark.functions.cols import qcol
 
 
+#: Default per-template channel formats.  The reference renders Jinja
+#: templates ``alerts/<name>/{text,sms,html}`` (util/__init__.py:549-560);
+#: here each channel is a ``format_string`` pattern over the ordered args
+#: (alert_id, reason, clinic, date) — same data dict, JVM-side rendering.
+DEFAULT_TEMPLATES: dict[str, dict[str, str]] = {
+    "case": {
+        "text": "Alert %s: %s at clinic %s on %s",
+        "sms": "Alert %s: %s (%s, %s)",
+        "html": "<b>Alert %s</b>: %s at clinic %s on %s",
+    }
+}
+
+
 def render_alert_messages(
     df: DataFrame,
     uuid_col: str = "uuid",
@@ -28,24 +41,78 @@ def render_alert_messages(
     clinic_col: str = "clinic",
     date_col: str = "date",
     alert_id_len: int = 6,
-    template: str = "Alert %s: %s at clinic %s on %s",
+    template: str | None = None,
+    templates: dict[str, dict[str, str]] | None = None,
+    reason_templates: dict[str, str] | None = None,
+    default_template: str = "case",
+    subject_prefix: str = "Public Health Surveillance Alerts",
+    alert_mediums: dict[str, list[str]] | None = None,
 ) -> DataFrame:
-    """Filter individual alerts and render text; alert_id = uuid suffix
-    (send_alerts.py:24-25; FIXTURES.md: uuid 'abcdefghijk' → id 'fghijk')."""
+    """Filter individual alerts and render the message surface; alert_id =
+    uuid suffix (send_alerts.py:24-25; FIXTURES.md: uuid 'abcdefghijk' →
+    id 'fghijk').
+
+    Reference parity (send_alerts.py:17-31 + util/__init__.py:520-588):
+
+    - ``templates`` maps a template NAME to its three channel formats
+      (``text``/``sms``/``html``); ``reason_templates`` maps an alert
+      reason to its template name (the reference's per-variable
+      ``alert_message``, defaulting to "case").  Rendered columns:
+      ``message``, ``sms_message``, ``html_message`` — all chained-CASE +
+      ``format_string`` projections, pure codegen.
+    - ``subject`` = ``"<prefix>: #<alert_id>"`` (util/__init__.py:583).
+    - ``alert_mediums`` mirrors the country config: first key that is a
+      SUBSTRING of the alert reason wins (util/__init__.py:562-573);
+      ``DEFAULT`` overrides the built-in ``['email', 'sms']``.
+
+    ``template`` (single format) is the compact legacy surface: when given,
+    it becomes the "case" text template and only ``message`` is rendered.
+    """
     out = df.filter(F.col("alert") & (F.coalesce(F.col("sub_alert"), F.lit(0)) == 0))
     alert_id = F.right(qcol(uuid_col).cast("string"), F.lit(alert_id_len))
-    return out.withColumns(
-        {
-            "alert_id": alert_id,
-            "message": F.format_string(
-                template,
-                alert_id,
-                qcol(reason_col).cast("string"),
-                qcol(clinic_col).cast("string"),
-                qcol(date_col).cast("string"),
-            ),
-        }
+    args = (
+        alert_id,
+        qcol(reason_col).cast("string"),
+        qcol(clinic_col).cast("string"),
+        qcol(date_col).cast("string"),
     )
+    legacy = templates is None
+    if legacy:
+        templates = {
+            default_template: {
+                "text": template or DEFAULT_TEMPLATES["case"]["text"]
+            }
+        }
+
+    def _channel(channel: str):
+        expr = F.format_string(templates[default_template][channel], *args)
+        for reason, tname in (reason_templates or {}).items():
+            expr = F.when(
+                qcol(reason_col) == F.lit(reason),
+                F.format_string(templates[tname][channel], *args),
+            ).otherwise(expr)
+        return expr
+
+    cols = {"alert_id": alert_id, "message": _channel("text")}
+    if not legacy:
+        cols["sms_message"] = _channel("sms")
+        cols["html_message"] = _channel("html")
+        cols["subject"] = F.concat(
+            F.lit(subject_prefix + ": #"), alert_id
+        )
+        mediums = dict(alert_mediums or {})
+        medium = F.array(
+            *[F.lit(m) for m in mediums.pop("DEFAULT", ["email", "sms"])]
+        )
+        # first configured code contained in the reason wins (the
+        # reference breaks out of the loop on first match)
+        for code, meds in reversed(list(mediums.items())):
+            medium = F.when(
+                qcol(reason_col).cast("string").contains(code),
+                F.array(*[F.lit(m) for m in meds]),
+            ).otherwise(medium)
+        cols["medium"] = medium
+    return out.withColumns(cols)
 
 
 def topic_fan_out(

@@ -1706,6 +1706,105 @@ def send_alerts_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fanned.select("uuid", "topic")
 
 
+@_register(
+    "send_alerts_messages",
+    """
+    WITH buckets AS (
+        SELECT event_type, user_id AS clinic,
+               date_trunc('day', ts) AS period_start,
+               MIN(CAST(event_id AS VARCHAR)) AS master
+        FROM events
+        WHERE event_type IN ('error', 'purchase')
+        GROUP BY 1, 2, 3
+        HAVING COUNT(*) >= 3
+    ), r AS (
+        SELECT master AS uuid, right(master, 6) AS alert_id,
+               CASE event_type WHEN 'error' THEN 'err_daily'
+                               ELSE 'buy_daily' END AS reason,
+               CAST(clinic AS VARCHAR) AS clinic_s,
+               CAST(period_start AS VARCHAR) AS date_s
+        FROM buckets
+    )
+    SELECT uuid, alert_id,
+           CASE WHEN reason = 'buy_daily'
+                THEN printf('Purchase alert %s: %s at clinic %s on %s',
+                            alert_id, reason, clinic_s, date_s)
+                ELSE printf('Alert %s: %s at clinic %s on %s',
+                            alert_id, reason, clinic_s, date_s) END AS message,
+           CASE WHEN reason = 'buy_daily'
+                THEN printf('PURCHASE %s %s %s %s',
+                            alert_id, reason, clinic_s, date_s)
+                ELSE printf('ALERT %s %s %s %s',
+                            alert_id, reason, clinic_s, date_s) END AS sms_message,
+           CASE WHEN reason = 'buy_daily'
+                THEN printf('<i>Purchase alert %s</i>: %s at clinic %s on %s',
+                            alert_id, reason, clinic_s, date_s)
+                ELSE printf('<b>Alert %s</b>: %s at clinic %s on %s',
+                            alert_id, reason, clinic_s, date_s) END AS html_message,
+           'Public Health Surveillance Alerts: #' || alert_id AS subject,
+           CASE WHEN reason LIKE '%buy%' THEN 'sms' ELSE 'email,sms' END AS medium
+    FROM r
+    """,
+)
+def send_alerts_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 template parity (reference send_alerts.py:17-31 +
+    util/__init__.py:520-588): per-reason template selection renders
+    SEPARATE text/sms/html fields, a subject line, and the medium list
+    chosen by the first configured code contained in the alert reason —
+    all chained-CASE format_string projections, zero Python in the loop."""
+    events = _t(spark, sf_dir, "events").withColumn(
+        "uuid", F.col("event_id").cast("string")
+    )
+    reps = []
+    for etype, reason in [("error", "err_daily"), ("purchase", "buy_daily")]:
+        found = al.threshold_alerts(
+            events,
+            var_predicate=F.col("event_type") == etype,
+            clinic_col="user_id",
+            date_col="ts",
+            uuid_col="uuid",
+            daily_limit=3,
+        )
+        reps.append(
+            al.assign_representatives(found).withColumns(
+                {
+                    "alert": F.lit(True),
+                    "alert_reason": F.lit(reason),
+                    # DATE, not timestamp: renders as '2024-01-01' in both
+                    # engines (DuckDB's date_trunc('day') returns DATE)
+                    "date": F.to_date(F.col("period_start")),
+                }
+            )
+        )
+    rep = reps[0].unionByName(reps[1])
+    rendered = render_alert_messages(
+        rep,
+        templates={
+            "case": {
+                "text": "Alert %s: %s at clinic %s on %s",
+                "sms": "ALERT %s %s %s %s",
+                "html": "<b>Alert %s</b>: %s at clinic %s on %s",
+            },
+            "purchase": {
+                "text": "Purchase alert %s: %s at clinic %s on %s",
+                "sms": "PURCHASE %s %s %s %s",
+                "html": "<i>Purchase alert %s</i>: %s at clinic %s on %s",
+            },
+        },
+        reason_templates={"buy_daily": "purchase"},
+        alert_mediums={"buy": ["sms"], "DEFAULT": ["email", "sms"]},
+    )
+    return rendered.select(
+        "uuid",
+        "alert_id",
+        "message",
+        "sms_message",
+        "html_message",
+        "subject",
+        F.array_join(F.col("medium"), ",").alias("medium"),
+    )
+
+
 # --- V2 sub_match + V6 value rules over part/orders ------------------------
 
 _SUBMATCH_RULES = [
