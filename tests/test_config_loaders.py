@@ -117,3 +117,35 @@ def test_attach_device_tags(spark):
     )
     out = {r["uuid"]: r["tags"] for r in attach_device_tags(df, devices).collect()}
     assert out == {"u1": "refugee_camp", "u2": None}
+
+
+def test_reader_option_surfaces():
+    """S2/S3 cannot be exercised in the sandbox (no S3 endpoint, no DB);
+    the option builders are the testable seam — the readers are the same
+    code pointed at s3a:// / jdbc: URIs (round-2 verdict #10)."""
+    from meerkat_abacus_spark.sources.batch import (
+        csv_reader_options,
+        jdbc_reader_options,
+    )
+
+    assert csv_reader_options() == {
+        "header": "true", "multiLine": "false", "inferSchema": "false",
+    }
+    assert csv_reader_options(multiline=True)["multiLine"] == "true"
+
+    plain = jdbc_reader_options("jdbc:postgresql://db/meerkat", "data")
+    assert plain == {"url": "jdbc:postgresql://db/meerkat", "dbtable": "data"}
+    assert "partitionColumn" not in plain
+
+    parted = jdbc_reader_options(
+        "jdbc:postgresql://db/meerkat", "data",
+        partition_column="id", num_partitions=16,
+        lower_bound=5, upper_bound=500,
+        properties={"user": "abacus", "fetchsize": 10000},
+    )
+    assert parted["partitionColumn"] == "id"
+    assert parted["numPartitions"] == "16"
+    assert parted["lowerBound"] == "5"
+    assert parted["upperBound"] == "500"
+    assert parted["user"] == "abacus"
+    assert parted["fetchsize"] == "10000"
