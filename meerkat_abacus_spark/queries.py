@@ -3337,3 +3337,182 @@ def links_self_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date(first["l_shipdate"]).alias("first_ship"),
         last["l_returnflag"].alias("last_flag"),
     )
+
+
+@_register(
+    "asof_join",
+    """
+    WITH l AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), r AS (
+        SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ), r1 AS (
+        SELECT user_id, ts, value FROM r WHERE rn = 1
+    )
+    SELECT l.event_id, l.user_id, l.ts,
+           r1.ts AS purchase_ts,
+           ROUND(r1.value, 2) AS purchase_value
+    FROM l ASOF LEFT JOIN r1
+      ON l.user_id = r1.user_id AND l.ts >= r1.ts
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click gets the latest same-user purchase at-or-
+    before it (operators/temporal.py).  The oracle is DuckDB's NATIVE
+    ``ASOF LEFT JOIN`` — the Spark composition (tag + union + one
+    last-non-null window per user) must reproduce the textbook semantics
+    exactly, including the <= tie (a purchase at the click's own timestamp
+    matches) and left-outer nulls before any purchase exists.
+
+    Scale: one Exchange on user_id for left+right together — the same
+    shuffle a sort-merge equi-join would pay — then a linear running
+    window.  No cogroup, no Python, no per-key arrays.
+    """
+    from meerkat_abacus_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, purchases,
+        on=["user_id"], ts_col="ts", payload_cols=["value"],
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("ts_r").alias("purchase_ts"),
+        F.round("value_r", 2).alias("purchase_value"),
+    )
+
+
+@_register(
+    "range_join_windows",
+    """
+    WITH win AS (
+        SELECT event_id AS window_id, ts AS w_start,
+               ts + INTERVAL 30 MINUTE AS w_end
+        FROM events WHERE event_type = 'error' AND value >= 9.5
+    ), pts AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, w.window_id,
+           w.w_start AS window_start
+    FROM pts p JOIN win w
+      ON p.ts >= w.w_start AND p.ts < w.w_end
+    """,
+)
+def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join with NO equi-key: clicks landing inside any
+    global incident window (30 min after a severe error).  Bucketed range
+    join (operators/temporal.py): both sides gain a time-bucket equi-key,
+    intervals explode to the <=3 buckets they overlap, and the residual
+    range predicate rides the equi-join — candidate pairs are bounded by
+    bucket co-residency instead of |points| x |intervals|.
+
+    The naive Spark plan for this query is a BroadcastNestedLoopJoin that
+    stops working the moment the interval side outgrows the driver; the
+    bucketed plan shuffles |points| + ~2x|intervals| rows and scales with
+    data, not with the product.
+    """
+    from meerkat_abacus_spark.operators.temporal import range_join_buckets
+
+    ev = _t(spark, sf_dir, "events")
+    points = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    windows = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") >= 9.5)
+    ).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+    )
+    joined = range_join_buckets(
+        points, windows, point_ts="ts",
+        start_col="w_start", end_col="w_end", bucket_seconds=900,
+    )
+    return joined.select(
+        "event_id", "user_id", "window_id",
+        F.col("w_start").alias("window_start"),
+    )
+
+
+@_register(
+    "streaming_sessionize",
+    """
+    WITH gaps AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_seq,
+               ts
+        FROM gaps
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT)
+               AS duration_s
+    FROM sessions
+    GROUP BY 1, 2
+    """,
+)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator (streaming/stateful.py): the
+    events table is replayed as four time-sliced files, one micro-batch
+    each (availableNow + maxFilesPerTrigger=1); per-user session state in
+    ``applyInPandasWithState`` stitches sessions ACROSS batch boundaries.
+    The final session table must hash-equal the pure-batch oracle — the
+    strongest statement that the stateful operator neither drops, splits,
+    nor double-counts sessions at micro-batch seams."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from meerkat_abacus_spark.streaming.stateful import (
+        run_sessionize_over_files,
+    )
+
+    base = tempfile.gettempdir() + f"/msa_sess_{abs(hash(sf_dir)) % 10**8}"
+    src, ckpt = base + "/src", base + "/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(src)
+
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    # Four global time slices -> each user's events arrive in time order
+    # across micro-batches (the operator's documented ordering contract).
+    bounds = events.selectExpr(
+        "percentile_approx(ts, array(0.25, 0.5, 0.75), 10000) q"
+    ).collect()[0]["q"]
+    lo = [None] + list(bounds)
+    hi = list(bounds) + [None]
+    for k, (a, b) in enumerate(zip(lo, hi)):
+        sl = events
+        if a is not None:
+            sl = sl.filter(F.col("ts") > F.lit(a))
+        if b is not None:
+            sl = sl.filter(F.col("ts") <= F.lit(b))
+        tmp = f"{base}/tmp{k}"
+        sl.coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dest = f"{src}/slice{k}.parquet"
+        shutil.move(part, dest)
+        shutil.rmtree(tmp)
+        os.utime(dest, (1_700_000_000 + k, 1_700_000_000 + k))
+
+    name = f"sess_{abs(hash(sf_dir)) % 10**8}"
+    return run_sessionize_over_files(spark, src, ckpt, queryName=name)

@@ -1,0 +1,155 @@
+"""Custom stateful streaming operator: gap-based sessionization with
+``applyInPandasWithState``.
+
+The batch form (queries.py ``event_sessionize``) is two windows + a groupBy;
+this is the STREAMING form the brief's "custom stateful operators" bullet
+calls for: per-user session state lives in the state store, micro-batches
+extend or close sessions as events arrive, and a session that spans many
+micro-batches is stitched by state — not by re-reading history.
+
+Semantics pinned to the batch query (and its DuckDB oracle):
+
+- a gap strictly greater than ``gap_us`` microseconds closes the session;
+- ``session_seq`` numbers a user's sessions 1..n in time order;
+- ``duration_s`` is ``floor(last_epoch_s) - floor(first_epoch_s)`` (the
+  batch form's ``cast(ts as long)`` difference).
+
+Emission protocol (output mode ``update``): every batch that touches a
+session emits its current snapshot ``(user_id, session_seq, n_events,
+duration_s)``.  ``n_events`` is strictly monotone within a session, so the
+final state of each session is exactly the emission with the largest
+``n_events`` — ``latest_sessions`` dedupes on that, making the streaming
+result comparable (hash-equal) to the batch result without waiting for
+timeouts to flush open sessions.
+
+Ordering contract: the source must deliver each user's events in
+non-decreasing event-time order ACROSS micro-batches (within a batch the
+operator sorts).  A file-drop source of time-sliced files satisfies this;
+for out-of-order sources put a watermark + sort buffer (or the built-in
+``session_window``) in front.  This matches the reference's model where
+corrections arrive as re-submissions through the idempotent upsert, not as
+out-of-order raw events.
+
+Scale: state is O(active users) x one open session each; each micro-batch
+shuffles only its own rows (hash on user_id); Arrow batches carry the
+per-group pandas frames.  At 100 TB / 1000 executors the state store
+partitions with the shuffle — no global structure.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id long, session_seq long, n_events long, duration_s long"
+)
+STATE_SCHEMA = "session_seq long, start_us long, last_us long, n long"
+
+
+def _session_func(gap_us: int):
+    """Build the per-group stateful function (gap in microseconds)."""
+
+    def func(
+        key: tuple,
+        pdf_iter: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            seq, start_us, last_us, n = state.get
+        else:
+            seq, start_us, last_us, n = 0, None, None, 0
+
+        touched: dict[int, tuple[int, int, int]] = {}
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            # datetime64[ns] -> integer microseconds
+            ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+            for t in ts_us:
+                if last_us is None or t - last_us > gap_us:
+                    seq += 1
+                    start_us, n = int(t), 0
+                last_us = int(t)
+                n += 1
+                touched[seq] = (start_us, last_us, n)
+
+        state.update((seq, start_us, last_us, n))
+        if touched:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(touched),
+                    "session_seq": list(touched),
+                    "n_events": [v[2] for v in touched.values()],
+                    "duration_s": [
+                        v[1] // 1_000_000 - v[0] // 1_000_000
+                        for v in touched.values()
+                    ],
+                }
+            )
+
+    return func
+
+
+def sessionize_stream(
+    events_stream: DataFrame, gap_seconds: int = 1800
+) -> DataFrame:
+    """Attach the stateful sessionizer to a streaming events DataFrame
+    (columns: user_id, ts, event_id).  Returns the update-mode emission
+    stream; pipe through ``latest_sessions`` after collection."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _session_func(gap_seconds * 1_000_000),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def latest_sessions(emissions: DataFrame) -> DataFrame:
+    """Collapse update-mode emissions to each session's final snapshot.
+
+    ``n_events`` grows strictly within a session, so ``max(n_events)`` per
+    (user_id, session_seq) identifies the final emission; ``duration_s``
+    rides along via ``max_by``-free aggregation because duration is also
+    monotone (last_us only advances)."""
+    from pyspark.sql import functions as F
+
+    return emissions.groupBy("user_id", "session_seq").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("duration_s").alias("duration_s"),
+    )
+
+
+def run_sessionize_over_files(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    gap_seconds: int = 1800,
+    queryName: str = "stateful_sessions",
+) -> DataFrame:
+    """Drive the sessionizer over a directory of time-sliced parquet files
+    (one micro-batch per file, oldest modification time first) with an
+    availableNow trigger, and return the final session table."""
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    emissions = sessionize_stream(stream, gap_seconds=gap_seconds)
+    q = (
+        emissions.writeStream.format("memory")
+        .queryName(queryName)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return latest_sessions(spark.table(queryName))

@@ -1,0 +1,118 @@
+"""Scale rehearsal for the dedup family (round-2 verdict #8).
+
+Builds a ~sf1.0 documents corpus (10x the sf0.1 table; every copy gets a
+distinct marker token spliced between words so copies are NOT near-dups of
+each other — the duplicate structure within each copy mirrors the source
+data, the corpus-level uniqueness mirrors a real 10x scale-up), then times
+``dedup_minhash_lsh`` and ``dedup_clusters`` at sf0.1 and sf~1.0 and
+reports LSH bucket-size discipline (max / p99 band-bucket population).
+
+Run: ``python tools/scale_rehearsal.py``  → one JSON line.
+Evidence target: sf1.0 wall within ~10x of sf0.1 (linear-ish), max bucket
+size flat — candidate generation stays equi-join-bounded, no quadratic
+spill.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def build_sf1(spark, src_dir: str, dest_dir: str) -> None:
+    docs = spark.read.parquet(f"{src_dir}/documents.parquet")
+    copies = [
+        docs.select(
+            (F.col("doc_id") + 10_000_000 * k).alias("doc_id"),
+            (
+                F.col("text")
+                if k == 0
+                # splice a copy-marker token between every pair of words:
+                # nearly every shingle differs, so copies are unique docs
+                else F.regexp_replace(
+                    F.col("text"), " ", f" w{k}x "
+                )
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for k in range(10)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.write.mode("overwrite").parquet(f"{dest_dir}/documents.parquet")
+
+
+def bucket_stats(spark, sf_dir: str) -> dict:
+    """Band-bucket population distribution for the minhash-LSH config used
+    by the dedup_minhash_lsh query (k=3 shingles, 8 hashes, 4 bands)."""
+    from meerkat_abacus_spark.datapipe import dedup as dd
+    from meerkat_abacus_spark.queries import _doc_corpus
+
+    base = _doc_corpus(spark, sf_dir).select(
+        "doc_id",
+        F.array_distinct(
+            dd.shingles_from_tokens(dd.tokens_col(F.col("text")), 3)
+        ).alias("sh"),
+    )
+    keys = base.withColumn(
+        "sig", dd.minhash_signature(F.col("sh"), num_hashes=8)
+    ).select(
+        F.explode(dd.lsh_band_keys(F.col("sig"), bands=4, rows_per_band=2)).alias(
+            "band_key"
+        )
+    )
+    sizes = keys.groupBy("band_key").count()
+    row = sizes.agg(
+        F.max("count").alias("max"),
+        F.expr("percentile_approx(count, 0.99)").alias("p99"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    ).collect()[0]
+    return {"max_bucket": row["max"], "p99_bucket": row["p99"],
+            "n_buckets": row["n_buckets"]}
+
+
+def time_queries(spark, sf_dir: str) -> dict:
+    from meerkat_abacus_spark.queries import QUERIES
+
+    out = {}
+    for name in ("dedup_minhash_lsh", "dedup_clusters"):
+        t0 = time.time()
+        n = QUERIES[name](spark, sf_dir).count()
+        out[name] = {"sec": round(time.time() - t0, 2), "rows": n}
+    return out
+
+
+def main() -> None:
+    from meerkat_abacus_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_rehearsal")
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    dest = tempfile.gettempdir() + "/msa_scale_sf1"
+    shutil.rmtree(dest, ignore_errors=True)
+    build_sf1(spark, src, dest)
+
+    report = {
+        "sf0.1": {**time_queries(spark, src), **bucket_stats(spark, src)},
+        "sf~1.0": {**time_queries(spark, dest), **bucket_stats(spark, dest)},
+    }
+    for name in ("dedup_minhash_lsh", "dedup_clusters"):
+        a = report["sf0.1"][name]["sec"]
+        b = report["sf~1.0"][name]["sec"]
+        report[f"{name}_scale_ratio_10x_data"] = round(b / a, 2) if a else None
+    print(json.dumps(report))
+    shutil.rmtree(dest, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
