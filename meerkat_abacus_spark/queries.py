@@ -66,9 +66,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # read nanos as long (exact) and rebuild a µs timestamp with integer
     # division — no double round-trip, no precision loss.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # µs-naive testdata must read as plain TIMESTAMP, not TIMESTAMP_NTZ
+    # (session tz is UTC, so the instants match DuckDB's naive reader).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -47,6 +47,13 @@ def get_spark(
         # so library sessions never trip on it; query code still sets it
         # defensively for caller-owned sessions (e.g. the round driver's).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Driver testdata timestamps are timezone-naive parquet µs; Spark 4
+        # infers those as TIMESTAMP_NTZ by default, which chronology
+        # functions like unix_micros reject.  The session timezone is UTC,
+        # so reading them as plain TIMESTAMP preserves the wall-clock
+        # instants DuckDB's naive reader sees while keeping one timestamp
+        # type across the engine.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # Production-sized codes files (hundreds of rules) compile into deep
         # Catalyst trees; the default JVM thread stack overflows in analysis.
