@@ -37,6 +37,11 @@ def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
     PERF CONTRACT: ``toks`` must be a bound column — a lambda over an unbound
     ``split(...)`` expression re-splits the text once per shingle, turning
     the stage O(len²) (measured 9 s for 10k docs vs sub-second bound).
+    Binding via ``select``/``withColumn`` staging does NOT stick: Catalyst's
+    CollapseProject merges adjacent projections and re-inlines the
+    expression.  The reliable no-shuffle bind is a Generate barrier —
+    ``F.explode(F.array(toks_expr))`` — whose output attribute the optimizer
+    cannot collapse through (see :func:`minhash_lsh_candidates`).
     """
     return F.when(
         F.size(toks) >= k,
@@ -55,7 +60,7 @@ def shingles_col(text: Column, k: int = 3) -> Column:
     return shingles_from_tokens(tokens_col(text), k)
 
 
-def minhash_signature(shingle_arr: Column, num_hashes: int = 8) -> Column:
+def minhash_signature(shingle_arr: Column, num_hashes: int = 64) -> Column:
     """Portable MinHash signature: 4 independent 32-bit hash slices per md5.
 
     One ``md5(g || ':' || shingle)`` yields 32 hex chars = four 8-hex-char
@@ -64,6 +69,11 @@ def minhash_signature(shingle_arr: Column, num_hashes: int = 8) -> Column:
     ``num_hashes / 4`` md5 evaluations per shingle — md5 dominates this
     operator's cost at corpus scale.  Any SQL engine reproduces the exact
     strings (the DuckDB oracle does).
+
+    PERF CONTRACT: ``shingle_arr`` must be bound (Generate barrier, not a
+    collapsible select) or each of the ``num_hashes/4`` digest passes
+    re-evaluates the whole shingle expression — see
+    :func:`minhash_lsh_candidates` for the staged hot-path construction.
     """
     if num_hashes % 4:
         raise ValueError("num_hashes must be a multiple of 4")
@@ -122,44 +132,84 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 3,
-    num_hashes: int = 8,
-    bands: int = 4,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows_per_band: int | None = None,
+    max_bucket_size: int | None = 50,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
     Returns distinct ``(id_a, id_b)`` with ``id_a < id_b`` plus the exact
     shingle-set Jaccard of each candidate (verification pass).  The pairwise
     join is on the band key only — at 100 TB the band key is the shuffle key
-    and bucket sizes stay small, so no O(n²) blowup.
+    and bucket sizes must stay small, so no O(n²) blowup.
+
+    Scale parameterization (round-3 rehearsal lesson): with only 8 hashes in
+    4 bands × 2 rows, band-key collision probability is j² — low-similarity
+    background pairs collide often enough that bucket sizes GROW with corpus
+    cardinality (measured: max bucket 24 → 5 296 at 10× data, wall 23×).
+    The 64-hash / 16-band / 4-row default steepens the S-curve to j⁴
+    (same ~0.5 threshold: (1/16)^(1/4)) so background collisions die out,
+    and ``max_bucket_size`` hard-bounds the residual worst case: buckets
+    over the cap emit STAR edges to the bucket's min id instead of all
+    pairs — O(bucket) work, and connectivity through the bucket (what the
+    downstream connected-components keep-one pass needs) is preserved
+    exactly.  Pass ``max_bucket_size=None`` to disable the guard.
     """
     if num_hashes % 4:
         raise ValueError("num_hashes must be a multiple of 4")
-    rows_per_band = num_hashes // bands
-    # Stage-wise materialization (tokens → shingles → md5 digests → slice
-    # minima → band keys): lambdas over unbound array expressions re-evaluate
-    # the whole upstream per element/reference — see datapipe/text.py perf
-    # contract.  Digest arrays are materialized per seed group so the four
-    # slice-min passes share one md5 pass.
+    if rows_per_band is None:
+        rows_per_band = num_hashes // bands
+    if bands * rows_per_band != num_hashes:
+        raise ValueError(
+            f"bands ({bands}) × rows_per_band ({rows_per_band}) "
+            f"must equal num_hashes ({num_hashes})"
+        )
     groups = num_hashes // 4
-    base = (
-        df.select(
-            F.col(id_col).alias("id"),
-            tokens_col(F.col(text_col)).alias("toks"),
-        )
-        .withColumn(
-            "sh", F.array_distinct(shingles_from_tokens(F.col("toks"), shingle_k))
-        )
-        .drop("toks")
+    spark = df.sparkSession
+
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    # A small-file scan can come in as 1-2 input splits; this stage is
+    # CPU-bound (shingling + num_hashes/4 md5 passes per doc), so feed it
+    # every core.  Conditional: a 100 TB scan already has thousands of
+    # splits and must NOT pay a gratuitous full-text reshuffle.
+    parallelism = spark.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < parallelism:
+        base = base.repartition(parallelism)
+    # Stage-wise materialization (tokens → shingles → md5 digests → slice
+    # minima → band keys) via GENERATE BARRIERS — ``explode(array(x))`` is a
+    # 1:1 row op whose output attribute Catalyst cannot inline through
+    # (CollapseProject merges plain select/withColumn stages right back, so
+    # "bind via select" does NOT stick; measured at sf0.1: 12 s re-splitting
+    # inside the shingle lambda vs ~1 s bound).  Three barriers pin each
+    # stage to exactly one evaluation: tokens (referenced 3×/shingle),
+    # shingles (referenced by `groups` digest passes), digests (each
+    # referenced by 4 slice-min passes).
+    base = base.select(
+        "id", F.explode(F.array(tokens_col(F.col("text")))).alias("toks")
     )
+    base = base.select(
+        "id",
+        F.explode(
+            F.array(
+                F.array_distinct(shingles_from_tokens(F.col("toks"), shingle_k))
+            )
+        ).alias("sh"),
+    )
+
     def _seeded(seed: int):
         return lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))
 
-    for g in range(groups):
-        base = base.withColumn(
-            f"__dg{g}", F.transform(F.col("sh"), _seeded(g))
-        )
+    dgs = F.array(*[F.transform(F.col("sh"), _seeded(g)) for g in range(groups)])
+    keyed = base.filter(F.size("sh") >= 1).select(
+        "id", "sh", F.explode(F.array(dgs)).alias("dgs")
+    )
     sig = F.array(
-        *[m for g in range(groups) for m in _slice_mins(F.col(f"__dg{g}"))]
+        *[
+            m
+            for g in range(groups)
+            for m in _slice_mins(F.element_at(F.col("dgs"), g + 1))
+        ]
     )
     # The band join and the pair-dedup shuffle only (id, band_key) /
     # (id_a, id_b) — never the shingle arrays.  A duplicate pair collides in
@@ -169,14 +219,40 @@ def minhash_lsh_candidates(
     # few bytes per row.  The shingle sets re-attach once per UNIQUE pair via
     # two equi-joins against the (id, sh) projection; re-deriving shingles for
     # that projection is map-side CPU on the scan, no extra shuffle.
-    keys = base.withColumn("sig", sig).select(
+    # Empty shingle arrays (docs shorter than k tokens) would all share one
+    # constant band key per band — a junk bucket that grows with the corpus.
+    # `keyed` excludes them before keying (a <k-token doc has no shingle
+    # evidence to near-dup on anyway; exact dedup still catches
+    # byte-identical ones).
+    keys = keyed.withColumn("sig", sig).select(
         "id",
         F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias(
             "band_key"
         ),
     )
+    if max_bucket_size is None:
+        left = keys
+    else:
+        # Bucket-size guard: per band key, count + min id (one groupBy on the
+        # same key the pair join shuffles on — co-partitioned, no extra
+        # Exchange pattern).  Rows of oversized buckets survive on the LEFT
+        # side of the pair join only if they ARE the bucket minimum, so an
+        # n-row pathological bucket emits n-1 star edges instead of n(n-1)/2
+        # pairs — the quadratic comparison work itself is what gets bounded,
+        # not just the output.
+        stats = keys.groupBy("band_key").agg(
+            F.count(F.lit(1)).alias("__n"), F.min("id").alias("__min_id")
+        )
+        left = (
+            keys.join(stats, "band_key")
+            .filter(
+                (F.col("__n") <= F.lit(max_bucket_size))
+                | (F.col("id") == F.col("__min_id"))
+            )
+            .select("id", "band_key")
+        )
     id_pairs = (
-        keys.alias("a")
+        left.alias("a")
         .join(
             keys.alias("b"),
             (F.col("a.band_key") == F.col("b.band_key"))
@@ -221,19 +297,29 @@ def exact_dedup(
     ).drop("__keep_id")
 
 
-def _hex4_to_int(hex_col: Column) -> Column:
-    """First-4-hex-chars → int via strpos arithmetic (portable to any SQL)."""
+def _hex_slice_to_int(hex_col: Column, start: int = 0, width: int = 4) -> Column:
+    """``width`` hex chars at offset ``start`` → int, via strpos arithmetic
+    (portable to any SQL engine)."""
     alphabet = "0123456789abcdef"
     out = F.lit(0)
-    for pos in range(4):
-        digit = F.instr(F.lit(alphabet), F.substring(hex_col, pos + 1, 1)) - 1
+    for pos in range(width):
+        digit = (
+            F.instr(F.lit(alphabet), F.substring(hex_col, start + pos + 1, 1)) - 1
+        )
         out = out * 16 + digit
     return out
 
 
-def token_hash16(tok: Column) -> Column:
-    """16-bit portable token hash: int of md5(token)[0:4]."""
-    return _hex4_to_int(F.md5(tok))
+def token_hash16(tok: Column, slice_idx: int = 0) -> Column:
+    """16-bit portable token hash: int of 4 hex chars of md5(token).
+
+    ``slice_idx`` (0–7) selects which 16-bit slice of the 128-bit md5 to
+    use — slices are independent hashes, which is how :func:`simhash_slices`
+    widens the fingerprint without a second digest pass.
+    """
+    if not 0 <= slice_idx < 8:
+        raise ValueError("md5 has eight 16-bit slices: slice_idx in [0, 8)")
+    return _hex_slice_to_int(F.md5(tok), start=4 * slice_idx)
 
 
 def simhash_from_hashes(hashes: Column) -> Column:
@@ -262,7 +348,11 @@ def simhash_from_hashes(hashes: Column) -> Column:
 def simhash16(text: Column) -> Column:
     """Convenience single-expression SimHash; for hot paths materialize the
     token hashes first and use :func:`simhash_from_hashes`."""
-    return simhash_from_hashes(F.transform(tokens_col(text), token_hash16))
+    # one-parameter wrapper: token_hash16 itself now takes (tok, slice_idx)
+    # and a 2-param HOF callable would receive (element, index) from PySpark
+    return simhash_from_hashes(
+        F.transform(tokens_col(text), lambda t: token_hash16(t))
+    )
 
 
 def hamming16(a: Column, b: Column) -> Column:
@@ -272,6 +362,41 @@ def hamming16(a: Column, b: Column) -> Column:
     for bit in range(16):
         out = out + F.shiftright(x, bit).bitwiseAND(F.lit(1))
     return out
+
+
+def simhash_slices(text: Column, bits: int = 64) -> Column:
+    """Width-parameterized SimHash as an ARRAY<INT> of 16-bit slices.
+
+    16 bits saturates on real corpora (2¹⁶ fingerprints ≪ corpus size, so
+    unrelated documents collide by pigeonhole alone); the production default
+    is 64.  Each slice `s` is the 16-bit SimHash computed from the s-th
+    16-bit slice of md5(token) — md5's 128 bits give eight independent
+    slices, so widths up to 128 come from the ONE digest per token the
+    16-bit variant already pays.  The sliced representation sidesteps
+    signed-64-bit overflow a single ≥64-bit fingerprint integer would hit,
+    and per-slice equality doubles as cheap LSH blocking (documents within
+    Hamming r of each other share at least one exact slice when
+    r < bits/16).  Still a pure projection: no shuffle, no UDF.
+    """
+    if bits % 16 or not 0 < bits <= 128:
+        raise ValueError("bits must be a multiple of 16 in (0, 128]")
+    def _slice_hash(s: int):
+        # factory, not a default-arg lambda: a 2-parameter lambda would
+        # receive (element, index) from PySpark and clobber the slice index
+        return lambda t: token_hash16(t, slice_idx=s)
+
+    toks = tokens_col(text)
+    slices = []
+    for s in range(bits // 16):
+        hs = F.transform(toks, _slice_hash(s))
+        slices.append(simhash_from_hashes(hs))
+    return F.array(*slices)
+
+
+def hamming_slices(a: Column, b: Column) -> Column:
+    """Hamming distance between two sliced fingerprints (equal widths)."""
+    per_slice = F.zip_with(a, b, lambda x, y: hamming16(x, y))
+    return F.aggregate(per_slice, F.lit(0), lambda acc, v: acc + v)
 
 
 def ngram_jaccard_pairs(
@@ -288,14 +413,20 @@ def ngram_jaccard_pairs(
     shuffle partition's worth of same-key rows.  Use LSH candidates or a
     cheap attribute (language × length bucket) as the block.
     """
+    # Generate barriers bind tokens then shingles to one evaluation each —
+    # plain select staging collapses and re-splits per shingle element.
     base = df.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("id"),
-        tokens_col(F.col(text_col)).alias("toks"),
+        F.explode(F.array(tokens_col(F.col(text_col)))).alias("toks"),
     ).select(
         "block",
         "id",
-        F.array_distinct(shingles_from_tokens(F.col("toks"), shingle_k)).alias("sh"),
+        F.explode(
+            F.array(
+                F.array_distinct(shingles_from_tokens(F.col("toks"), shingle_k))
+            )
+        ).alias("sh"),
     )
     a, b = base.alias("a"), base.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))

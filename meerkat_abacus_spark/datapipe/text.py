@@ -94,7 +94,9 @@ def predict_language(toks_lower: Column, default: str = "und") -> Column:
 
 def token_hashes(toks: Column) -> Column:
     """Array of 16-bit portable token hashes over a materialized token array."""
-    return F.transform(toks, token_hash16)
+    # one-parameter wrapper: token_hash16 takes (tok, slice_idx) and a
+    # 2-param HOF callable would receive (element, index) from PySpark
+    return F.transform(toks, lambda t: token_hash16(t))
 
 
 def kgram_hashes(hashes: Column, k: int = 3, mod: int = 1000003) -> Column:

@@ -58,17 +58,32 @@ def _register(name: str, oracle: str | None = None):
     return wrap
 
 
+def _scratch_tag(sf_dir: str) -> str:
+    """Stable per-sf-dir scratch-path tag.  md5, NOT python hash(): str hash
+    is salted per process, so hash()-keyed /tmp/msa_* dirs multiply across
+    runs instead of being reused and cleaned by the next run."""
+    import hashlib
+
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
+    # Defensive reader configs, set BEFORE any read and for EVERY table (not
+    # just events): orders.o_orderdate / lineitem.l_shipdate are also naive
+    # timestamp[us] parquet columns, so on a caller-owned session without
+    # get_spark's defaults they would read as TIMESTAMP_NTZ and mix with LTZ
+    # literals downstream — and gating the conf on one table would make
+    # schemas order-dependent across reads.  UTC session time keeps the
+    # naive→LTZ cast instant-preserving (matches DuckDB's naive reader).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name != "events":
         return spark.read.parquet(path)
     # events carries TIMESTAMP(NANOS) which Spark's vectorized reader rejects;
     # read nanos as long (exact) and rebuild a µs timestamp with integer
     # division — no double round-trip, no precision loss.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # µs-naive testdata must read as plain TIMESTAMP, not TIMESTAMP_NTZ
-    # (session tz is UTC, so the instants match DuckDB's naive reader).
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -1034,45 +1049,90 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MINHASH_ORACLE = f"""
-    WITH corpus AS ({_DOC_CORPUS_SQL}),
+# Shared MinHash-LSH parameterization for the dedup queries AND their DuckDB
+# oracles AND tools/scale_rehearsal.py.  64 hashes / 16 bands × 4 rows keeps
+# the ~0.5 S-curve threshold of the old 8/4×2 config ((1/16)^(1/4) ≈
+# (1/4)^(1/2)) but drops the background collision rate from j² to j⁴ — the
+# round-3 rehearsal measured the old config's band buckets GROWING with
+# corpus size (max 24 → 5 296 at 10× data).  max_bucket_size is the hard
+# guard behind the statistics: oversized buckets degrade to star edges.
+MINHASH_CFG: dict[str, int] = {
+    "shingle_k": 3,
+    "num_hashes": 64,
+    "bands": 16,
+    "rows_per_band": 4,
+    "max_bucket_size": 50,
+}
+
+
+def _minhash_oracle_sql(corpus_sql: str, min_jaccard: float = 0.4) -> str:
+    """DuckDB mirror of ``dd.minhash_lsh_candidates`` under ``MINHASH_CFG``.
+
+    Generated, not hand-written, so the oracle tracks the config: same
+    md5-slice signature, same band keys, same bucket-size guard (rows of
+    buckets over the cap pair only via the bucket-min star edge).
+    """
+    k = MINHASH_CFG["shingle_k"]
+    groups = MINHASH_CFG["num_hashes"] // 4
+    bands = MINHASH_CFG["bands"]
+    rpb = MINHASH_CFG["rows_per_band"]
+    cap = MINHASH_CFG["max_bucket_size"]
+    shingle_expr = " || ' ' || ".join(
+        "t[i]" if j == 0 else f"t[i+{j}]" for j in range(k)
+    )
+    dg_cols = ",\n               ".join(
+        f"list_transform(sh, s -> md5('{g}:' || s)) AS dg{g}"
+        for g in range(groups)
+    )
+    sig_items = ",\n                ".join(
+        f"list_aggregate(list_transform(dg{g}, h -> substr(h, {8 * j + 1}, 8)), 'min')"
+        for g in range(groups)
+        for j in range(4)
+    )
+    band_items = ",\n            ".join(
+        "md5('%d' || '|' || %s)"
+        % (b, " || '|' || ".join(f"sig[{b * rpb + r + 1}]" for r in range(rpb)))
+        for b in range(bands)
+    )
+    return f"""
+    WITH corpus AS ({corpus_sql}),
     sh AS (
         SELECT doc_id,
-               CASE WHEN len(t) >= 3 THEN
-                   list_distinct(list_transform(range(1, len(t) - 1),
-                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+               CASE WHEN len(t) >= {k} THEN
+                   list_distinct(list_transform(range(1, len(t) - {k - 2}),
+                       i -> {shingle_expr}))
                ELSE [] END AS sh
         FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
               FROM corpus)
     ),
     dg AS (
         SELECT doc_id, sh,
-               list_transform(sh, s -> md5('0:' || s)) AS dg0,
-               list_transform(sh, s -> md5('1:' || s)) AS dg1
-        FROM sh
+               {dg_cols}
+        FROM sh WHERE len(sh) >= 1
     ),
     sig AS (
         SELECT doc_id, sh,
-               [{", ".join(
-                   "list_aggregate(list_transform(dg%d, h -> substr(h, %d, 8)), 'min')"
-                   % (g, 8 * j + 1) for g in range(2) for j in range(4)
-               )}] AS sig
+               [{sig_items}] AS sig
         FROM dg
     ),
     banded AS (
         SELECT doc_id, sh, UNNEST([
-            md5('0' || '|' || COALESCE(sig[1], '') || '|' || COALESCE(sig[2], '')),
-            md5('1' || '|' || COALESCE(sig[3], '') || '|' || COALESCE(sig[4], '')),
-            md5('2' || '|' || COALESCE(sig[5], '') || '|' || COALESCE(sig[6], '')),
-            md5('3' || '|' || COALESCE(sig[7], '') || '|' || COALESCE(sig[8], ''))
+            {band_items}
         ]) AS band_key
         FROM sig
+    ),
+    stats AS (
+        SELECT band_key, COUNT(*) AS n, MIN(doc_id) AS min_id
+        FROM banded GROUP BY 1
     ),
     pairs AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                a.sh AS sh_a, b.sh AS sh_b
-        FROM banded a JOIN banded b
+        FROM banded a
+        JOIN stats s ON s.band_key = a.band_key
+        JOIN banded b
           ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        WHERE s.n <= {cap} OR a.doc_id = s.min_id
     )
     SELECT id_a, id_b,
            ROUND(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
@@ -1080,16 +1140,18 @@ _MINHASH_ORACLE = f"""
                AS jaccard
     FROM pairs
     WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
-          (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.4
+          (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= {min_jaccard}
 """
+
+
+_MINHASH_ORACLE = _minhash_oracle_sql(_DOC_CORPUS_SQL)
 
 
 @_register("dedup_minhash_lsh", _MINHASH_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _doc_corpus(spark, sf_dir)
     cands = dd.minhash_lsh_candidates(
-        corpus, id_col="doc_id", text_col="text",
-        shingle_k=3, num_hashes=8, bands=4,
+        corpus, id_col="doc_id", text_col="text", **MINHASH_CFG
     )
     return cands.filter(F.col("jaccard") >= 0.4).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
@@ -2348,7 +2410,7 @@ def _doc_corpus3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(p1).unionByName(p2)
 
 
-_CC_EDGES_SQL = _MINHASH_ORACLE.replace(_DOC_CORPUS_SQL, _DOC_CORPUS3_SQL)
+_CC_EDGES_SQL = _minhash_oracle_sql(_DOC_CORPUS3_SQL)
 
 
 @_register(
@@ -2374,8 +2436,7 @@ _CC_EDGES_SQL = _MINHASH_ORACLE.replace(_DOC_CORPUS_SQL, _DOC_CORPUS3_SQL)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _doc_corpus3(spark, sf_dir)
     pairs = dd.minhash_lsh_candidates(
-        corpus, id_col="doc_id", text_col="text",
-        shingle_k=3, num_hashes=8, bands=4,
+        corpus, id_col="doc_id", text_col="text", **MINHASH_CFG
     ).filter(F.col("jaccard") >= 0.4)
     comps = dd.connected_components(pairs)
     return comps.groupBy("component").agg(
@@ -2693,7 +2754,7 @@ def upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value", F.col("value") * 2
     )
 
-    path = tempfile.gettempdir() + f"/msa_upsert_{abs(hash(sf_dir)) % 10**8}"
+    path = tempfile.gettempdir() + f"/msa_upsert_{_scratch_tag(sf_dir)}"
     shutil.rmtree(path, ignore_errors=True)
     keys = ["event_id", "event_type"]
     parts = ["event_type", "epi_week"]
@@ -2756,7 +2817,7 @@ def upsert_partition_move(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("value", F.col("value") * 2)
     )
 
-    path = tempfile.gettempdir() + f"/msa_upsmove_{abs(hash(sf_dir)) % 10**8}"
+    path = tempfile.gettempdir() + f"/msa_upsmove_{_scratch_tag(sf_dir)}"
     shutil.rmtree(path, ignore_errors=True)
     shutil.rmtree(path + ".staging", ignore_errors=True)
     keys = ["event_id", "event_type"]
@@ -2804,7 +2865,7 @@ def streaming_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerkat_abacus_spark.streaming.foreach_batch import stream_pipeline
 
     events = _t(spark, sf_dir, "events")
-    tag = abs(hash(sf_dir)) % 10**8
+    tag = _scratch_tag(sf_dir)
     src = tempfile.gettempdir() + f"/msa_stream_src_{tag}"
     out = tempfile.gettempdir() + f"/msa_stream_out_{tag}"
     ckpt = tempfile.gettempdir() + f"/msa_stream_ckpt_{tag}"
@@ -2904,7 +2965,7 @@ def incremental_links_equals_batch(spark: SparkSession, sf_dir: str) -> DataFram
     lineitem = _t(spark, sf_dir, "lineitem")
     li_old = lineitem.filter(F.col("l_linenumber") <= 3)
     li_new = lineitem.filter(F.col("l_linenumber") > 3)
-    path = tempfile.gettempdir() + f"/msa_increm_{abs(hash(sf_dir)) % 10**8}"
+    path = tempfile.gettempdir() + f"/msa_increm_{_scratch_tag(sf_dir)}"
     shutil.rmtree(path, ignore_errors=True)
 
     def project(linked: DataFrame) -> DataFrame:
@@ -3492,7 +3553,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_sessionize_over_files,
     )
 
-    base = tempfile.gettempdir() + f"/msa_sess_{abs(hash(sf_dir)) % 10**8}"
+    base = tempfile.gettempdir() + f"/msa_sess_{_scratch_tag(sf_dir)}"
     src, ckpt = base + "/src", base + "/ckpt"
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(src)
@@ -3519,5 +3580,108 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp)
         os.utime(dest, (1_700_000_000 + k, 1_700_000_000 + k))
 
-    name = f"sess_{abs(hash(sf_dir)) % 10**8}"
+    name = f"sess_{_scratch_tag(sf_dir)}"
     return run_sessionize_over_files(spark, src, ckpt, queryName=name)
+
+
+# ===========================================================================
+# Registry ordering.  The driver's correctness gate snapshots the FIRST 50
+# registry entries, so the order below is curated, not incidental: every
+# SURVEY §2 operator's canonical query plus the scale-watch queries
+# (dedup_minhash_lsh / dedup_clusters / upsert_partition_move /
+# streaming_sessionize / asof_join) sit inside the snapshot window; queries
+# after position 50 are redundant variants of operators already covered
+# (e.g. sql_api_cases = the flagship as a SQL view, links_any_all = C4
+# already covered by coding_multiple_link) — all still oracle-verified
+# locally by tools/compare.py's full-registry sweep.
+# ===========================================================================
+
+_REGISTRY_PRIORITY = [
+    # -- surveillance engine: one canonical query per SURVEY §2 operator --
+    "flagship_cases_region_epiweek",    # A7 + C9 + J5
+    "qc_filters",                       # F2 F3 F4
+    "fanout_data_types",                # G1
+    "multirow_split",                   # G2
+    "coding_variables",                 # V1 V3 C1
+    "coding_groups_priority",           # C2 C3 C5
+    "coding_sub_match",                 # V2
+    "coding_value_date",                # V6 C10
+    "coding_calc_to_date",              # V5 + calc grammar
+    "coding_multiple_link",             # C4
+    "epiweek_counts",                   # C9 international
+    "epiweek_strategies",               # C9 week-0/53 strategies
+    "links_ordered",                    # J1 J3
+    "links_self_union",                 # J4
+    "initial_visit_dedup",              # J7
+    "alert_threshold",                  # A1 A4
+    "alert_threshold_weekly",           # A2
+    "alert_double_double",              # A3
+    "alert_masters_data",               # J8
+    "send_alerts_topics",               # A5 fan-out
+    "send_alerts_messages",             # A5 template parity
+    "location_rollup",                  # J5
+    "population_rollup",                # A6
+    "point_in_polygon",                 # J6
+    "pipeline_composed",                # C8 + end-to-end composition
+    "deterministic_sample",             # F1
+    "upsert_idempotent",                # K2
+    "upsert_partition_move",            # K2 partition-boundary watch
+    "streaming_equals_batch",           # S4
+    "incremental_links_equals_batch",   # J2
+    "streaming_sessionize",             # stateful streaming watch
+    "asof_join",                        # temporal join
+    "range_join_windows",               # temporal join
+    # -- LLM-data-pipeline: canonical query per operator family --
+    "dedup_exact",
+    "dedup_minhash_lsh",                # scale-watch (LSH discipline)
+    "dedup_clusters",                   # scale-watch (components)
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding",
+    "ann_brute_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_recall",
+    "text_stats",
+    "text_langid",
+    "text_quality",
+    "doc_fingerprint",
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_frames",
+    # ---- position 51+: variants of operators already covered above ----
+    "event_sessionize",
+    "skew_salted_agg",
+    "stratified_sample",
+    "quality_topk_per_source",
+    "doc_packing",
+    "text_clean",
+    "text_redact_pii",
+    "text_repetition",
+    "category_pivot",
+    "coding_calc_to_date_dict",
+    "epiweek_dict_config",
+    "links_any_all",
+    "sql_api_cases",
+    "pricing_summary",
+    "shipping_priority",
+    "local_supplier_volume",
+    "ann_lsh_multiprobe",
+    "dedup_embedding_lsh",
+]
+
+
+def _reorder_registry() -> None:
+    missing = [n for n in _REGISTRY_PRIORITY if n not in QUERIES]
+    unlisted = [n for n in QUERIES if n not in _REGISTRY_PRIORITY]
+    if missing or unlisted:
+        raise RuntimeError(
+            f"registry/priority drift: missing={missing} unlisted={unlisted}"
+        )
+    for d in (QUERIES, ORACLES):
+        ordered = {n: d[n] for n in _REGISTRY_PRIORITY if n in d}
+        d.clear()
+        d.update(ordered)
+
+
+_reorder_registry()

@@ -371,3 +371,117 @@ def test_salted_aggregation_equals_plain(spark):
     salted_s = {r["k"]: r["sum"] for r in salted_sum(df, ["k"], "v").collect()}
     assert salted_n == {k: v[0] for k, v in plain.items()}
     assert salted_s == {k: v[1] for k, v in plain.items()}
+
+
+def test_minhash_bucket_cap_star_edges(spark):
+    """Buckets over max_bucket_size degrade to star edges around the bucket
+    min — O(bucket) pairs, connectivity preserved.  8 identical docs with
+    cap=3: every band bucket holds all 8, so only doc-min star pairs
+    (7 of them) survive instead of the 28 all-pairs."""
+    from meerkat_abacus_spark.datapipe.dedup import minhash_lsh_candidates
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(8)],
+        ["doc_id", "text"],
+    )
+    capped = minhash_lsh_candidates(
+        docs, num_hashes=16, bands=4, max_bucket_size=3
+    ).collect()
+    assert sorted((r["id_a"], r["id_b"]) for r in capped) == [
+        (0, j) for j in range(1, 8)
+    ]
+    assert all(r["jaccard"] == 1.0 for r in capped)
+    # uncapped: the full quadratic pair set
+    full = minhash_lsh_candidates(
+        docs, num_hashes=16, bands=4, max_bucket_size=None
+    ).count()
+    assert full == 28
+
+
+def test_minhash_small_buckets_unaffected_by_cap(spark):
+    """Below the cap, the guarded plan emits exactly the all-pairs set."""
+    from meerkat_abacus_spark.datapipe.dedup import minhash_lsh_candidates
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words about spark partitions here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            docs, num_hashes=16, bands=8, max_bucket_size=50
+        ).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            docs, num_hashes=16, bands=8, max_bucket_size=None
+        ).collect()
+    }
+    assert got == uncapped
+    assert (1, 2) in got  # near-dups collide in some band
+
+
+def test_minhash_rows_per_band_validation(spark):
+    from meerkat_abacus_spark.datapipe.dedup import minhash_lsh_candidates
+
+    docs = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        minhash_lsh_candidates(docs, num_hashes=16, bands=3)  # 3 ∤ 16
+
+
+def test_simhash_slices_width_and_distance(spark):
+    """Width-parameterized SimHash: bits/16 slices; identical text → 0
+    distance, near-identical → small, unrelated → large."""
+    from meerkat_abacus_spark.datapipe.dedup import (
+        hamming_slices,
+        simhash_slices,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("same text about distributed query engines and columnar scans",
+             "same text about distributed query engines and columnar scans"),
+            ("same text about distributed query engines and columnar scans",
+             "same text about distributed query engines and columnar scan"),
+            ("same text about distributed query engines and columnar scans",
+             "unrelated poem regarding mountains rivers meadows and snowfall"),
+        ],
+        ["a", "b"],
+    )
+    out = df.select(
+        F.size(simhash_slices(F.col("a"), bits=64)).alias("w"),
+        hamming_slices(
+            simhash_slices(F.col("a"), bits=64),
+            simhash_slices(F.col("b"), bits=64),
+        ).alias("d"),
+    ).collect()
+    assert [r["w"] for r in out] == [4, 4, 4]
+    d_same, d_near, d_far = (r["d"] for r in out)
+    assert d_same == 0
+    assert 0 < d_near < d_far
+    assert d_far > 10
+
+
+def test_simhash_slices_slice0_matches_simhash16(spark):
+    """Slice 0 of the widened fingerprint IS the portable 16-bit SimHash —
+    the oracle-checked variant is unchanged by the widening."""
+    from pyspark.sql import functions as F
+
+    from meerkat_abacus_spark.datapipe.dedup import simhash16, simhash_slices
+
+    df = spark.createDataFrame(
+        [("one two three four five six seven",)], ["t"]
+    )
+    row = df.select(
+        simhash16(F.col("t")).alias("fp16"),
+        F.element_at(simhash_slices(F.col("t"), bits=64), 1).alias("s0"),
+    ).collect()[0]
+    assert row["fp16"] == row["s0"]

@@ -55,21 +55,35 @@ def build_sf1(spark, src_dir: str, dest_dir: str) -> None:
 
 def bucket_stats(spark, sf_dir: str) -> dict:
     """Band-bucket population distribution for the minhash-LSH config used
-    by the dedup_minhash_lsh query (k=3 shingles, 8 hashes, 4 bands)."""
+    by the dedup_minhash_lsh query (read from queries.MINHASH_CFG so this
+    rehearsal always measures the shipped parameterization)."""
     from meerkat_abacus_spark.datapipe import dedup as dd
-    from meerkat_abacus_spark.queries import _doc_corpus
+    from meerkat_abacus_spark.queries import MINHASH_CFG, _doc_corpus
 
     base = _doc_corpus(spark, sf_dir).select(
         "doc_id",
         F.array_distinct(
-            dd.shingles_from_tokens(dd.tokens_col(F.col("text")), 3)
+            dd.shingles_from_tokens(
+                dd.tokens_col(F.col("text")), MINHASH_CFG["shingle_k"]
+            )
         ).alias("sh"),
     )
-    keys = base.withColumn(
-        "sig", dd.minhash_signature(F.col("sh"), num_hashes=8)
-    ).select(
-        F.explode(dd.lsh_band_keys(F.col("sig"), bands=4, rows_per_band=2)).alias(
-            "band_key"
+    keys = (
+        base.filter(F.size("sh") >= 1)
+        .withColumn(
+            "sig",
+            dd.minhash_signature(
+                F.col("sh"), num_hashes=MINHASH_CFG["num_hashes"]
+            ),
+        )
+        .select(
+            F.explode(
+                dd.lsh_band_keys(
+                    F.col("sig"),
+                    bands=MINHASH_CFG["bands"],
+                    rows_per_band=MINHASH_CFG["rows_per_band"],
+                )
+            ).alias("band_key")
         )
     )
     sizes = keys.groupBy("band_key").count()
