@@ -135,6 +135,71 @@ def winnow(kh: Column, window: int = 4) -> Column:
     return F.array_distinct(mins)
 
 
+
+def repeated_span_stats(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    mod: int = 1000003,
+    min_docs: int = 2,
+):
+    """Per-document repeated-span statistics (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL'22): a k-token span is
+    REPEATED if its rolling hash occurs in >= ``min_docs`` distinct
+    documents; each document reports how much of it is made of such spans.
+
+    Returns ``(id, n_kgrams, n_repeated, dup_frac)`` — documents shorter
+    than k tokens have no spans and are absent.
+
+    Scale shape: explode k-gram hashes (one int per token, ~doc length), one
+    groupBy on the hash for distinct-doc counts (map-side partial aggs
+    apply), one join back on the hash, one groupBy on the doc id — the
+    information-theoretic minimum of two shuffle keys for corpus-wide span
+    frequency.  No fingerprint sampling: this is the exact variant; at
+    100 TB swap the exact hash count for a winnowed subset
+    (:func:`winnow`) to trade recall for volume.
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    parallelism = spark.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < parallelism:
+        base = base.repartition(parallelism)
+    # Generate barriers pin tokens -> token hashes -> k-gram hashes to one
+    # evaluation each (see datapipe/dedup.py: select staging collapses).
+    base = base.select(
+        "id", F.explode(F.array(tokens_col(F.col("text")))).alias("toks")
+    )
+    base = base.select(
+        "id", F.explode(F.array(token_hashes(F.col("toks")))).alias("hs")
+    )
+    base = base.select(
+        "id",
+        F.explode(F.array(kgram_hashes(F.col("hs"), k=k, mod=mod))).alias("kh"),
+    )
+    spans = base.select("id", F.explode("kh").alias("h"))
+    doc_counts = spans.groupBy("h").agg(
+        F.count_distinct("id").alias("__ndocs")
+    )
+    flagged = spans.join(doc_counts, "h")
+    repeated = F.sum(
+        F.when(F.col("__ndocs") >= min_docs, 1).otherwise(0)
+    ).alias("n_repeated")
+    return flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kgrams"),
+        repeated,
+    ).select(
+        "id",
+        "n_kgrams",
+        "n_repeated",
+        F.round(
+            F.col("n_repeated").cast("double") / F.col("n_kgrams").cast("double"),
+            4,
+        ).alias("dup_frac"),
+    )
+
 __all__ = [
     "LANG_PROFILES",
     "BPE_REGEX",
@@ -148,5 +213,6 @@ __all__ = [
     "predict_language",
     "token_hashes",
     "kgram_hashes",
+    "repeated_span_stats",
     "winnow",
 ]

@@ -3584,6 +3584,127 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sessionize_over_files(spark, src, ckpt, queryName=name)
 
 
+
+# ---------------------------------------------------------------------------
+# Wide SimHash near-dup pairs: the 64-bit sliced fingerprint doubles as its
+# own LSH (per-slice blocking); exact Hamming verify.  Oracle mirrors the
+# md5-slice arithmetic per 16-bit slice.
+# ---------------------------------------------------------------------------
+
+
+def _simhash_wide_oracle_sql(
+    corpus_sql: str, n_slices: int = 4, max_hamming: int = 8
+) -> str:
+    def tok_hash(s: int) -> str:
+        return " + ".join(
+            f"((strpos('0123456789abcdef', substr(md5(t), {4 * s + p + 1}, 1)) - 1)"
+            f" * {16 ** (3 - p)})"
+            for p in range(4)
+        )
+
+    hs_cols = ",\n               ".join(
+        f"list_transform(toks, t -> {tok_hash(s)}) AS hs{s}"
+        for s in range(n_slices)
+    )
+    fp_items = ",\n                ".join(
+        _SIMHASH_BITS_SQL.replace("(hs,", f"(hs{s},") for s in range(n_slices)
+    )
+    blocks = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {s} AS si, fp[{s + 1}] AS sv, fp FROM fps"
+        for s in range(n_slices)
+    )
+    hamming = " + ".join(
+        f"(CASE WHEN (fp_a[{s + 1}] // {1 << b}) % 2 != "
+        f"(fp_b[{s + 1}] // {1 << b}) % 2 THEN 1 ELSE 0 END)"
+        for s in range(n_slices)
+        for b in range(16)
+    )
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM corpus
+    ),
+    hss AS (
+        SELECT doc_id,
+               {hs_cols}
+        FROM tok
+    ),
+    fps AS (
+        SELECT doc_id,
+               [{fp_items}] AS fp
+        FROM hss
+    ),
+    blocks AS (
+        {blocks}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.fp AS fp_a, b.fp AS fp_b
+        FROM blocks a JOIN blocks b
+          ON a.si = b.si AND a.sv = b.sv AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM (
+        SELECT id_a, id_b, CAST({hamming} AS INTEGER) AS hamming FROM pairs
+    ) WHERE hamming <= {max_hamming}
+"""
+
+
+@_register("dedup_simhash_wide", _simhash_wide_oracle_sql(_DOC_CORPUS_SQL))
+def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit sliced SimHash near-dups: per-slice LSH blocking + Hamming
+    verify over the planted-near-dup corpus (reference scope: the dedup
+    family SURVEY.md groups under the LLM-pipeline operators)."""
+    corpus = _doc_corpus(spark, sf_dir)
+    pairs = dd.simhash_wide_pairs(
+        corpus, id_col="doc_id", text_col="text", bits=64, max_hamming=8
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repeated-span statistics (Lee et al., ACL'22): fraction of each document
+# made of k-token spans that occur in >= 2 distinct documents.
+# ---------------------------------------------------------------------------
+
+_REPEATED_SPANS_ORACLE = f"""
+    WITH corpus AS ({_DOC_CORPUS_SQL}),
+    tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM corpus
+    ),
+    h AS (
+        SELECT doc_id, list_transform(toks, t -> {_TOK_HASH_SQL}) AS hs
+        FROM tok
+    ),
+    kg AS (SELECT doc_id, {_KGRAM_SQL} AS kh FROM h),
+    spans AS (SELECT doc_id, UNNEST(kh) AS h FROM kg),
+    dc AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM spans GROUP BY 1)
+    SELECT s.doc_id,
+           COUNT(*) AS n_kgrams,
+           CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repeated,
+           ROUND(CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS dup_frac
+    FROM spans s JOIN dc d USING (h)
+    GROUP BY 1
+"""
+
+
+@_register("dedup_repeated_spans", _REPEATED_SPANS_ORACLE)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repeated k-token-span stats over the planted-near-dup
+    corpus — the span-level dedup signal a training-data pipeline thresholds
+    on (doc rejected when dup_frac is high)."""
+    corpus = _doc_corpus(spark, sf_dir)
+    stats = tx.repeated_span_stats(
+        corpus, id_col="doc_id", text_col="text", k=3, min_docs=2
+    )
+    return stats.withColumnRenamed("id", "doc_id")
+
+
 # ===========================================================================
 # Registry ordering.  The driver's correctness gate snapshots the FIRST 50
 # registry entries, so the order below is curated, not incidental: every
@@ -3668,6 +3789,8 @@ _REGISTRY_PRIORITY = [
     "local_supplier_volume",
     "ann_lsh_multiprobe",
     "dedup_embedding_lsh",
+    "dedup_simhash_wide",
+    "dedup_repeated_spans",
 ]
 
 

@@ -485,3 +485,46 @@ def test_simhash_slices_slice0_matches_simhash16(spark):
         F.element_at(simhash_slices(F.col("t"), bits=64), 1).alias("s0"),
     ).collect()[0]
     assert row["fp16"] == row["s0"]
+
+
+def test_simhash_wide_pairs_blocking_and_verify(spark):
+    """Near-identical docs collide in at least one 16-bit slice and pass the
+    Hamming verify; unrelated docs are filtered out."""
+    from meerkat_abacus_spark.datapipe.dedup import simhash_wide_pairs
+
+    words = " ".join(f"tok{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, words),
+            (2, words + " extra"),  # one appended token on 60
+            (3, " ".join(f"other{i}" for i in range(60))),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_wide_pairs(docs, bits=64, max_hamming=16).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] <= 16
+    assert all(3 not in pair for pair in got)
+
+
+def test_repeated_span_stats(spark):
+    """Spans shared across >=2 docs are flagged; unique docs report 0."""
+    from meerkat_abacus_spark.datapipe.text import repeated_span_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five"),
+            (2, "zz one two three qq ww"),  # shares the 'one two three' span
+            (3, "unique words only here nothing shared at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["id"]: (r["n_kgrams"], r["n_repeated"])
+        for r in repeated_span_stats(docs, k=3).collect()
+    }
+    assert rows[1][1] >= 1 and rows[2][1] >= 1  # the shared 3-gram
+    assert rows[3][1] == 0
+    assert rows[1][0] == 3 and rows[3][0] == 6
