@@ -3705,6 +3705,104 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.withColumnRenamed("id", "doc_id")
 
 
+
+# ---------------------------------------------------------------------------
+# Watermarked tumbling-window streaming aggregation with planted late data.
+# ---------------------------------------------------------------------------
+
+_WINDOWED_COUNTS_ORACLE = """
+    WITH bounds AS (
+        SELECT epoch_us(MIN(ts)) AS mn, epoch_us(MAX(ts)) AS mx FROM events
+    ),
+    augmented AS (
+        SELECT ts, event_type, value FROM events
+        UNION ALL
+        -- the mildly-late replay copies: within the watermark delay, so the
+        -- stream REPAIRS their still-open window and they count
+        SELECT ts, event_type, value FROM events, bounds
+        WHERE epoch_us(ts) > mn + (mx - mn) // 2 - 1800000000
+          AND epoch_us(ts) <= mn + (mx - mn) // 2
+        -- the too-late copies (first-day events replayed after the stream
+        -- saw newer data) are DROPPED by the watermark: absent here
+    ),
+    win AS (
+        SELECT date_trunc('day', ts) AS window_start, event_type,
+               COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+        FROM augmented GROUP BY 1, 2
+    )
+    SELECT CAST(window_start AS TIMESTAMP) AS window_start, event_type,
+           n_events, total_value
+    FROM win, bounds
+    WHERE epoch_us(window_start) + 86400000000 <= mx - 3600000000
+"""
+
+
+@_register("streaming_windowed_counts", _WINDOWED_COUNTS_ORACLE)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in stateful streaming: watermarked 1-day tumbling windows per
+    event_type (streaming/windowed.py), replayed as THREE files — the two
+    halves of the timeline, then a late-data-only file planting both kinds
+    of lateness: copies within the 1-hour watermark delay (their window is
+    still open: must repair it and count) and first-day copies far beyond
+    it (their window was already finalized and evicted: must be dropped).
+    The late file comes third because Spark's late-row filter uses the
+    PREVIOUS batch's eviction watermark — eviction must have run before
+    the late rows arrive, exactly as in production where a finalized
+    window's state is long gone when a stale event shows up.  The
+    append-mode result hash-equals a batch oracle that includes exactly
+    the within-delay copies and excludes the beyond-delay ones —
+    watermark semantics proven, not assumed."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from meerkat_abacus_spark.streaming.windowed import (
+        run_windowed_counts_over_files,
+    )
+
+    base = tempfile.gettempdir() + f"/msa_wincnt_{_scratch_tag(sf_dir)}"
+    src, ckpt = base + "/src", base + "/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(src)
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    row = events.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    ).collect()[0]
+    mn, mx = row["mn"], row["mx"]
+    mid = mn + (mx - mn) // 2
+
+    too_late = events.filter(
+        F.unix_micros("ts") < mn + 86_400_000_000
+    ).withColumn("event_id", F.col("event_id") + 10_000_000)
+    ok_late = events.filter(
+        (F.unix_micros("ts") > mid - 1_800_000_000)
+        & (F.unix_micros("ts") <= mid)
+    ).withColumn("event_id", F.col("event_id") + 20_000_000)
+
+    slices = [
+        events.filter(F.unix_micros("ts") <= mid),
+        events.filter(F.unix_micros("ts") > mid),
+        too_late.unionByName(ok_late),
+    ]
+    for k, sl in enumerate(slices):
+        tmp = f"{base}/tmp{k}"
+        sl.coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dest = f"{src}/slice{k}.parquet"
+        shutil.move(part, dest)
+        shutil.rmtree(tmp)
+        os.utime(dest, (1_700_000_000 + k, 1_700_000_000 + k))
+
+    return run_windowed_counts_over_files(
+        spark, src, ckpt, queryName=f"wincnt_{_scratch_tag(sf_dir)}"
+    )
+
+
 # ===========================================================================
 # Registry ordering.  The driver's correctness gate snapshots the FIRST 50
 # registry entries, so the order below is curated, not incidental: every
@@ -3791,6 +3889,7 @@ _REGISTRY_PRIORITY = [
     "dedup_embedding_lsh",
     "dedup_simhash_wide",
     "dedup_repeated_spans",
+    "streaming_windowed_counts",
 ]
 
 
