@@ -127,6 +127,88 @@ def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
+def staged_shingle_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """``(id, sh)`` rows with the distinct-shingle array bound behind
+    Generate barriers (see the module perf contract), parallelized across
+    all cores when the input scan under-splits."""
+    spark = df.sparkSession
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    # A small-file scan can come in as 1-2 input splits; the downstream
+    # stages are CPU-bound (shingling + md5 passes per doc), so feed them
+    # every core.  Conditional: a 100 TB scan already has thousands of
+    # splits and must NOT pay a gratuitous full-text reshuffle.
+    parallelism = spark.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < parallelism:
+        base = base.repartition(parallelism)
+    base = base.select(
+        "id", F.explode(F.array(tokens_col(F.col("text")))).alias("toks")
+    )
+    return base.select(
+        "id",
+        F.explode(
+            F.array(
+                F.array_distinct(shingles_from_tokens(F.col("toks"), shingle_k))
+            )
+        ).alias("sh"),
+    )
+
+
+def lsh_band_key_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows_per_band: int | None = None,
+) -> DataFrame:
+    """``(id, band_key)`` rows — one per document per band — computed with
+    the staged (Generate-barrier) signature pipeline.  Shared by
+    :func:`minhash_lsh_candidates` and the scale-rehearsal bucket audit so
+    measured bucket statistics always reflect the shipped construction.
+
+    Documents with no shingles are excluded: they would all share one
+    constant band key per band — a junk bucket growing with the corpus.
+    """
+    if num_hashes % 4:
+        raise ValueError("num_hashes must be a multiple of 4")
+    if rows_per_band is None:
+        rows_per_band = num_hashes // bands
+    if bands * rows_per_band != num_hashes:
+        raise ValueError(
+            f"bands ({bands}) × rows_per_band ({rows_per_band}) "
+            f"must equal num_hashes ({num_hashes})"
+        )
+    groups = num_hashes // 4
+    base = staged_shingle_rows(df, id_col, text_col, shingle_k)
+
+    def _seeded(seed: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))
+
+    dgs = F.array(*[F.transform(F.col("sh"), _seeded(g)) for g in range(groups)])
+    keyed = base.filter(F.size("sh") >= 1).select(
+        "id", F.explode(F.array(dgs)).alias("dgs")
+    )
+    sig = F.array(
+        *[
+            m
+            for g in range(groups)
+            for m in _slice_mins(F.element_at(F.col("dgs"), g + 1))
+        ]
+    )
+    return keyed.withColumn("sig", sig).select(
+        "id",
+        F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias(
+            "band_key"
+        ),
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -155,80 +237,17 @@ def minhash_lsh_candidates(
     pairs — O(bucket) work, and connectivity through the bucket (what the
     downstream connected-components keep-one pass needs) is preserved
     exactly.  Pass ``max_bucket_size=None`` to disable the guard.
+
+    The band join and the pair-dedup shuffle only (id, band_key) /
+    (id_a, id_b) — never the shingle arrays.  A duplicate pair collides in
+    up to ``bands`` bands, so carrying both shingle sets through the join
+    and the dropDuplicates would multiply the shuffle payload by
+    ~bands × avg-document-size; bare ids make those shuffles a few bytes
+    per row.  The shingle sets re-attach once per UNIQUE pair via two
+    equi-joins against the staged (id, sh) projection.
     """
-    if num_hashes % 4:
-        raise ValueError("num_hashes must be a multiple of 4")
-    if rows_per_band is None:
-        rows_per_band = num_hashes // bands
-    if bands * rows_per_band != num_hashes:
-        raise ValueError(
-            f"bands ({bands}) × rows_per_band ({rows_per_band}) "
-            f"must equal num_hashes ({num_hashes})"
-        )
-    groups = num_hashes // 4
-    spark = df.sparkSession
-
-    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-    # A small-file scan can come in as 1-2 input splits; this stage is
-    # CPU-bound (shingling + num_hashes/4 md5 passes per doc), so feed it
-    # every core.  Conditional: a 100 TB scan already has thousands of
-    # splits and must NOT pay a gratuitous full-text reshuffle.
-    parallelism = spark.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < parallelism:
-        base = base.repartition(parallelism)
-    # Stage-wise materialization (tokens → shingles → md5 digests → slice
-    # minima → band keys) via GENERATE BARRIERS — ``explode(array(x))`` is a
-    # 1:1 row op whose output attribute Catalyst cannot inline through
-    # (CollapseProject merges plain select/withColumn stages right back, so
-    # "bind via select" does NOT stick; measured at sf0.1: 12 s re-splitting
-    # inside the shingle lambda vs ~1 s bound).  Three barriers pin each
-    # stage to exactly one evaluation: tokens (referenced 3×/shingle),
-    # shingles (referenced by `groups` digest passes), digests (each
-    # referenced by 4 slice-min passes).
-    base = base.select(
-        "id", F.explode(F.array(tokens_col(F.col("text")))).alias("toks")
-    )
-    base = base.select(
-        "id",
-        F.explode(
-            F.array(
-                F.array_distinct(shingles_from_tokens(F.col("toks"), shingle_k))
-            )
-        ).alias("sh"),
-    )
-
-    def _seeded(seed: int):
-        return lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))
-
-    dgs = F.array(*[F.transform(F.col("sh"), _seeded(g)) for g in range(groups)])
-    keyed = base.filter(F.size("sh") >= 1).select(
-        "id", "sh", F.explode(F.array(dgs)).alias("dgs")
-    )
-    sig = F.array(
-        *[
-            m
-            for g in range(groups)
-            for m in _slice_mins(F.element_at(F.col("dgs"), g + 1))
-        ]
-    )
-    # The band join and the pair-dedup shuffle only (id, band_key) /
-    # (id_a, id_b) — never the shingle arrays.  A duplicate pair collides in
-    # up to `bands` bands, so carrying both shingle sets through the join and
-    # the dropDuplicates (as a naive select would) multiplies the shuffle
-    # payload by ~bands × avg-document-size; bare ids make those shuffles a
-    # few bytes per row.  The shingle sets re-attach once per UNIQUE pair via
-    # two equi-joins against the (id, sh) projection; re-deriving shingles for
-    # that projection is map-side CPU on the scan, no extra shuffle.
-    # Empty shingle arrays (docs shorter than k tokens) would all share one
-    # constant band key per band — a junk bucket that grows with the corpus.
-    # `keyed` excludes them before keying (a <k-token doc has no shingle
-    # evidence to near-dup on anyway; exact dedup still catches
-    # byte-identical ones).
-    keys = keyed.withColumn("sig", sig).select(
-        "id",
-        F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias(
-            "band_key"
-        ),
+    keys = lsh_band_key_rows(
+        df, id_col, text_col, shingle_k, num_hashes, bands, rows_per_band
     )
     if max_bucket_size is None:
         left, right = keys, keys
@@ -267,7 +286,7 @@ def minhash_lsh_candidates(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh_docs = base.select("id", "sh")
+    sh_docs = staged_shingle_rows(df, id_col, text_col, shingle_k)
     pairs = id_pairs.join(
         sh_docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
         "id_a",
@@ -411,6 +430,7 @@ def simhash_wide_pairs(
     text_col: str = "text",
     bits: int = 64,
     max_hamming: int = 8,
+    max_bucket_size: int | None = 50,
 ) -> DataFrame:
     """Near-duplicate pairs via wide SimHash with per-slice LSH blocking.
 
@@ -422,6 +442,14 @@ def simhash_wide_pairs(
     verification at ``max_hamming``.  Same shuffle discipline as
     :func:`minhash_lsh_candidates`: the block join shuffles bare
     ``(id, slice key)`` rows; fingerprints re-attach per unique pair.
+
+    ``max_bucket_size`` is the same guard the MinHash path carries, and the
+    scale rehearsal proved it is NOT optional here: on a boilerplate-heavy
+    10× corpus (every doc in a copy-group sharing a dominant marker token)
+    fingerprints inside a group collapse to near-equality, slice buckets
+    grow with group size, and the unguarded join emitted 450M pairs — 28×
+    wall at 10× data.  Buckets over the cap degrade to star edges around
+    the bucket min id: O(bucket) pairs, cluster connectivity preserved.
 
     Returns distinct ``(id_a, id_b, hamming)`` with ``id_a < id_b`` and
     ``hamming <= max_hamming``.
@@ -460,10 +488,28 @@ def simhash_wide_pairs(
     blocks = fps.select(
         "id", F.posexplode("fp").alias("slice_idx", "slice_val")
     )
+    if max_bucket_size is None:
+        left, right = blocks, blocks
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("slice_idx", "slice_val")
+        block_stats = blocks.select(
+            "id",
+            "slice_idx",
+            "slice_val",
+            F.count(F.lit(1)).over(w).alias("__n"),
+            F.min("id").over(w).alias("__min_id"),
+        )
+        left = block_stats.filter(
+            (F.col("__n") <= F.lit(max_bucket_size))
+            | (F.col("id") == F.col("__min_id"))
+        ).select("id", "slice_idx", "slice_val")
+        right = block_stats.select("id", "slice_idx", "slice_val")
     id_pairs = (
-        blocks.alias("a")
+        left.alias("a")
         .join(
-            blocks.alias("b"),
+            right.alias("b"),
             (F.col("a.slice_idx") == F.col("b.slice_idx"))
             & (F.col("a.slice_val") == F.col("b.slice_val"))
             & (F.col("a.id") < F.col("b.id")),

@@ -3593,7 +3593,10 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_wide_oracle_sql(
-    corpus_sql: str, n_slices: int = 4, max_hamming: int = 8
+    corpus_sql: str,
+    n_slices: int = 4,
+    max_hamming: int = 8,
+    max_bucket_size: int = 50,
 ) -> str:
     def tok_hash(s: int) -> str:
         return " + ".join(
@@ -3638,11 +3641,18 @@ def _simhash_wide_oracle_sql(
     blocks AS (
         {blocks}
     ),
+    stats AS (
+        SELECT si, sv, COUNT(*) AS n, MIN(doc_id) AS min_id
+        FROM blocks GROUP BY 1, 2
+    ),
     pairs AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                a.fp AS fp_a, b.fp AS fp_b
-        FROM blocks a JOIN blocks b
+        FROM blocks a
+        JOIN stats s ON s.si = a.si AND s.sv = a.sv
+        JOIN blocks b
           ON a.si = b.si AND a.sv = b.sv AND a.doc_id < b.doc_id
+        WHERE s.n <= {max_bucket_size} OR a.doc_id = s.min_id
     )
     SELECT id_a, id_b, hamming FROM (
         SELECT id_a, id_b, CAST({hamming} AS INTEGER) AS hamming FROM pairs
@@ -3657,7 +3667,8 @@ def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     family SURVEY.md groups under the LLM-pipeline operators)."""
     corpus = _doc_corpus(spark, sf_dir)
     pairs = dd.simhash_wide_pairs(
-        corpus, id_col="doc_id", text_col="text", bits=64, max_hamming=8
+        corpus, id_col="doc_id", text_col="text", bits=64, max_hamming=8,
+        max_bucket_size=50,
     )
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
@@ -3669,6 +3680,18 @@ def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 # made of k-token spans that occur in >= 2 distinct documents.
 # ---------------------------------------------------------------------------
 
+# Span-hash modulus: 1e9+7, NOT doc_fingerprint's 1000003 — at corpus scale
+# the span count dwarfs a 1e6 hash space and pigeonhole collisions would
+# manufacture false "repeats" (4.8M spans over 1e6 keys ≈ every hash
+# colliding).  Token hashes are 16-bit, so each 3-term polynomial sum is
+# < 2e8 — below both the modulus and int32 overflow, in Spark and DuckDB.
+_SPAN_MOD = 1_000_000_007
+_SPAN_KGRAM_SQL = (
+    f"CASE WHEN len(hs) >= 3 THEN list_transform(range(1, len(hs) - 1), "
+    f"i -> (hs[i] * 961 + hs[i+1] * 31 + hs[i+2]) % {_SPAN_MOD}) "
+    f"ELSE [] END"
+)
+
 _REPEATED_SPANS_ORACLE = f"""
     WITH corpus AS ({_DOC_CORPUS_SQL}),
     tok AS (
@@ -3679,7 +3702,7 @@ _REPEATED_SPANS_ORACLE = f"""
         SELECT doc_id, list_transform(toks, t -> {_TOK_HASH_SQL}) AS hs
         FROM tok
     ),
-    kg AS (SELECT doc_id, {_KGRAM_SQL} AS kh FROM h),
+    kg AS (SELECT doc_id, {_SPAN_KGRAM_SQL} AS kh FROM h),
     spans AS (SELECT doc_id, UNNEST(kh) AS h FROM kg),
     dc AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM spans GROUP BY 1)
     SELECT s.doc_id,
@@ -3700,7 +3723,8 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (doc rejected when dup_frac is high)."""
     corpus = _doc_corpus(spark, sf_dir)
     stats = tx.repeated_span_stats(
-        corpus, id_col="doc_id", text_col="text", k=3, min_docs=2
+        corpus, id_col="doc_id", text_col="text", k=3, mod=_SPAN_MOD,
+        min_docs=2
     )
     return stats.withColumnRenamed("id", "doc_id")
 

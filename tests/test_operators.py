@@ -528,3 +528,26 @@ def test_repeated_span_stats(spark):
     assert rows[1][1] >= 1 and rows[2][1] >= 1  # the shared 3-gram
     assert rows[3][1] == 0
     assert rows[1][0] == 3 and rows[3][0] == 6
+
+
+def test_simhash_wide_bucket_cap_star_edges(spark):
+    """Identical docs collapse to one fingerprint; with a cap the bucket
+    degrades to star edges around the min id (connectivity preserved,
+    O(bucket) pairs), without it the full quadratic pair set appears."""
+    from meerkat_abacus_spark.datapipe.dedup import simhash_wide_pairs
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{j}" for j in range(40))) for i in range(8)],
+        ["doc_id", "text"],
+    )
+    capped = simhash_wide_pairs(
+        docs, bits=64, max_hamming=4, max_bucket_size=3
+    ).collect()
+    assert sorted((r["id_a"], r["id_b"]) for r in capped) == [
+        (0, j) for j in range(1, 8)
+    ]
+    assert all(r["hamming"] == 0 for r in capped)
+    full = simhash_wide_pairs(
+        docs, bits=64, max_hamming=4, max_bucket_size=None
+    ).count()
+    assert full == 28

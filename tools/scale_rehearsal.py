@@ -55,36 +55,21 @@ def build_sf1(spark, src_dir: str, dest_dir: str) -> None:
 
 def bucket_stats(spark, sf_dir: str) -> dict:
     """Band-bucket population distribution for the minhash-LSH config used
-    by the dedup_minhash_lsh query (read from queries.MINHASH_CFG so this
-    rehearsal always measures the shipped parameterization)."""
+    by the dedup_minhash_lsh query — computed via the SAME staged
+    ``lsh_band_key_rows`` construction the shipped operator uses, under
+    queries.MINHASH_CFG, so the audit always measures the shipped
+    parameterization."""
     from meerkat_abacus_spark.datapipe import dedup as dd
     from meerkat_abacus_spark.queries import MINHASH_CFG, _doc_corpus
 
-    base = _doc_corpus(spark, sf_dir).select(
-        "doc_id",
-        F.array_distinct(
-            dd.shingles_from_tokens(
-                dd.tokens_col(F.col("text")), MINHASH_CFG["shingle_k"]
-            )
-        ).alias("sh"),
-    )
-    keys = (
-        base.filter(F.size("sh") >= 1)
-        .withColumn(
-            "sig",
-            dd.minhash_signature(
-                F.col("sh"), num_hashes=MINHASH_CFG["num_hashes"]
-            ),
-        )
-        .select(
-            F.explode(
-                dd.lsh_band_keys(
-                    F.col("sig"),
-                    bands=MINHASH_CFG["bands"],
-                    rows_per_band=MINHASH_CFG["rows_per_band"],
-                )
-            ).alias("band_key")
-        )
+    keys = dd.lsh_band_key_rows(
+        _doc_corpus(spark, sf_dir),
+        id_col="doc_id",
+        text_col="text",
+        shingle_k=MINHASH_CFG["shingle_k"],
+        num_hashes=MINHASH_CFG["num_hashes"],
+        bands=MINHASH_CFG["bands"],
+        rows_per_band=MINHASH_CFG["rows_per_band"],
     )
     sizes = keys.groupBy("band_key").count()
     row = sizes.agg(
@@ -96,11 +81,19 @@ def bucket_stats(spark, sf_dir: str) -> dict:
             "n_buckets": row["n_buckets"]}
 
 
+REHEARSED = (
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_simhash_wide",
+    "dedup_repeated_spans",
+)
+
+
 def time_queries(spark, sf_dir: str) -> dict:
     from meerkat_abacus_spark.queries import QUERIES
 
     out = {}
-    for name in ("dedup_minhash_lsh", "dedup_clusters"):
+    for name in REHEARSED:
         t0 = time.time()
         n = QUERIES[name](spark, sf_dir).count()
         out[name] = {"sec": round(time.time() - t0, 2), "rows": n}
@@ -120,7 +113,7 @@ def main() -> None:
         "sf0.1": {**time_queries(spark, src), **bucket_stats(spark, src)},
         "sf~1.0": {**time_queries(spark, dest), **bucket_stats(spark, dest)},
     }
-    for name in ("dedup_minhash_lsh", "dedup_clusters"):
+    for name in REHEARSED:
         a = report["sf0.1"][name]["sec"]
         b = report["sf~1.0"][name]["sec"]
         report[f"{name}_scale_ratio_10x_data"] = round(b / a, 2) if a else None
