@@ -3827,6 +3827,157 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# Oracle coverage for the remaining pytest-only SURVEY §2 operators:
+# F5 clinic start-date filter, F7 import rules, F8 list flattening,
+# J9 is_child hierarchy predicate.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "qc_clinic_start_filter",
+    """
+    WITH clinics AS (
+        SELECT range AS deviceid,
+               TIMESTAMP '2024-01-05' + INTERVAL 1 DAY * (range % 20)
+                   AS start_date
+        FROM range(50)
+    ),
+    data AS (
+        SELECT event_type, user_id % 50 AS deviceid,
+               strftime(ts, '%Y-%m-%d') AS sub
+        FROM events
+    )
+    SELECT event_type, COUNT(*) AS n_kept
+    FROM data d LEFT JOIN clinics c USING (deviceid)
+    WHERE c.start_date IS NULL OR CAST(sub AS TIMESTAMP) >= c.start_date
+    GROUP BY 1
+    """,
+)
+def qc_clinic_start_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 — rows submitted before their clinic's start date are dropped
+    (reference quality_control.py:179-183); the clinic dim is broadcast,
+    the fact table never shuffles."""
+    clinics = spark.range(50).select(
+        F.col("id").alias("deviceid"),
+        F.to_timestamp(
+            F.date_add(
+                F.lit("2024-01-05").cast("date"), (F.col("id") % 20).cast("int")
+            )
+        ).alias("start_date"),
+    )
+    data = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 50).alias("deviceid"),
+        F.date_format("ts", "yyyy-MM-dd").alias("SubmissionDate"),
+    )
+    kept = qc.clinic_start_date_filter(
+        data, clinics, device_col="deviceid",
+        submission_col="SubmissionDate", start_date_col="start_date",
+    )
+    return kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+_IMPORT_RULES = [
+    Rule(id="keep_final", method="match", db_column="o_orderstatus",
+         condition="F", category=["discard"]),
+    Rule(id="price_band", method="between", db_column="o_totalprice",
+         condition="1000,200000", calculation="o_totalprice"),
+    Rule(id="prio_fix", method="match", db_column="o_orderpriority",
+         condition="1-URGENT", category=["replace:o_orderstatus"]),
+]
+
+
+@_register(
+    "qc_import_rules",
+    """
+    WITH kept AS (SELECT * FROM orders WHERE o_orderstatus = 'F'),
+    cleaned AS (
+        SELECT CASE WHEN o_totalprice >= 1000 AND o_totalprice < 200000
+                    THEN o_totalprice END AS price,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderpriority
+                    ELSE o_orderstatus END AS prio
+        FROM kept
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN price IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_price,
+           CAST(SUM(CASE WHEN prio = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_replaced
+    FROM cleaned
+    """,
+)
+def qc_import_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 — type="import" QC rules (reference quality_control.py:116-139):
+    discard on one rule, null-out a failing cell on another, replace from
+    a sibling column on a third — all compiled into sequential projections,
+    no Python per row."""
+    orders = _t(spark, sf_dir, "orders")
+    cleaned = qc.apply_import_rules(orders, _IMPORT_RULES)
+    return cleaned.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)
+        ).alias("n_null_price"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "F", 1).otherwise(0)
+        ).alias("n_replaced"),
+    )
+
+
+@_register(
+    "qc_flatten_lists",
+    """
+    SELECT doc_id,
+           array_to_string(string_split(text, ' '), ',') AS flat
+    FROM documents WHERE doc_id <= 200
+    """,
+)
+def qc_flatten_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 — array-valued cells → comma-joined strings (reference
+    quality_control.py:142-148)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    arr = docs.select("doc_id", F.split("text", " ").alias("flat"))
+    return qc.flatten_list_columns(arr, ["flat"]).select("doc_id", "flat")
+
+
+@_register(
+    "locations_is_child",
+    """
+    SELECT c_custkey, p.range AS probe,
+           (p.range = c_nationkey OR p.range = r_regionkey) AS is_desc
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    CROSS JOIN range(5) p
+    WHERE c_custkey <= 200
+    """,
+)
+def locations_is_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 — hierarchy membership over the flattened location dim
+    (reference util/__init__.py:49-72): a probed ancestor id is a match
+    iff it appears in any of the row's level columns."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    flat = (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select(
+            "c_custkey",
+            F.col("c_nationkey").alias("nation_id"),
+            F.col("r_regionkey").alias("region_id"),
+        )
+    )
+    probes = spark.range(5).select(F.col("id").alias("probe"))
+    return flat.crossJoin(F.broadcast(probes)).select(
+        "c_custkey",
+        "probe",
+        loc.is_child("probe", ["nation_id", "region_id"]).alias("is_desc"),
+    )
+
+
 # ===========================================================================
 # Registry ordering.  The driver's correctness gate snapshots the FIRST 50
 # registry entries, so the order below is curated, not incidental: every
@@ -3914,6 +4065,10 @@ _REGISTRY_PRIORITY = [
     "dedup_simhash_wide",
     "dedup_repeated_spans",
     "streaming_windowed_counts",
+    "qc_clinic_start_filter",
+    "qc_import_rules",
+    "qc_flatten_lists",
+    "locations_is_child",
 ]
 
 
