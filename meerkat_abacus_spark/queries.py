@@ -3978,6 +3978,148 @@ def locations_is_child(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_register(
+    "qc_date_validity",
+    """
+    WITH data AS (
+        SELECT o_orderpriority,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'not-a-date'
+                    ELSE strftime(o_orderdate, '%Y-%m-%d') END AS visit_date
+        FROM orders
+    )
+    SELECT o_orderpriority, COUNT(*) AS n_kept
+    FROM data WHERE visit_date <> 'not-a-date'
+    GROUP BY 1
+    """,
+)
+def qc_date_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 — the date column must parse to be kept (reference
+    quality_control.py:190-245): every 7th order's date string is corrupted
+    deterministically; the filter must drop exactly those rows.  The oracle
+    knows which rows are unparseable by construction — the Spark side has
+    to discover it through the multi-format parser."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("not-a-date"))
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .alias("visit_date"),
+    )
+    kept = qc.date_validity_filter(orders, "visit_date")
+    return kept.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+
+
+@_register(
+    "deadletter_split",
+    """
+    SELECT 'good' AS side, COUNT(*) AS n FROM orders
+    WHERE NOT COALESCE(o_totalprice >= 250000, FALSE)
+    UNION ALL
+    SELECT 'bad' AS side, COUNT(*) AS n FROM orders
+    WHERE o_totalprice >= 250000
+    """,
+)
+def deadletter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 — rows failing validation quarantine into a dead-letter frame
+    (reference pipeline.py:91-109 step_failures); both sides of the split
+    are counted (the dead-letter __error_ts stamp is excluded — wall-clock
+    is not oracle-comparable)."""
+    from meerkat_abacus_spark.sinks.writers import dead_letter_split
+
+    orders = _t(spark, sf_dir, "orders")
+    good, bad = dead_letter_split(orders, F.col("o_totalprice") >= 250000)
+    return good.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("good").alias("side"), "n"
+    ).unionByName(
+        bad.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("bad").alias("side"), "n"
+        )
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag corpus documents sharing k-gram spans with
+# a held-out benchmark set — the standard eval-contamination check a
+# training-data pipeline runs before shipping a corpus.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "decontaminate_overlap",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, list_transform(toks, t -> {_TOK_HASH_SQL}) AS hs
+        FROM tok
+    ),
+    kg AS (SELECT doc_id, list_distinct({_SPAN_KGRAM_SQL}) AS kh FROM h),
+    spans AS (SELECT doc_id, UNNEST(kh) AS h FROM kg),
+    bench AS (SELECT DISTINCT h FROM spans WHERE doc_id % 100 = 0),
+    shared AS (
+        SELECT s.doc_id, COUNT(*) AS n
+        FROM spans s JOIN bench USING (h)
+        WHERE s.doc_id % 100 <> 0
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_shared,
+           COALESCE(n, 0) >= 3 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 100 <> 0) d
+    LEFT JOIN shared USING (doc_id)
+    """,
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: every 100th document stands in for a held-out
+    benchmark; corpus documents are flagged when they share >= 3 distinct
+    k-token-span hashes with ANY benchmark document.  Real pipelines use
+    8-13-gram spans — identical plumbing, k=3 here keeps the portable
+    hash arithmetic in int32 range on both engines.
+
+    Scale shape: distinct span hashes per doc (Generate-barrier staged,
+    map-side), one distinct over the benchmark's spans (benchmark is ~1%
+    of the corpus — small enough that AQE broadcasts it; on a real
+    cluster the benchmark side is a literal broadcast dim), one join +
+    per-doc count.  The corpus side never self-joins.
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        "doc_id", F.explode(F.array(tx.tokens_col(F.col("text")))).alias("toks")
+    )
+    base = base.select(
+        "doc_id", F.explode(F.array(tx.token_hashes(F.col("toks")))).alias("hs")
+    )
+    base = base.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.array_distinct(
+                    tx.kgram_hashes(F.col("hs"), k=3, mod=_SPAN_MOD)
+                )
+            )
+        ).alias("kh"),
+    )
+    spans = base.select("doc_id", F.explode("kh").alias("h"))
+    bench = (
+        spans.filter(F.col("doc_id") % 100 == 0).select("h").distinct()
+    )
+    corpus_spans = spans.filter(F.col("doc_id") % 100 != 0)
+    shared = corpus_spans.join(bench, "h").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    all_docs = docs.filter(F.col("doc_id") % 100 != 0).select("doc_id")
+    return all_docs.join(shared, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n", F.lit(0)).alias("n_shared"),
+        (F.coalesce("n", F.lit(0)) >= 3).alias("contaminated"),
+    )
+
+
 # ===========================================================================
 # Registry ordering.  The driver's correctness gate snapshots the FIRST 50
 # registry entries, so the order below is curated, not incidental: every
@@ -4069,6 +4211,9 @@ _REGISTRY_PRIORITY = [
     "qc_import_rules",
     "qc_flatten_lists",
     "locations_is_child",
+    "qc_date_validity",
+    "deadletter_split",
+    "decontaminate_overlap",
 ]
 
 

@@ -1,0 +1,105 @@
+"""Scale rehearsal for the ANN family: fixed query set, 100× corpus.
+
+Builds a 100× embeddings table (every copy gets a deterministic
+per-dimension jitter so copies are angle-perturbed, NOT exact duplicates —
+an exact-duplicate corpus would be flattering to bucketed indexes), then
+times the three index strategies at sf0.1 (2k vectors) and 100× (200k
+vectors).  10× proved too small to measure — sub-second walls, JIT noise
+dominated, ratios came out below 1.  Timings are WARM (each query runs
+once for codegen/JIT warmup, the second run is measured) so the ratios
+measure data volume, not compilation.  The thing being demonstrated:
+brute force scales with the query×corpus product (ratio ≈ data ratio),
+while the LSH-bucketed and IVF-list variants only touch the probed slice,
+so their ratios sit below the data ratio.
+
+Run: ``python tools/ann_scale_rehearsal.py`` → one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+REHEARSED = ("ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk")
+
+
+def build_sf1(spark, src_dir: str, dest_dir: str) -> None:
+    emb = spark.read.parquet(f"{src_dir}/embeddings.parquet")
+
+    def _jitter(k: int):
+        # two-parameter HOF lambda receives (element, index) — the index IS
+        # the dimension, giving each copy a deterministic angle perturbation
+        return lambda x, i: x + F.lit(0.05) * (
+            ((F.lit(k * 31) + i) % 7) - F.lit(3)
+        ).cast("float")
+
+    n_copies = int(os.environ.get("ANN_SCALE_COPIES", "100"))
+    copies = [
+        emb.select(
+            (F.col("vec_id") + 10_000_000 * k).alias("vec_id"),
+            (
+                F.col("embedding")
+                if k == 0
+                else F.transform(F.col("embedding"), _jitter(k))
+            ).alias("embedding"),
+            "label",
+        )
+        for k in range(n_copies)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.write.mode("overwrite").parquet(f"{dest_dir}/embeddings.parquet")
+
+
+def time_queries(spark, sf_dir: str) -> dict:
+    from meerkat_abacus_spark.queries import QUERIES
+
+    out = {}
+    for name in REHEARSED:
+        QUERIES[name](spark, sf_dir).count()  # warmup: codegen + JIT
+        t0 = time.time()
+        n = QUERIES[name](spark, sf_dir).count()
+        out[name] = {"sec": round(time.time() - t0, 2), "rows": n}
+    return out
+
+
+def main() -> None:
+    from meerkat_abacus_spark.session import get_spark
+
+    spark = get_spark(app_name="ann_scale_rehearsal")
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    dest = tempfile.gettempdir() + "/msa_ann_scale_big"
+    shutil.rmtree(dest, ignore_errors=True)
+    build_sf1(spark, src, dest)
+    # the ANN queries only read embeddings; link the rest of the tables so
+    # any _t() access still resolves
+    for name in ("documents",):
+        s = f"{src}/{name}.parquet"
+        d = f"{dest}/{name}.parquet"
+        if os.path.exists(s) and not os.path.exists(d):
+            shutil.copytree(s, d) if os.path.isdir(s) else shutil.copy(s, d)
+
+    report = {
+        "data_ratio": 100,
+        "sf0.1": time_queries(spark, src),
+        "100x": time_queries(spark, dest),
+    }
+    for name in REHEARSED:
+        a = report["sf0.1"][name]["sec"]
+        b = report["100x"][name]["sec"]
+        report[f"{name}_scale_ratio_100x_data"] = round(b / a, 2) if a else None
+    print(json.dumps(report))
+    shutil.rmtree(dest, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
