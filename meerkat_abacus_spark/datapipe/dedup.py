@@ -166,6 +166,7 @@ def lsh_band_key_rows(
     num_hashes: int = 64,
     bands: int = 16,
     rows_per_band: int | None = None,
+    staged: DataFrame | None = None,
 ) -> DataFrame:
     """``(id, band_key)`` rows — one per document per band — computed with
     the staged (Generate-barrier) signature pipeline.  Shared by
@@ -174,6 +175,11 @@ def lsh_band_key_rows(
 
     Documents with no shingles are excluded: they would all share one
     constant band key per band — a junk bucket growing with the corpus.
+
+    ``staged`` lets a caller that already built the
+    :func:`staged_shingle_rows` projection pass it in, so the partition-count
+    probe (a DataFrame→RDD plan conversion plus file listing) runs once per
+    candidates call instead of once per consumer.
     """
     if num_hashes % 4:
         raise ValueError("num_hashes must be a multiple of 4")
@@ -185,7 +191,11 @@ def lsh_band_key_rows(
             f"must equal num_hashes ({num_hashes})"
         )
     groups = num_hashes // 4
-    base = staged_shingle_rows(df, id_col, text_col, shingle_k)
+    base = (
+        staged
+        if staged is not None
+        else staged_shingle_rows(df, id_col, text_col, shingle_k)
+    )
 
     def _seeded(seed: int):
         return lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))
@@ -234,9 +244,13 @@ def minhash_lsh_candidates(
     (same ~0.5 threshold: (1/16)^(1/4)) so background collisions die out,
     and ``max_bucket_size`` hard-bounds the residual worst case: buckets
     over the cap emit STAR edges to the bucket's min id instead of all
-    pairs — O(bucket) work, and connectivity through the bucket (what the
-    downstream connected-components keep-one pass needs) is preserved
-    exactly.  Pass ``max_bucket_size=None`` to disable the guard.
+    pairs — O(bucket) work.  Connectivity through an oversized bucket is
+    preserved at the CANDIDATE-edge level only: every member still reaches
+    the bucket min, but a downstream similarity threshold (e.g. the
+    ``jaccard >= t`` filter in the clusters pass) can sever both star edges
+    of a similar (B, C) pair whose members are each dissimilar to the
+    bucket min, disconnecting a component an all-pairs run would have
+    joined.  Pass ``max_bucket_size=None`` to disable the guard.
 
     The band join and the pair-dedup shuffle only (id, band_key) /
     (id_a, id_b) — never the shingle arrays.  A duplicate pair collides in
@@ -246,8 +260,16 @@ def minhash_lsh_candidates(
     per row.  The shingle sets re-attach once per UNIQUE pair via two
     equi-joins against the staged (id, sh) projection.
     """
+    sh_docs = staged_shingle_rows(df, id_col, text_col, shingle_k)
     keys = lsh_band_key_rows(
-        df, id_col, text_col, shingle_k, num_hashes, bands, rows_per_band
+        df,
+        id_col,
+        text_col,
+        shingle_k,
+        num_hashes,
+        bands,
+        rows_per_band,
+        staged=sh_docs,
     )
     if max_bucket_size is None:
         left, right = keys, keys
@@ -286,7 +308,6 @@ def minhash_lsh_candidates(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh_docs = staged_shingle_rows(df, id_col, text_col, shingle_k)
     pairs = id_pairs.join(
         sh_docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
         "id_a",
@@ -429,7 +450,7 @@ def simhash_wide_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 64,
-    max_hamming: int = 8,
+    max_hamming: int | None = None,
     max_bucket_size: int | None = 50,
 ) -> DataFrame:
     """Near-duplicate pairs via wide SimHash with per-slice LSH blocking.
@@ -439,7 +460,14 @@ def simhash_wide_pairs(
     least one 16-bit slice whenever ``r < bits/16`` (pigeonhole), so
     candidate generation is an equi-join on ``(slice_idx, slice_value)`` —
     never an O(n²) cross product — followed by an exact Hamming
-    verification at ``max_hamming``.  Same shuffle discipline as
+    verification at ``max_hamming``.  The default ``max_hamming`` is
+    ``bits//16 - 1`` — the largest threshold for which the pigeonhole
+    guarantee makes blocking COMPLETE (every qualifying pair is a
+    candidate).  An explicit ``max_hamming >= bits/16`` is allowed but is a
+    recall trade-off, not exhaustive: a pair at that distance whose bit
+    flips spread across every slice agrees on none of them and is never
+    generated (e.g. bits=64, max_hamming=8: Hamming 4-8 pairs differing in
+    all four slices are missed).  Same shuffle discipline as
     :func:`minhash_lsh_candidates`: the block join shuffles bare
     ``(id, slice key)`` rows; fingerprints re-attach per unique pair.
 
@@ -449,7 +477,10 @@ def simhash_wide_pairs(
     fingerprints inside a group collapse to near-equality, slice buckets
     grow with group size, and the unguarded join emitted 450M pairs — 28×
     wall at 10× data.  Buckets over the cap degrade to star edges around
-    the bucket min id: O(bucket) pairs, cluster connectivity preserved.
+    the bucket min id: O(bucket) pairs.  As with the MinHash guard,
+    connectivity through an over-cap bucket survives at the candidate
+    level only — the ``hamming <= max_hamming`` verify can drop both star
+    edges of a close pair whose members are each far from the bucket min.
 
     Returns distinct ``(id_a, id_b, hamming)`` with ``id_a < id_b`` and
     ``hamming <= max_hamming``.
@@ -457,6 +488,8 @@ def simhash_wide_pairs(
     if bits % 16 or not 0 < bits <= 128:
         raise ValueError("bits must be a multiple of 16 in (0, 128]")
     n_slices = bits // 16
+    if max_hamming is None:
+        max_hamming = n_slices - 1
     spark = df.sparkSession
 
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
