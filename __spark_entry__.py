@@ -3,7 +3,8 @@
 ``entry(spark)`` runs the flagship query at sf0.001; ``queries()`` /
 ``oracle_sql()`` expose every implemented operator from SURVEY.md §2 (plus
 the large-scale data-pipeline operators) with DuckDB oracles.  The real
-registry lives in meerkat_abacus_spark/queries.py.
+registry lives in the meerkat_abacus_spark/queries/ package (one module per
+query family, assembled by queries/__init__.py).
 """
 
 from __future__ import annotations

@@ -1,0 +1,161 @@
+"""Registry plumbing shared by every query family: the QUERIES/ORACLES
+maps, the ``_register`` decorator, defensive parquet readers, and the
+synthetic doc/embedding corpora used by the LLM-pipeline families."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+
+QUERIES: dict[str, QueryFn] = {}
+
+
+ORACLES: dict[str, str] = {}
+
+
+
+
+def _register(name: str, oracle: str | None = None):
+    def wrap(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return wrap
+
+
+
+
+def _scratch_tag(sf_dir: str) -> str:
+    """Stable per-sf-dir scratch-path tag.  md5, NOT python hash(): str hash
+    is salted per process, so hash()-keyed /tmp/msa_* dirs multiply across
+    runs instead of being reused and cleaned by the next run."""
+    import hashlib
+
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+
+
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    # Defensive reader configs, set BEFORE any read and for EVERY table (not
+    # just events): orders.o_orderdate / lineitem.l_shipdate are also naive
+    # timestamp[us] parquet columns, so on a caller-owned session without
+    # get_spark's defaults they would read as TIMESTAMP_NTZ and mix with LTZ
+    # literals downstream — and gating the conf on one table would make
+    # schemas order-dependent across reads.  UTC session time keeps the
+    # naive→LTZ cast instant-preserving (matches DuckDB's naive reader).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    if name != "events":
+        return spark.read.parquet(path)
+    # events carries TIMESTAMP(NANOS) which Spark's vectorized reader rejects;
+    # read nanos as long (exact) and rebuild a µs timestamp with integer
+    # division — no double round-trip, no precision loss.
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+
+
+# ===========================================================================
+# Large-scale data-pipeline operators (BASELINE.json north star): dedup,
+# similarity search, text analysis, multimodal plumbing.  The dedup queries
+# plant deterministic near-duplicates (a perturbed copy of each document /
+# a scaled copy of each embedding) so the operators have real positives to
+# find, reproducibly in both engines.
+# ===========================================================================
+
+_DOC_CORPUS_SQL = """
+    SELECT doc_id, text, lang FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text || ' zz qq ww', lang FROM documents
+"""
+
+
+
+
+def _doc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    copies = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz qq ww")).alias("text"),
+        "lang",
+    )
+    return docs.unionByName(copies)
+
+
+
+
+_EMB_CORPUS_SQL = """
+    SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x * 2.0),
+           label
+    FROM embeddings
+"""
+
+
+_COS_SQL = (
+    "(list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))"
+)
+
+
+
+
+def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    copies = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+        "label",
+    )
+    return emb.unionByName(copies)
+
+
+
+
+# --- Dedup clusters: LSH pairs → connected components → keep-one ----------
+# A three-generation corpus (original, perturbed, doubly-perturbed) produces
+# transitive A—B—C duplicate chains; components must merge them.
+
+_DOC_CORPUS3_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text || ' zz qq ww' FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000, text || ' zz qq ww kk ll' FROM documents
+"""
+
+
+
+
+def _doc_corpus3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    p1 = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" zz qq ww")).alias("text"),
+    )
+    p2 = docs.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" zz qq ww kk ll")).alias("text"),
+    )
+    return docs.unionByName(p1).unionByName(p2)

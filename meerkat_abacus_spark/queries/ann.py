@@ -1,0 +1,339 @@
+"""Approximate nearest neighbour family: brute-force cosine top-k, sign-LSH
+(single and multiprobe), IVF over centroid lists, and measured recall@k."""
+
+from __future__ import annotations
+
+from meerkat_abacus_spark.datapipe import similarity as sim
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from ._shared import _COS_SQL, _register, _t
+
+
+
+@_register(
+    "ann_brute_topk",
+    f"""
+    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROUND({_COS_SQL}, 3) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                   ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS rank
+        FROM corpus a JOIN corpus b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < 5
+    ) WHERE rank <= 5
+    """,
+)
+def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = sim.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 5), id_col="vec_id",
+        vec_col="embedding", k=5,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 3).alias("cosine"), "rank"
+    )
+
+
+
+
+_BUCKET_SQL = "|| ".join(
+    f"(CASE WHEN {{side}}.v[{i + 1}] >= 0 THEN '1' ELSE '0' END) " for i in range(8)
+)
+
+
+
+
+@_register(
+    "ann_lsh_topk",
+    f"""
+    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROUND({_COS_SQL}, 3) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                   ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS rank
+        FROM corpus a JOIN corpus b
+          ON a.vec_id <> b.vec_id
+         AND ({_BUCKET_SQL.format(side='a')}) = ({_BUCKET_SQL.format(side='b')})
+        WHERE a.vec_id < 20
+    ) WHERE rank <= 3
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = sim.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 20), id_col="vec_id",
+        vec_col="embedding", k=3, bucket_dims=8,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 3).alias("cosine"), "rank"
+    )
+
+
+
+
+# Multi-probe variant: each query also probes the bucket with its most
+# hyperplane-adjacent bit flipped (lowest |coordinate| first) — recall
+# recovery with the corpus side untouched (single home bucket, equi-join).
+
+_MAGS_SQL = "list_value(" + ", ".join(f"abs(a.v[{i + 1}])" for i in range(8)) + ")"
+
+
+_FLIP_BUCKET_SQL = "|| ".join(
+    f"(CASE WHEN {i + 1} = a.mi"
+    f" THEN (CASE WHEN a.v[{i + 1}] >= 0 THEN '0' ELSE '1' END)"
+    f" ELSE (CASE WHEN a.v[{i + 1}] >= 0 THEN '1' ELSE '0' END) END) "
+    for i in range(8)
+)
+
+
+
+
+@_register(
+    "ann_lsh_multiprobe",
+    f"""
+    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (
+        SELECT vec_id, v,
+               ({_BUCKET_SQL.format(side='a')}) AS home,
+               list_position({_MAGS_SQL}, list_min({_MAGS_SQL})) AS mi
+        FROM corpus a WHERE vec_id < 20
+    ),
+    probes AS (
+        SELECT vec_id, v, home AS bucket FROM q
+        UNION ALL
+        SELECT vec_id, v, ({_FLIP_BUCKET_SQL}) FROM q a
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROUND({_COS_SQL}, 3) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                   ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS rank
+        FROM probes a JOIN corpus b
+          ON a.vec_id <> b.vec_id
+         AND a.bucket = ({_BUCKET_SQL.format(side='b')})
+    ) WHERE rank <= 3
+    """,
+)
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = sim.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 20), id_col="vec_id",
+        vec_col="embedding", k=3, bucket_dims=8, n_probe=2,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 3).alias("cosine"), "rank"
+    )
+
+
+
+
+# --- IVF-style ANN: nearest-centroid inverted lists, probe 2 lists ---------
+
+_CENT_COS = (
+    "(list_dot_product(v.v, c.cv) / "
+    "(sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cv, c.cv))))"
+)
+
+
+
+
+@_register(
+    "ann_ivf_topk",
+    f"""
+    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+        SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < 16
+    ),
+    assigned AS (
+        SELECT v.vec_id, v.v, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY {_CENT_COS} DESC, c.centroid_id ASC) AS crank
+        FROM corpus v CROSS JOIN cents c
+    ),
+    lists AS (
+        SELECT vec_id AS neighbor_id, v AS cv2, centroid_id AS list_id
+        FROM assigned WHERE crank = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, centroid_id AS list_id
+        FROM assigned WHERE crank <= 2 AND vec_id >= 100 AND vec_id < 120
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT p.query_id, l.neighbor_id,
+               ROUND(list_dot_product(p.qv, l.cv2) /
+                     (sqrt(list_dot_product(p.qv, p.qv)) *
+                      sqrt(list_dot_product(l.cv2, l.cv2))), 3) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                   ORDER BY list_dot_product(p.qv, l.cv2) /
+                            (sqrt(list_dot_product(p.qv, p.qv)) *
+                             sqrt(list_dot_product(l.cv2, l.cv2))) DESC,
+                            l.neighbor_id ASC) AS rank
+        FROM probes p JOIN lists l ON p.list_id = l.list_id
+        WHERE p.query_id <> l.neighbor_id
+    ) WHERE rank <= 3
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries_df = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120))
+    out = sim.ivf_topk(
+        emb, queries_df, centroids, id_col="vec_id", vec_col="embedding",
+        k=3, n_probe=2,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 3).alias("cosine"), "rank"
+    )
+
+
+
+
+# --- ANN recall@k: quality knob of every approximate index, measured ------
+
+
+@_register(
+    "ann_recall",
+    f"""
+    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                       ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS rank
+            FROM corpus a JOIN corpus b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id < 20
+        ) WHERE rank <= 3
+    ),
+    lsh1 AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                       ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS rank
+            FROM corpus a JOIN corpus b
+              ON a.vec_id <> b.vec_id
+             AND ({_BUCKET_SQL.format(side='a')}) = ({_BUCKET_SQL.format(side='b')})
+            WHERE a.vec_id < 20
+        ) WHERE rank <= 3
+    ),
+    q AS (
+        SELECT vec_id, v,
+               ({_BUCKET_SQL.format(side='a')}) AS home,
+               list_position({_MAGS_SQL}, list_min({_MAGS_SQL})) AS mi
+        FROM corpus a WHERE vec_id < 20
+    ),
+    probes AS (
+        SELECT vec_id, v, home AS bucket FROM q
+        UNION ALL
+        SELECT vec_id, v, ({_FLIP_BUCKET_SQL}) FROM q a
+    ),
+    lsh2 AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                       ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS rank
+            FROM probes a JOIN corpus b
+              ON a.vec_id <> b.vec_id
+             AND a.bucket = ({_BUCKET_SQL.format(side='b')})
+        ) WHERE rank <= 3
+    ),
+    cents AS (
+        SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < 16
+    ),
+    assigned AS (
+        SELECT v.vec_id, v.v, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY {_CENT_COS} DESC, c.centroid_id ASC) AS crank
+        FROM corpus v CROSS JOIN cents c
+    ),
+    ivf AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT p.vec_id AS query_id, l.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                       ORDER BY list_dot_product(p.v, l.v) /
+                                (sqrt(list_dot_product(p.v, p.v)) *
+                                 sqrt(list_dot_product(l.v, l.v))) DESC,
+                                l.vec_id ASC) AS rank
+            FROM (SELECT * FROM assigned
+                  WHERE crank <= 2 AND vec_id < 20) p
+            JOIN (SELECT * FROM assigned WHERE crank = 1) l
+              ON p.centroid_id = l.centroid_id
+            WHERE p.vec_id <> l.vec_id
+        ) WHERE rank <= 3
+    ),
+    hits AS (
+        SELECT 'lsh_p1' AS method, COUNT(*) AS hits
+        FROM lsh1 JOIN truth USING (query_id, neighbor_id)
+        UNION ALL
+        SELECT 'lsh_p2', COUNT(*)
+        FROM lsh2 JOIN truth USING (query_id, neighbor_id)
+        UNION ALL
+        SELECT 'ivf_p2', COUNT(*)
+        FROM ivf JOIN truth USING (query_id, neighbor_id)
+    )
+    SELECT method, hits,
+           (SELECT COUNT(*) FROM truth) AS truth_n,
+           ROUND(hits * 1.0 / (SELECT COUNT(*) FROM truth), 4) AS recall
+    FROM hits
+    """,
+)
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of every approximate index against brute-force ground truth
+    over the same 20 queries — an ANN operator is only done when its quality
+    knob is measurable (round-2 verdict #7).  One corpus scan per method;
+    the truth set is computed once and joined against each method's top-k
+    (membership join, rank-agnostic)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qs = emb.filter(F.col("vec_id") < 20)
+    truth = sim.brute_force_topk(
+        emb, qs, id_col="vec_id", vec_col="embedding", k=3
+    ).select("query_id", "neighbor_id")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    methods = {
+        "lsh_p1": sim.lsh_topk(
+            emb, qs, id_col="vec_id", vec_col="embedding", k=3,
+            bucket_dims=8, n_probe=1,
+        ),
+        "lsh_p2": sim.lsh_topk(
+            emb, qs, id_col="vec_id", vec_col="embedding", k=3,
+            bucket_dims=8, n_probe=2,
+        ),
+        "ivf_p2": sim.ivf_topk(
+            emb, qs, centroids, id_col="vec_id", vec_col="embedding",
+            k=3, n_probe=2,
+        ),
+    }
+    truth_n = truth.agg(F.count(F.lit(1)).alias("truth_n"))
+    per_method = [
+        m.select("query_id", "neighbor_id")
+        .join(truth, ["query_id", "neighbor_id"])
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .select(F.lit(name).alias("method"), "hits")
+        for name, m in methods.items()
+    ]
+    out = per_method[0]
+    for p in per_method[1:]:
+        out = out.unionByName(p)
+    return out.crossJoin(F.broadcast(truth_n)).select(
+        "method",
+        "hits",
+        "truth_n",
+        F.round(F.col("hits") / F.col("truth_n"), 4).alias("recall"),
+    )

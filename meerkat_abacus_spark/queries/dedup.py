@@ -1,0 +1,570 @@
+"""Deduplication family: exact, MinHash+LSH, SimHash (16/64-bit), n-gram
+Jaccard, embedding near-dup, connected-component clusters, repeated-span
+stats, and benchmark decontamination."""
+
+from __future__ import annotations
+
+from meerkat_abacus_spark.datapipe import dedup as dd
+from meerkat_abacus_spark.datapipe import similarity as sim
+from meerkat_abacus_spark.datapipe import text as tx
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from ._shared import _COS_SQL, _DOC_CORPUS3_SQL, _DOC_CORPUS_SQL, _EMB_CORPUS_SQL, _doc_corpus, _doc_corpus3, _emb_corpus, _register, _t
+from .ann import _BUCKET_SQL
+
+
+
+@_register(
+    "dedup_exact",
+    f"""
+    WITH corpus AS (
+        SELECT doc_id, text, lang FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text, lang FROM documents
+    ), hashed AS (
+        SELECT lang, doc_id,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        FROM corpus
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept
+    FROM hashed
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang")
+    )
+    deduped = dd.exact_dedup(corpus, id_col="doc_id", content_col="text")
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("is_kept"), 1).otherwise(0)).alias("n_kept"),
+    )
+
+
+
+
+# Shared MinHash-LSH parameterization for the dedup queries AND their DuckDB
+# oracles AND tools/scale_rehearsal.py.  64 hashes / 16 bands × 4 rows keeps
+# the ~0.5 S-curve threshold of the old 8/4×2 config ((1/16)^(1/4) ≈
+# (1/4)^(1/2)) but drops the background collision rate from j² to j⁴ — the
+# round-3 rehearsal measured the old config's band buckets GROWING with
+# corpus size (max 24 → 5 296 at 10× data).  max_bucket_size is the hard
+# guard behind the statistics: oversized buckets degrade to star edges.
+MINHASH_CFG: dict[str, int] = {
+    "shingle_k": 3,
+    "num_hashes": 64,
+    "bands": 16,
+    "rows_per_band": 4,
+    "max_bucket_size": 50,
+}
+
+
+
+
+def _minhash_oracle_sql(corpus_sql: str, min_jaccard: float = 0.4) -> str:
+    """DuckDB mirror of ``dd.minhash_lsh_candidates`` under ``MINHASH_CFG``.
+
+    Generated, not hand-written, so the oracle tracks the config: same
+    md5-slice signature, same band keys, same bucket-size guard (rows of
+    buckets over the cap pair only via the bucket-min star edge).
+    """
+    k = MINHASH_CFG["shingle_k"]
+    groups = MINHASH_CFG["num_hashes"] // 4
+    bands = MINHASH_CFG["bands"]
+    rpb = MINHASH_CFG["rows_per_band"]
+    cap = MINHASH_CFG["max_bucket_size"]
+    shingle_expr = " || ' ' || ".join(
+        "t[i]" if j == 0 else f"t[i+{j}]" for j in range(k)
+    )
+    dg_cols = ",\n               ".join(
+        f"list_transform(sh, s -> md5('{g}:' || s)) AS dg{g}"
+        for g in range(groups)
+    )
+    sig_items = ",\n                ".join(
+        f"list_aggregate(list_transform(dg{g}, h -> substr(h, {8 * j + 1}, 8)), 'min')"
+        for g in range(groups)
+        for j in range(4)
+    )
+    band_items = ",\n            ".join(
+        "md5('%d' || '|' || %s)"
+        % (b, " || '|' || ".join(f"sig[{b * rpb + r + 1}]" for r in range(rpb)))
+        for b in range(bands)
+    )
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= {k} THEN
+                   list_distinct(list_transform(range(1, len(t) - {k - 2}),
+                       i -> {shingle_expr}))
+               ELSE [] END AS sh
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM corpus)
+    ),
+    dg AS (
+        SELECT doc_id, sh,
+               {dg_cols}
+        FROM sh WHERE len(sh) >= 1
+    ),
+    sig AS (
+        SELECT doc_id, sh,
+               [{sig_items}] AS sig
+        FROM dg
+    ),
+    banded AS (
+        SELECT doc_id, sh, UNNEST([
+            {band_items}
+        ]) AS band_key
+        FROM sig
+    ),
+    stats AS (
+        SELECT band_key, COUNT(*) AS n, MIN(doc_id) AS min_id
+        FROM banded GROUP BY 1
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.sh AS sh_a, b.sh AS sh_b
+        FROM banded a
+        JOIN stats s ON s.band_key = a.band_key
+        JOIN banded b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        WHERE s.n <= {cap} OR a.doc_id = s.min_id
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+                 (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 4)
+               AS jaccard
+    FROM pairs
+    WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+          (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= {min_jaccard}
+"""
+
+
+
+
+_MINHASH_ORACLE = _minhash_oracle_sql(_DOC_CORPUS_SQL)
+
+
+
+
+@_register("dedup_minhash_lsh", _MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _doc_corpus(spark, sf_dir)
+    cands = dd.minhash_lsh_candidates(
+        corpus, id_col="doc_id", text_col="text", **MINHASH_CFG
+    )
+    return cands.filter(F.col("jaccard") >= 0.4).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+
+
+# --- SimHash oracle: portable hex→int + per-bit majority vote in SQL -------
+
+_TOK_HASH_SQL = " + ".join(
+    f"((strpos('0123456789abcdef', substr(md5(t), {p + 1}, 1)) - 1) * {16 ** (3 - p)})"
+    for p in range(4)
+)
+
+
+_SIMHASH_BITS_SQL = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(hs, "
+    f"h -> CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END)) >= 0 "
+    f"THEN {1 << b} ELSE 0 END)"
+    for b in range(16)
+)
+
+
+
+
+@_register(
+    "dedup_simhash",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), h AS (
+        SELECT doc_id, list_transform(toks, t -> {_TOK_HASH_SQL}) AS hs FROM tok
+    )
+    SELECT doc_id, CAST({_SIMHASH_BITS_SQL} AS BIGINT) AS simhash
+    FROM h
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.withColumn("toks", tx.tokens_col(F.col("text"))).withColumn(
+        "hs", tx.token_hashes(F.col("toks"))
+    )
+    return hashed.select(
+        "doc_id", dd.simhash_from_hashes(F.col("hs")).cast("long").alias("simhash")
+    )
+
+
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH corpus AS ({_DOC_CORPUS_SQL}),
+    sh AS (
+        SELECT doc_id, lang,
+               CASE WHEN len(t) >= 2 THEN
+                   list_distinct(list_transform(range(1, len(t)),
+                       i -> t[i] || ' ' || t[i+1]))
+               ELSE [] END AS sh
+        FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t
+              FROM corpus)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+               AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _doc_corpus(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(
+        corpus, id_col="doc_id", text_col="text", block_col="lang",
+        shingle_k=2, min_jaccard=0.3,
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+
+
+@_register(
+    "dedup_embedding",
+    f"""
+    WITH corpus AS ({_EMB_CORPUS_SQL})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_COS_SQL}, 3) AS cosine
+    FROM corpus a JOIN corpus b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.99
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _emb_corpus(spark, sf_dir)
+    pairs = dd.embedding_near_dup_pairs(
+        corpus, id_col="vec_id", vec_col="embedding", block_col="label",
+        min_cosine=0.99,
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 3).alias("cosine"))
+
+
+
+
+_CC_EDGES_SQL = _minhash_oracle_sql(_DOC_CORPUS3_SQL)
+
+
+
+
+@_register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE edges AS ({_CC_EDGES_SQL}),
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM edges
+        UNION SELECT id_b, id_a FROM edges
+    ),
+    reach(node, lab) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY 1)
+    SELECT component, COUNT(*) AS cluster_size,
+           CAST(SUM(CASE WHEN node = component THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept
+    FROM comp GROUP BY 1
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _doc_corpus3(spark, sf_dir)
+    pairs = dd.minhash_lsh_candidates(
+        corpus, id_col="doc_id", text_col="text", **MINHASH_CFG
+    ).filter(F.col("jaccard") >= 0.4)
+    comps = dd.connected_components(pairs)
+    return comps.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.sum(
+            F.when(F.col("node") == F.col("component"), 1).otherwise(0)
+        ).alias("n_kept"),
+    )
+
+
+
+
+# --- Embedding near-dup at scale: sign-LSH buckets as the blocking key -----
+
+
+@_register(
+    "dedup_embedding_lsh",
+    f"""
+    WITH corpus AS ({_EMB_CORPUS_SQL})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_COS_SQL}, 3) AS cosine
+    FROM corpus a JOIN corpus b
+      ON ({_BUCKET_SQL.format(side='a')}) = ({_BUCKET_SQL.format(side='b')})
+     AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.99
+    """,
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _emb_corpus(spark, sf_dir).withColumn(
+        "bucket", sim.sign_lsh_bucket(F.col("embedding"), 8)
+    )
+    pairs = dd.embedding_near_dup_pairs(
+        corpus, id_col="vec_id", vec_col="embedding", block_col="bucket",
+        min_cosine=0.99,
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 3).alias("cosine"))
+
+
+
+
+
+# ---------------------------------------------------------------------------
+# Wide SimHash near-dup pairs: the 64-bit sliced fingerprint doubles as its
+# own LSH (per-slice blocking); exact Hamming verify.  Oracle mirrors the
+# md5-slice arithmetic per 16-bit slice.
+# ---------------------------------------------------------------------------
+
+
+def _simhash_wide_oracle_sql(
+    corpus_sql: str,
+    n_slices: int = 4,
+    max_hamming: int = 8,
+    max_bucket_size: int = 50,
+) -> str:
+    def tok_hash(s: int) -> str:
+        return " + ".join(
+            f"((strpos('0123456789abcdef', substr(md5(t), {4 * s + p + 1}, 1)) - 1)"
+            f" * {16 ** (3 - p)})"
+            for p in range(4)
+        )
+
+    hs_cols = ",\n               ".join(
+        f"list_transform(toks, t -> {tok_hash(s)}) AS hs{s}"
+        for s in range(n_slices)
+    )
+    fp_items = ",\n                ".join(
+        _SIMHASH_BITS_SQL.replace("(hs,", f"(hs{s},") for s in range(n_slices)
+    )
+    blocks = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {s} AS si, fp[{s + 1}] AS sv, fp FROM fps"
+        for s in range(n_slices)
+    )
+    hamming = " + ".join(
+        f"(CASE WHEN (fp_a[{s + 1}] // {1 << b}) % 2 != "
+        f"(fp_b[{s + 1}] // {1 << b}) % 2 THEN 1 ELSE 0 END)"
+        for s in range(n_slices)
+        for b in range(16)
+    )
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM corpus
+    ),
+    hss AS (
+        SELECT doc_id,
+               {hs_cols}
+        FROM tok
+    ),
+    fps AS (
+        SELECT doc_id,
+               [{fp_items}] AS fp
+        FROM hss
+    ),
+    blocks AS (
+        {blocks}
+    ),
+    stats AS (
+        SELECT si, sv, COUNT(*) AS n, MIN(doc_id) AS min_id
+        FROM blocks GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.fp AS fp_a, b.fp AS fp_b
+        FROM blocks a
+        JOIN stats s ON s.si = a.si AND s.sv = a.sv
+        JOIN blocks b
+          ON a.si = b.si AND a.sv = b.sv AND a.doc_id < b.doc_id
+        WHERE s.n <= {max_bucket_size} OR a.doc_id = s.min_id
+    )
+    SELECT id_a, id_b, hamming FROM (
+        SELECT id_a, id_b, CAST({hamming} AS INTEGER) AS hamming FROM pairs
+    ) WHERE hamming <= {max_hamming}
+"""
+
+
+
+
+@_register("dedup_simhash_wide", _simhash_wide_oracle_sql(_DOC_CORPUS_SQL))
+def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit sliced SimHash near-dups: per-slice LSH blocking + Hamming
+    verify over the planted-near-dup corpus (reference scope: the dedup
+    family SURVEY.md groups under the LLM-pipeline operators)."""
+    corpus = _doc_corpus(spark, sf_dir)
+    pairs = dd.simhash_wide_pairs(
+        corpus, id_col="doc_id", text_col="text", bits=64, max_hamming=8,
+        max_bucket_size=50,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+
+
+# ---------------------------------------------------------------------------
+# Repeated-span statistics (Lee et al., ACL'22): fraction of each document
+# made of k-token spans that occur in >= 2 distinct documents.
+# ---------------------------------------------------------------------------
+
+# Span-hash modulus: 1e9+7, NOT doc_fingerprint's 1000003 — at corpus scale
+# the span count dwarfs a 1e6 hash space and pigeonhole collisions would
+# manufacture false "repeats" (4.8M spans over 1e6 keys ≈ every hash
+# colliding).  Token hashes are 16-bit, so each 3-term polynomial sum is
+# < 2e8 — below both the modulus and int32 overflow, in Spark and DuckDB.
+_SPAN_MOD = 1_000_000_007
+
+
+_SPAN_KGRAM_SQL = (
+    f"CASE WHEN len(hs) >= 3 THEN list_transform(range(1, len(hs) - 1), "
+    f"i -> (hs[i] * 961 + hs[i+1] * 31 + hs[i+2]) % {_SPAN_MOD}) "
+    f"ELSE [] END"
+)
+
+
+
+_REPEATED_SPANS_ORACLE = f"""
+    WITH corpus AS ({_DOC_CORPUS_SQL}),
+    tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM corpus
+    ),
+    h AS (
+        SELECT doc_id, list_transform(toks, t -> {_TOK_HASH_SQL}) AS hs
+        FROM tok
+    ),
+    kg AS (SELECT doc_id, {_SPAN_KGRAM_SQL} AS kh FROM h),
+    spans AS (SELECT doc_id, UNNEST(kh) AS h FROM kg),
+    dc AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM spans GROUP BY 1)
+    SELECT s.doc_id,
+           COUNT(*) AS n_kgrams,
+           CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repeated,
+           ROUND(CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS dup_frac
+    FROM spans s JOIN dc d USING (h)
+    GROUP BY 1
+"""
+
+
+
+
+@_register("dedup_repeated_spans", _REPEATED_SPANS_ORACLE)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repeated k-token-span stats over the planted-near-dup
+    corpus — the span-level dedup signal a training-data pipeline thresholds
+    on (doc rejected when dup_frac is high)."""
+    corpus = _doc_corpus(spark, sf_dir)
+    stats = tx.repeated_span_stats(
+        corpus, id_col="doc_id", text_col="text", k=3, mod=_SPAN_MOD,
+        min_docs=2
+    )
+    return stats.withColumnRenamed("id", "doc_id")
+
+
+
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag corpus documents sharing k-gram spans with
+# a held-out benchmark set — the standard eval-contamination check a
+# training-data pipeline runs before shipping a corpus.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "decontaminate_overlap",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, list_transform(toks, t -> {_TOK_HASH_SQL}) AS hs
+        FROM tok
+    ),
+    kg AS (SELECT doc_id, list_distinct({_SPAN_KGRAM_SQL}) AS kh FROM h),
+    spans AS (SELECT doc_id, UNNEST(kh) AS h FROM kg),
+    bench AS (SELECT DISTINCT h FROM spans WHERE doc_id % 100 = 0),
+    shared AS (
+        SELECT s.doc_id, COUNT(*) AS n
+        FROM spans s JOIN bench USING (h)
+        WHERE s.doc_id % 100 <> 0
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_shared,
+           COALESCE(n, 0) >= 3 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 100 <> 0) d
+    LEFT JOIN shared USING (doc_id)
+    """,
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: every 100th document stands in for a held-out
+    benchmark; corpus documents are flagged when they share >= 3 distinct
+    k-token-span hashes with ANY benchmark document.  Real pipelines use
+    8-13-gram spans — identical plumbing, k=3 here keeps the portable
+    hash arithmetic in int32 range on both engines.
+
+    Scale shape: distinct span hashes per doc (Generate-barrier staged,
+    map-side), one distinct over the benchmark's spans (benchmark is ~1%
+    of the corpus — small enough that AQE broadcasts it; on a real
+    cluster the benchmark side is a literal broadcast dim), one join +
+    per-doc count.  The corpus side never self-joins.
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        "doc_id", F.explode(F.array(tx.tokens_col(F.col("text")))).alias("toks")
+    )
+    base = base.select(
+        "doc_id", F.explode(F.array(tx.token_hashes(F.col("toks")))).alias("hs")
+    )
+    base = base.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.array_distinct(
+                    tx.kgram_hashes(F.col("hs"), k=3, mod=_SPAN_MOD)
+                )
+            )
+        ).alias("kh"),
+    )
+    spans = base.select("doc_id", F.explode("kh").alias("h"))
+    bench = (
+        spans.filter(F.col("doc_id") % 100 == 0).select("h").distinct()
+    )
+    corpus_spans = spans.filter(F.col("doc_id") % 100 != 0)
+    shared = corpus_spans.join(bench, "h").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    all_docs = docs.filter(F.col("doc_id") % 100 != 0).select("doc_id")
+    return all_docs.join(shared, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n", F.lit(0)).alias("n_shared"),
+        (F.coalesce("n", F.lit(0)) >= 3).alias("contaminated"),
+    )

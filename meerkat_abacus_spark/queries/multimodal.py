@@ -1,0 +1,96 @@
+"""Multimodal columns: binary payload plumbing with deterministic fake
+decode (schema/partitioning/batch shape real; codecs stubbed per SURVEY)."""
+
+from __future__ import annotations
+
+from meerkat_abacus_spark.datapipe.multimodal import attach_binary_payload, decode_media
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from ._shared import _register, _t
+
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: opaque binary payload → Arrow-batched mapInPandas
+# decode (stubbed deterministically; see datapipe/multimodal.py) — checked
+# against a SQL oracle computing the same bytes arithmetic.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "multimodal_decode",
+    """
+    SELECT doc_id,
+           'image' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           ascii(substr(text, 1, 1)) AS first_byte,
+           CAST(list_sum(list_transform(range(1, 9),
+                i -> ascii(substr(text, i, 1)))) AS BIGINT) AS feature
+    FROM documents
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    decoded = decode_media(attach_binary_payload(docs, text_col="text"))
+    return decoded.select(
+        "doc_id", "media_type", "byte_len", "first_byte", "feature"
+    )
+
+
+
+
+@_register(
+    "multimodal_resize",
+    """
+    SELECT doc_id,
+           'image' AS media_type,
+           md5(substring(text, 1, 32)) AS payload_md5,
+           CAST(least(len(text), 32) AS INT) AS out_len
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-in/binary-out mapInPandas plumbing (datapipe/multimodal.py
+    resize_media); the oracle recomputes the deterministic truncation stub.
+    The corpus is pure ASCII, so string arithmetic == byte arithmetic on
+    the oracle side."""
+    from meerkat_abacus_spark.datapipe.multimodal import resize_media
+
+    docs = _t(spark, sf_dir, "documents")
+    resized = resize_media(
+        attach_binary_payload(docs, text_col="text"), target_bytes=32
+    )
+    return resized.select(
+        "doc_id",
+        "media_type",
+        F.md5(F.col("payload")).alias("payload_md5"),
+        "out_len",
+    )
+
+
+
+
+@_register(
+    "multimodal_frames",
+    """
+    SELECT doc_id,
+           CAST(u AS INT) AS frame_idx,
+           CAST(64 AS INT) AS frame_len,
+           md5(substring(text, CAST(u * 64 + 1 AS INT), 64)) AS frame_md5
+    FROM (
+        SELECT doc_id, text,
+               unnest(range(0, len(text) // 64, 2)) AS u
+        FROM documents
+    )
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N frame-sampling fan-out (datapipe/multimodal.py sample_frames):
+    every 2nd complete 64-byte frame, checked by per-frame md5 against the
+    oracle's string-chunk arithmetic."""
+    from meerkat_abacus_spark.datapipe.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_frames(
+        attach_binary_payload(docs, text_col="text"), frame_size=64, every_n=2
+    )

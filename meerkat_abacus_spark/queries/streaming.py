@@ -1,0 +1,537 @@
+"""Streaming & temporal family: batch-parity micro-batch runs, incremental
+links, sessionization (batch + applyInPandasWithState), watermarked windows,
+as-of and range joins."""
+
+from __future__ import annotations
+
+from meerkat_abacus_spark.functions.epi_week import (
+    epi_week_columns,
+    epi_week_duckdb_sql,
+)
+from meerkat_abacus_spark.operators.links import LinkDef, add_links, link_aggregate
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from ._shared import _register, _scratch_tag, _t
+from .surveillance import _ORDER_LINES_LINK
+from .warehouse import _UPS_W_SQL
+
+
+
+@_register(
+    "streaming_equals_batch",
+    f"""
+    WITH e AS (
+        SELECT event_id, event_type, {_UPS_W_SQL} AS epi_week, value
+        FROM events
+    )
+    SELECT event_type, epi_week,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM e
+    GROUP BY 1, 2
+    """,
+)
+def streaming_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 + SURVEY §3.2: the streaming path (file-dropped ``{{formId, data}}``
+    envelopes → Structured Streaming → foreachBatch → upsert sink) must
+    produce EXACTLY the batch answer over the same rows.  The oracle is the
+    plain batch aggregation in DuckDB, so a hash match is the guarantee —
+    not a row-count smoke test.  Micro-batches arrive in
+    ``maxFilesPerTrigger`` slices, so the sink accumulates incrementally
+    across several triggers (get_data.py:128-165's SQS loop shape)."""
+    import shutil
+    import tempfile
+
+    from meerkat_abacus_spark.sinks.writers import upsert_by_key
+    from meerkat_abacus_spark.streaming.foreach_batch import stream_pipeline
+
+    events = _t(spark, sf_dir, "events")
+    tag = _scratch_tag(sf_dir)
+    src = tempfile.gettempdir() + f"/msa_stream_src_{tag}"
+    out = tempfile.gettempdir() + f"/msa_stream_out_{tag}"
+    ckpt = tempfile.gettempdir() + f"/msa_stream_ckpt_{tag}"
+    for p in (src, out, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    # SQS-envelope encoding: every form cell stringified into the data map
+    # (get_data.py:143-152).
+    envelope = events.select(
+        F.lit("events").alias("formId"),
+        F.create_map(
+            F.lit("event_id"), F.col("event_id").cast("string"),
+            F.lit("event_type"), F.col("event_type"),
+            F.lit("ts"), F.col("ts").cast("string"),
+            F.lit("value"), F.col("value").cast("string"),
+        ).alias("data"),
+    )
+    envelope.repartition(8).write.json(src)
+
+    _, epi_week = epi_week_columns(F.col("ts"), "international")
+
+    def transform(batch: DataFrame) -> DataFrame:
+        typed = batch.filter(F.col("formId") == "events").select(
+            F.col("data")["event_id"].cast("long").alias("event_id"),
+            F.col("data")["event_type"].alias("event_type"),
+            F.col("data")["ts"].cast("timestamp").alias("ts"),
+            F.col("data")["value"].cast("double").alias("value"),
+        )
+        return typed.select(
+            "event_id", "event_type", epi_week.alias("epi_week"), "value"
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int):
+        upsert_by_key(
+            spark,
+            batch_df,
+            out,
+            keys=["event_id", "event_type"],
+            partition_by=["event_type", "epi_week"],
+        )
+
+    q = stream_pipeline(
+        spark, src, transform, sink, ckpt, max_files_per_trigger=3
+    )
+    q.awaitTermination()
+
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type", "epi_week")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+
+
+@_register(
+    "incremental_links_equals_batch",
+    """
+    WITH ranked AS (
+        SELECT l_orderkey,
+               l_returnflag,
+               l_shipdate,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                   ORDER BY l_shipdate ASC, CAST(l_linenumber AS VARCHAR) ASC,
+                            l_returnflag ASC) rn_a,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                   ORDER BY l_shipdate DESC, CAST(l_linenumber AS VARCHAR) DESC,
+                            l_returnflag DESC) rn_d,
+               COUNT(*) OVER (PARTITION BY l_orderkey) n_lines
+        FROM lineitem
+    )
+    SELECT f.l_orderkey AS o_orderkey,
+           f.n_lines AS n_lines,
+           CAST(f.l_shipdate AS DATE) AS first_ship,
+           l.l_returnflag AS last_flag
+    FROM ranked f
+    JOIN ranked l ON f.l_orderkey = l.l_orderkey AND l.rn_d = 1
+    WHERE f.rn_a = 1
+    """,
+)
+def incremental_links_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 (add_links.py:45-97): linked rows arriving AFTER the base record
+    trigger re-emission of the affected base slice, recomputed against the
+    full linked table and upserted by key.  Bootstrap runs on a partial
+    lineitem slice (linenumber <= 3), the remainder 'arrives' afterwards;
+    the MERGE'd output must hash-equal one batch pass over everything (the
+    oracle is links_ordered's batch SQL).  The affected slice is found with
+    one broadcast semi-join; the upsert stays partition-pruned."""
+    import shutil
+    import tempfile
+
+    from meerkat_abacus_spark.plans.incremental import incremental_recode
+    from meerkat_abacus_spark.sinks.writers import upsert_by_key
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    li_old = lineitem.filter(F.col("l_linenumber") <= 3)
+    li_new = lineitem.filter(F.col("l_linenumber") > 3)
+    path = tempfile.gettempdir() + f"/msa_increm_{_scratch_tag(sf_dir)}"
+    shutil.rmtree(path, ignore_errors=True)
+
+    def project(linked: DataFrame) -> DataFrame:
+        first = link_aggregate(linked, "lines", "first")
+        last = link_aggregate(linked, "lines", "last")
+        return linked.filter(F.size("link_lines") > 0).select(
+            "o_orderkey",
+            "o_orderstatus",
+            link_aggregate(linked, "lines", "count").cast("bigint").alias("n_lines"),
+            F.to_date(first["l_shipdate"]).alias("first_ship"),
+            last["l_returnflag"].alias("last_flag"),
+        )
+
+    def recompute_against(li: DataFrame):
+        def rc(base: DataFrame) -> DataFrame:
+            return project(
+                add_links(
+                    base, {"lineitem": li}, [_ORDER_LINES_LINK],
+                    payload_columns={"lines": ["l_returnflag", "l_shipdate"]},
+                )
+            )
+
+        return rc
+
+    upsert_by_key(
+        spark, recompute_against(li_old)(orders), path,
+        keys=["o_orderkey"], partition_by=["o_orderstatus"],
+    )
+    incremental_recode(
+        spark, orders, li_new, _ORDER_LINES_LINK,
+        recompute_against(lineitem), path,
+        keys=["o_orderkey"], partition_by=["o_orderstatus"],
+    )
+    return spark.read.parquet(path).select(
+        "o_orderkey", "n_lines", "first_ship", "last_flag"
+    )
+
+
+
+
+@_register(
+    "event_sessionize",
+    """
+    WITH gaps AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_seq,
+               ts
+        FROM gaps
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT)
+               AS duration_s
+    FROM sessions
+    GROUP BY 1, 2
+    """,
+)
+def event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session): one
+    window pass marks session starts, a running sum numbers them, one
+    groupBy aggregates.  Both shuffles hash on user_id and the window sort
+    is per-user — the same plan at 100 TB.  (The streaming analogue is
+    ``session_window``; this is the batch/backfill form.)"""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = events.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+            > 1_800_000_000,
+            1,
+        )
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0)
+        .alias("new_session"),
+        "event_id",
+    )
+    sessions = gaps.select(
+        "user_id",
+        "ts",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_seq"),
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
+        .alias("duration_s"),
+    )
+
+
+
+
+@_register(
+    "asof_join",
+    """
+    WITH l AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), r AS (
+        SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ), r1 AS (
+        SELECT user_id, ts, value FROM r WHERE rn = 1
+    )
+    SELECT l.event_id, l.user_id, l.ts,
+           r1.ts AS purchase_ts,
+           ROUND(r1.value, 2) AS purchase_value
+    FROM l ASOF LEFT JOIN r1
+      ON l.user_id = r1.user_id AND l.ts >= r1.ts
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click gets the latest same-user purchase at-or-
+    before it (operators/temporal.py).  The oracle is DuckDB's NATIVE
+    ``ASOF LEFT JOIN`` — the Spark composition (tag + union + one
+    last-non-null window per user) must reproduce the textbook semantics
+    exactly, including the <= tie (a purchase at the click's own timestamp
+    matches) and left-outer nulls before any purchase exists.
+
+    Scale: one Exchange on user_id for left+right together — the same
+    shuffle a sort-merge equi-join would pay — then a linear running
+    window.  No cogroup, no Python, no per-key arrays.
+    """
+    from meerkat_abacus_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, purchases,
+        on=["user_id"], ts_col="ts", payload_cols=["value"],
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("ts_r").alias("purchase_ts"),
+        F.round("value_r", 2).alias("purchase_value"),
+    )
+
+
+
+
+@_register(
+    "range_join_windows",
+    """
+    WITH win AS (
+        SELECT event_id AS window_id, ts AS w_start,
+               ts + INTERVAL 30 MINUTE AS w_end
+        FROM events WHERE event_type = 'error' AND value >= 9.5
+    ), pts AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, w.window_id,
+           w.w_start AS window_start
+    FROM pts p JOIN win w
+      ON p.ts >= w.w_start AND p.ts < w.w_end
+    """,
+)
+def range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join with NO equi-key: clicks landing inside any
+    global incident window (30 min after a severe error).  Bucketed range
+    join (operators/temporal.py): both sides gain a time-bucket equi-key,
+    intervals explode to the <=3 buckets they overlap, and the residual
+    range predicate rides the equi-join — candidate pairs are bounded by
+    bucket co-residency instead of |points| x |intervals|.
+
+    The naive Spark plan for this query is a BroadcastNestedLoopJoin that
+    stops working the moment the interval side outgrows the driver; the
+    bucketed plan shuffles |points| + ~2x|intervals| rows and scales with
+    data, not with the product.
+    """
+    from meerkat_abacus_spark.operators.temporal import range_join_buckets
+
+    ev = _t(spark, sf_dir, "events")
+    points = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    windows = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") >= 9.5)
+    ).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+    )
+    joined = range_join_buckets(
+        points, windows, point_ts="ts",
+        start_col="w_start", end_col="w_end", bucket_seconds=900,
+    )
+    return joined.select(
+        "event_id", "user_id", "window_id",
+        F.col("w_start").alias("window_start"),
+    )
+
+
+
+
+@_register(
+    "streaming_sessionize",
+    """
+    WITH gaps AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_seq,
+               ts
+        FROM gaps
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT)
+               AS duration_s
+    FROM sessions
+    GROUP BY 1, 2
+    """,
+)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator (streaming/stateful.py): the
+    events table is replayed as four time-sliced files, one micro-batch
+    each (availableNow + maxFilesPerTrigger=1); per-user session state in
+    ``applyInPandasWithState`` stitches sessions ACROSS batch boundaries.
+    The final session table must hash-equal the pure-batch oracle — the
+    strongest statement that the stateful operator neither drops, splits,
+    nor double-counts sessions at micro-batch seams."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from meerkat_abacus_spark.streaming.stateful import (
+        run_sessionize_over_files,
+    )
+
+    base = tempfile.gettempdir() + f"/msa_sess_{_scratch_tag(sf_dir)}"
+    src, ckpt = base + "/src", base + "/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(src)
+
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    # Four global time slices -> each user's events arrive in time order
+    # across micro-batches (the operator's documented ordering contract).
+    bounds = events.selectExpr(
+        "percentile_approx(ts, array(0.25, 0.5, 0.75), 10000) q"
+    ).collect()[0]["q"]
+    lo = [None] + list(bounds)
+    hi = list(bounds) + [None]
+    for k, (a, b) in enumerate(zip(lo, hi)):
+        sl = events
+        if a is not None:
+            sl = sl.filter(F.col("ts") > F.lit(a))
+        if b is not None:
+            sl = sl.filter(F.col("ts") <= F.lit(b))
+        tmp = f"{base}/tmp{k}"
+        sl.coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dest = f"{src}/slice{k}.parquet"
+        shutil.move(part, dest)
+        shutil.rmtree(tmp)
+        os.utime(dest, (1_700_000_000 + k, 1_700_000_000 + k))
+
+    name = f"sess_{_scratch_tag(sf_dir)}"
+    return run_sessionize_over_files(spark, src, ckpt, queryName=name)
+
+
+
+
+
+# ---------------------------------------------------------------------------
+# Watermarked tumbling-window streaming aggregation with planted late data.
+# ---------------------------------------------------------------------------
+
+_WINDOWED_COUNTS_ORACLE = """
+    WITH bounds AS (
+        SELECT epoch_us(MIN(ts)) AS mn, epoch_us(MAX(ts)) AS mx FROM events
+    ),
+    augmented AS (
+        SELECT ts, event_type, value FROM events
+        UNION ALL
+        -- the mildly-late replay copies: within the watermark delay, so the
+        -- stream REPAIRS their still-open window and they count
+        SELECT ts, event_type, value FROM events, bounds
+        WHERE epoch_us(ts) > mn + (mx - mn) // 2 - 1800000000
+          AND epoch_us(ts) <= mn + (mx - mn) // 2
+        -- the too-late copies (first-day events replayed after the stream
+        -- saw newer data) are DROPPED by the watermark: absent here
+    ),
+    win AS (
+        SELECT date_trunc('day', ts) AS window_start, event_type,
+               COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+        FROM augmented GROUP BY 1, 2
+    )
+    SELECT CAST(window_start AS TIMESTAMP) AS window_start, event_type,
+           n_events, total_value
+    FROM win, bounds
+    WHERE epoch_us(window_start) + 86400000000 <= mx - 3600000000
+"""
+
+
+
+
+@_register("streaming_windowed_counts", _WINDOWED_COUNTS_ORACLE)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in stateful streaming: watermarked 1-day tumbling windows per
+    event_type (streaming/windowed.py), replayed as THREE files — the two
+    halves of the timeline, then a late-data-only file planting both kinds
+    of lateness: copies within the 1-hour watermark delay (their window is
+    still open: must repair it and count) and first-day copies far beyond
+    it (their window was already finalized and evicted: must be dropped).
+    The late file comes third because Spark's late-row filter uses the
+    PREVIOUS batch's eviction watermark — eviction must have run before
+    the late rows arrive, exactly as in production where a finalized
+    window's state is long gone when a stale event shows up.  The
+    append-mode result hash-equals a batch oracle that includes exactly
+    the within-delay copies and excludes the beyond-delay ones —
+    watermark semantics proven, not assumed."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from meerkat_abacus_spark.streaming.windowed import (
+        run_windowed_counts_over_files,
+    )
+
+    base = tempfile.gettempdir() + f"/msa_wincnt_{_scratch_tag(sf_dir)}"
+    src, ckpt = base + "/src", base + "/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(src)
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    row = events.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    ).collect()[0]
+    mn, mx = row["mn"], row["mx"]
+    mid = mn + (mx - mn) // 2
+
+    too_late = events.filter(
+        F.unix_micros("ts") < mn + 86_400_000_000
+    ).withColumn("event_id", F.col("event_id") + 10_000_000)
+    ok_late = events.filter(
+        (F.unix_micros("ts") > mid - 1_800_000_000)
+        & (F.unix_micros("ts") <= mid)
+    ).withColumn("event_id", F.col("event_id") + 20_000_000)
+
+    slices = [
+        events.filter(F.unix_micros("ts") <= mid),
+        events.filter(F.unix_micros("ts") > mid),
+        too_late.unionByName(ok_late),
+    ]
+    for k, sl in enumerate(slices):
+        tmp = f"{base}/tmp{k}"
+        sl.coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dest = f"{src}/slice{k}.parquet"
+        shutil.move(part, dest)
+        shutil.rmtree(tmp)
+        os.utime(dest, (1_700_000_000 + k, 1_700_000_000 + k))
+
+    return run_windowed_counts_over_files(
+        spark, src, ckpt, queryName=f"wincnt_{_scratch_tag(sf_dir)}"
+    )

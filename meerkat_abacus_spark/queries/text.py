@@ -1,0 +1,490 @@
+"""Text-analysis family: token/quality stats, language ID, fingerprinting,
+cleaning, PII redaction, repetition, sampling, and sequence packing."""
+
+from __future__ import annotations
+
+from meerkat_abacus_spark.datapipe import text as tx
+from meerkat_abacus_spark.operators import quality_control as qc
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from ._shared import _register, _t
+from .dedup import _TOK_HASH_SQL
+
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token counts, quality heuristics, language-ID — all pure
+# column expressions (codegen'd; no Python in the row loop).
+# ---------------------------------------------------------------------------
+
+_STOP_EN = "', '".join(tx.LANG_PROFILES["en"])
+
+
+
+
+@_register(
+    "text_stats",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           len(regexp_extract_all(text,
+               '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe,
+           ROUND(CAST(list_sum(list_transform(t, s -> len(s))) AS DOUBLE)
+                 / greatest(len(t), 1), 4) AS mean_tok_len,
+           ROUND(CAST(len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                      AS DOUBLE) / greatest(len(text), 1), 4) AS punct_ratio,
+           ROUND(CAST(len(list_filter(string_split_regex(trim(lower(text)),
+                      '\\s+'), s -> s IN ('{_STOP_EN}'))) AS DOUBLE)
+                 / greatest(len(t), 1), 4) AS stop_ratio
+    FROM tok
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    staged = docs.withColumns(
+        {
+            "toks": tx.tokens_col(text),
+            "toks_lower": tx.tokens_col(F.lower(text)),
+        }
+    )
+    return staged.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        tx.bpe_token_count(text).alias("n_bpe"),
+        F.round(tx.mean_token_length(F.col("toks")), 4).alias("mean_tok_len"),
+        F.round(tx.punct_ratio(text), 4).alias("punct_ratio"),
+        F.round(
+            tx.stopword_ratio(F.col("toks_lower"), tx.LANG_PROFILES["en"]), 4
+        ).alias("stop_ratio"),
+    )
+
+
+
+
+def _langid_case_sql() -> str:
+    """CASE expression mirroring predict_language's deterministic argmax
+    (ties pick the alphabetically-first language code)."""
+    ratios = {
+        lang: (
+            "(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+            f"""s -> s IN ('{"', '".join(words)}'))) AS DOUBLE) / """
+            "greatest(len(string_split_regex(trim(text), '\\s+')), 1))"
+        )
+        for lang, words in tx.LANG_PROFILES.items()
+    }
+    best = "greatest(" + ", ".join(ratios.values()) + ")"
+    arms = " ".join(
+        f"WHEN {ratios[lang]} = __best THEN '{lang}'"
+        for lang in sorted(tx.LANG_PROFILES)
+    )
+    return (
+        f"CASE WHEN __best > 0 THEN (CASE {arms} END) ELSE 'und' END",
+        best,
+    )
+
+
+
+
+_LANGID_CASE, _LANGID_BEST = _langid_case_sql()
+
+
+
+
+@_register(
+    "text_langid",
+    f"""
+    SELECT lang, predicted, COUNT(*) AS n FROM (
+        SELECT lang, {_LANGID_CASE} AS predicted
+        FROM (SELECT lang, text, {_LANGID_BEST} AS __best FROM documents)
+    ) GROUP BY 1, 2
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "toks_lower", tx.tokens_col(F.lower(F.col("text")))
+    )
+    return (
+        docs.select(
+            "lang", tx.predict_language(F.col("toks_lower")).alias("predicted")
+        )
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: rolling k-gram hashes + winnowing (the classic
+# near-dup fingerprint set), portable arithmetic in both engines.
+# ---------------------------------------------------------------------------
+
+_KGRAM_SQL = (
+    "CASE WHEN len(hs) >= 3 THEN list_transform(range(1, len(hs) - 1), "
+    "i -> (hs[i] * 961 + hs[i+1] * 31 + hs[i+2]) % 1000003) "
+    "ELSE [] END"
+)
+
+
+_WINNOW_SQL = (
+    "CASE WHEN len(kh) >= 4 THEN list_transform(range(1, len(kh) - 2), "
+    "i -> list_aggregate(kh[i:i+3], 'min')) ELSE kh END"
+)
+
+
+
+
+@_register(
+    "doc_fingerprint",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), h AS (
+        SELECT doc_id, list_transform(toks, t -> {_TOK_HASH_SQL}) AS hs FROM tok
+    ), kg AS (
+        SELECT doc_id, {_KGRAM_SQL} AS kh FROM h
+    ), win AS (
+        SELECT doc_id, list_distinct({_WINNOW_SQL}) AS fp FROM kg
+    )
+    SELECT doc_id,
+           len(fp) AS n_fp,
+           CAST(list_aggregate(fp, 'min') AS BIGINT) AS min_fp,
+           CAST(list_aggregate(fp, 'max') AS BIGINT) AS max_fp
+    FROM win
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    # Each stage materialized as a column: a lambda over an unbound array
+    # expression re-evaluates it per element (O(n²) hashing — see
+    # datapipe/text.py perf contract).
+    staged = (
+        docs.withColumn("toks", tx.tokens_col(F.col("text")))
+        .withColumn("hs", tx.token_hashes(F.col("toks")))
+        .withColumn("kh", tx.kgram_hashes(F.col("hs"), k=3))
+        .withColumn("fp", tx.winnow(F.col("kh"), window=4))
+    )
+    return staged.select(
+        "doc_id",
+        F.size("fp").alias("n_fp"),
+        F.array_min("fp").cast("long").alias("min_fp"),
+        F.array_max("fp").cast("long").alias("max_fp"),
+    )
+
+
+
+
+# --- Composite quality score (cheap pre-filter before expensive stages) ----
+
+
+@_register(
+    "text_quality",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ), parts AS (
+        SELECT doc_id,
+               least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) AS length_term,
+               1.0 - least(5.0 * CAST(len(regexp_replace(text,
+                     '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                   / greatest(len(text), 1), 1.0) AS punct_term,
+               least(5.0 * CAST(len(list_filter(toks,
+                     s -> s IN ('{_STOP_EN}'))) AS DOUBLE)
+                   / greatest(len(toks), 1), 1.0) AS stop_term
+        FROM t
+    )
+    SELECT doc_id,
+           ROUND((length_term + punct_term + stop_term) / 3, 4) AS quality
+    FROM parts
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "toks_lower", tx.tokens_col(F.lower(F.col("text")))
+    )
+    return docs.select(
+        "doc_id",
+        F.round(
+            tx.quality_score(F.col("text"), F.col("toks_lower")), 4
+        ).alias("quality"),
+    )
+
+
+
+
+def _hex4_sql(key_sql: str, salt: str = "smp") -> str:
+    """DuckDB mirror of the md5-hex4 16-bit bucket used by deterministic
+    sampling (strpos arithmetic — portable, no engine-specific hex cast)."""
+    m = f"md5('{salt}:' || {key_sql})"
+    return (
+        f"((strpos('0123456789abcdef', substr({m}, 1, 1)) - 1) * 4096"
+        f" + (strpos('0123456789abcdef', substr({m}, 2, 1)) - 1) * 256"
+        f" + (strpos('0123456789abcdef', substr({m}, 3, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr({m}, 4, 1)) - 1))"
+    )
+
+
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation: per-stratum sampling (dataset mixing) and per-source
+# top-k quality selection (domain-balanced filtering).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "stratified_sample",
+    f"""
+    SELECT lang,
+           COUNT(*) AS n,
+           MIN(doc_id) AS min_doc
+    FROM documents
+    WHERE {_hex4_sql('CAST(doc_id AS VARCHAR)')} <
+          CASE lang WHEN 'en' THEN CAST(0.75 * 65536 AS INT)
+                    WHEN 'zh' THEN CAST(0.5 * 65536 AS INT)
+                    WHEN 'de' THEN CAST(0.25 * 65536 AS INT)
+                    ELSE CAST(0.1 * 65536 AS INT) END
+    GROUP BY 1
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing: per-language keep fractions, md5-keyed so the sample
+    is bit-reproducible in any engine and rows keep/drop consistently when
+    only the weights change (operators/quality_control.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    sampled = qc.stratified_deterministic_sample(
+        docs, key_col="doc_id", strata_col="lang",
+        fractions={"en": 0.75, "zh": 0.5, "de": 0.25},
+        default_fraction=0.1,
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_doc")
+    )
+
+
+
+
+@_register(
+    "quality_topk_per_source",
+    f"""
+    WITH t AS (
+        SELECT doc_id, source, text,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ), parts AS (
+        SELECT doc_id, source,
+               least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) AS length_term,
+               1.0 - least(5.0 * CAST(len(regexp_replace(text,
+                     '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                   / greatest(len(text), 1), 1.0) AS punct_term,
+               least(5.0 * CAST(len(list_filter(toks,
+                     s -> s IN ('{_STOP_EN}'))) AS DOUBLE)
+                   / greatest(len(toks), 1), 1.0) AS stop_term
+        FROM t
+    ), scored AS (
+        SELECT doc_id, source,
+               ROUND((length_term + punct_term + stop_term) / 3, 4) AS quality
+        FROM parts
+    )
+    SELECT doc_id, source, quality, rank FROM (
+        SELECT doc_id, source, quality,
+               ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY quality DESC, doc_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def quality_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-balanced selection: keep the k highest-quality documents per
+    source.  Ranking runs on the ROUNDED score in both engines so the
+    tie-break (doc_id) is hit identically; the plan is one window over a
+    (source)-partitioned shuffle with WindowGroupLimit pushing k into the
+    sort — no full sort of the corpus."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "toks_lower", tx.tokens_col(F.lower(F.col("text")))
+    )
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.round(
+            tx.quality_score(F.col("text"), F.col("toks_lower")), 4
+        ).alias("quality"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+
+
+@_register(
+    "doc_packing",
+    """
+    WITH toks AS (
+        SELECT doc_id, lang,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents
+    ), packed AS (
+        SELECT lang, n_tokens,
+               CAST(floor(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   / 256.0) AS BIGINT) AS pack_id
+        FROM toks
+    )
+    SELECT lang, pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM packed
+    GROUP BY 1, 2
+    """,
+)
+def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget block packing (datapipe/curation.py): concat-order
+    chunking into 256-token packs, windowed per language so no global
+    sort exists in the plan."""
+    from meerkat_abacus_spark.datapipe.curation import pack_documents
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(tx.tokens_col(F.col("text"))).alias("n_tokens"),
+    )
+    packed = pack_documents(
+        docs, id_col="doc_id", tokens_col="n_tokens",
+        strata_col="lang", budget=256,
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+
+
+@_register(
+    "text_clean",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(text,
+                   '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\\u200b\\ufeff]',
+                   '', 'g'),
+               '\\s+', ' ', 'g')) AS cleaned
+    FROM documents
+    """,
+)
+def text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic cleanup projection (datapipe/curation.py): control
+    chars stripped, whitespace collapsed, trimmed — the canonical pre-dedup
+    normalization."""
+    from meerkat_abacus_spark.datapipe.curation import clean_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", clean_text(F.col("text")).alias("cleaned"))
+
+
+
+
+@_register(
+    "text_redact_pii",
+    r"""
+    WITH seeded AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id ||
+               '@example.com ip 10.0.' || (doc_id % 256) || '.7 tel +1 555-010-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+               '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g')) AS redacted_md5
+    FROM seeded
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (datapipe/curation.py redact_pii): deterministic synthetic
+    email/IP/phone are appended so every row exercises every pattern; the
+    oracle applies the identical regex chain in DuckDB and compares md5 of
+    the redacted text."""
+    from meerkat_abacus_spark.datapipe.curation import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel +1 555-010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    return seeded.select(
+        "doc_id", F.md5(redact_pii(F.col("t"))).alias("redacted_md5")
+    )
+
+
+
+
+@_register(
+    "text_repetition",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ), b AS (
+        SELECT doc_id, toks,
+               list_transform(range(1, greatest(len(toks), 1)),
+                              i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+        FROM t
+    )
+    SELECT doc_id,
+           ROUND(CASE WHEN len(toks) > 0
+                      THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                      ELSE 1.0 END, 4) AS ttr,
+           ROUND(CASE WHEN len(bigrams) > 0
+                      THEN CAST(list_max(list_transform(list_distinct(bigrams),
+                               bg -> len(list_filter(bigrams, x -> x = bg))))
+                           AS DOUBLE) / len(bigrams)
+                      ELSE 0.0 END, 4) AS top_bigram_frac
+    FROM b
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (datapipe/curation.py):
+    type-token ratio and top-bigram fraction.  toks and bigrams are
+    materialized columns per the HOF perf contract."""
+    from meerkat_abacus_spark.datapipe.curation import (
+        bigram_col,
+        top_bigram_fraction,
+        type_token_ratio,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("toks", tx.tokens_col(F.col("text")))
+        .withColumn("bigrams", bigram_col(F.col("toks")))
+    )
+    return docs.select(
+        "doc_id",
+        F.round(type_token_ratio(F.col("toks")), 4).alias("ttr"),
+        F.round(top_bigram_fraction(F.col("bigrams")), 4).alias(
+            "top_bigram_frac"
+        ),
+    )

@@ -1,0 +1,332 @@
+"""Warehouse-shaped anchors: TPC-H-style joins/aggregations and the
+delete+insert upsert contract (K2), incl. partition moves and skew salting."""
+
+from __future__ import annotations
+
+from meerkat_abacus_spark.functions.epi_week import (
+    epi_week_columns,
+    epi_week_duckdb_sql,
+)
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from ._shared import _register, _scratch_tag, _t
+
+
+
+# ---------------------------------------------------------------------------
+# Bench anchor: TPC-H Q1-shaped pricing summary (pure scan + hash agg; the
+# plan should be scan→partial agg→final agg with pushed filters).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY 1, 2
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+
+
+# --- TPC-H Q3-shaped join anchor (A7 consumption pattern at fact scale) ----
+
+
+@_register(
+    "shipping_priority",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+      AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, customer.c_custkey == orders.o_custkey)
+        .filter(F.to_date("o_orderdate") < F.lit("1995-03-15"))
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .filter(F.to_date("l_shipdate") > F.lit("1995-03-15"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey", "revenue", F.to_date("o_orderdate").alias("orderdate")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+
+
+# --- TPC-H Q5-shaped multi-join (join-ordering / broadcast-selection anchor)
+
+
+@_register(
+    "local_supplier_volume",
+    """
+    SELECT n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .filter(
+            (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.to_date("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(supplier),
+            (lineitem.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+
+
+# ===========================================================================
+# Round 2: K2 partition-pruned upsert idempotency, J4 link self-union,
+# A2 weekly/hospital threshold alerts, A6 population rollup, dict-config
+# to_date, J8 alert_data copy onto threshold masters.
+# ===========================================================================
+
+_UPS_Y_SQL, _UPS_W_SQL = epi_week_duckdb_sql("ts", "international")
+
+
+
+
+@_register(
+    "upsert_idempotent",
+    f"""
+    WITH e AS (
+        SELECT event_id, event_type, {_UPS_W_SQL} AS epi_week, value
+        FROM events
+    ),
+    corrected AS (
+        SELECT event_id, event_type, epi_week, value * 2 AS value
+        FROM e WHERE epi_week >= 4
+    ),
+    final AS (
+        SELECT * FROM corrected
+        UNION ALL
+        SELECT * FROM e WHERE epi_week < 4
+    )
+    SELECT event_type, epi_week,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM final
+    GROUP BY 1, 2
+    """,
+)
+def upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 (write_to_db.py:40-49): delete+insert keyed (uuid, type) through
+    the partition-pruned dynamic-overwrite sink.  The initial load is
+    followed by a corrected re-submission of the epi_week>=4 slice — applied
+    TWICE; the oracle models exactly-once application, so a hash match IS
+    the idempotency proof.  Only the epi_week>=4 partitions rewrite (see
+    tests/test_streaming_sinks.py::test_upsert_partition_pruned_rewrite for
+    the file-level evidence)."""
+    import shutil
+    import tempfile
+
+    from meerkat_abacus_spark.sinks.writers import upsert_by_key
+
+    events = _t(spark, sf_dir, "events")
+    _, epi_week = epi_week_columns(F.col("ts"), "international")
+    base = events.select(
+        "event_id", "event_type", epi_week.alias("epi_week"), "value"
+    )
+    corrected = base.filter(F.col("epi_week") >= 4).withColumn(
+        "value", F.col("value") * 2
+    )
+
+    path = tempfile.gettempdir() + f"/msa_upsert_{_scratch_tag(sf_dir)}"
+    shutil.rmtree(path, ignore_errors=True)
+    keys = ["event_id", "event_type"]
+    parts = ["event_type", "epi_week"]
+    upsert_by_key(spark, base, path, keys=keys, partition_by=parts)
+    upsert_by_key(spark, corrected, path, keys=keys, partition_by=parts)
+    upsert_by_key(spark, corrected, path, keys=keys, partition_by=parts)
+
+    return (
+        spark.read.parquet(path)
+        .groupBy("event_type", "epi_week")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+
+
+@_register(
+    "upsert_partition_move",
+    f"""
+    WITH e AS (
+        SELECT event_id, event_type, {_UPS_W_SQL} AS epi_week, value
+        FROM events
+    ),
+    final AS (
+        SELECT event_id, event_type, epi_week + 1 AS epi_week, value * 2 AS value
+        FROM e WHERE epi_week IN (3, 4)
+        UNION ALL
+        SELECT event_id, event_type, epi_week, value
+        FROM e WHERE epi_week NOT IN (3, 4)
+    )
+    SELECT event_type, epi_week,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM final
+    GROUP BY 1, 2
+    """,
+)
+def upsert_partition_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 partition-MOVING correction (reference write_to_db.py:40-49 deletes
+    by key regardless of partition): a correction shifts every epi_week 3/4
+    row one week later — its (event_type, epi_week) PARTITION changes — and
+    is applied TWICE.  The oracle models exactly-once application, so a hash
+    match proves the stale versions were deleted from their old partitions
+    (epi_week=3 vanishes entirely, exercising the emptied-partition-dir
+    delete) and the replay added nothing."""
+    import shutil
+    import tempfile
+
+    from meerkat_abacus_spark.sinks.writers import upsert_by_key
+
+    events = _t(spark, sf_dir, "events")
+    _, epi_week = epi_week_columns(F.col("ts"), "international")
+    base = events.select(
+        "event_id", "event_type", epi_week.alias("epi_week"), "value"
+    )
+    corrected = (
+        base.filter(F.col("epi_week").isin(3, 4))
+        .withColumn("epi_week", F.col("epi_week") + 1)
+        .withColumn("value", F.col("value") * 2)
+    )
+
+    path = tempfile.gettempdir() + f"/msa_upsmove_{_scratch_tag(sf_dir)}"
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path + ".staging", ignore_errors=True)
+    keys = ["event_id", "event_type"]
+    parts = ["event_type", "epi_week"]
+    upsert_by_key(spark, base, path, keys=keys, partition_by=parts)
+    upsert_by_key(spark, corrected, path, keys=keys, partition_by=parts)
+    upsert_by_key(spark, corrected, path, keys=keys, partition_by=parts)
+
+    return (
+        spark.read.parquet(path)
+        .groupBy("event_type", "epi_week")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+
+
+@_register(
+    "skew_salted_agg",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (functions/skew.py) must equal the plain
+    groupBy — the salt only bounds per-task fan-in (no task sees more than
+    ~1/B of a hot key), it cannot change algebraic results.  event_type is
+    the engine's canonical hot key (a national outbreak = one event_type
+    dominating the stream)."""
+    from meerkat_abacus_spark.functions.skew import salted_count, salted_sum
+
+    events = _t(spark, sf_dir, "events")
+    counts = salted_count(
+        events, ["event_type"], salt_buckets=16, salt_on=F.col("event_id")
+    ).withColumnRenamed("count", "n")
+    sums = salted_sum(
+        events, ["event_type"], "value", salt_buckets=16,
+        salt_on=F.col("event_id"),
+    )
+    return counts.join(sums, "event_type").select(
+        "event_type", "n", F.round("sum", 2).alias("sum_value")
+    )
