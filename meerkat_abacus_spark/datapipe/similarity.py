@@ -247,3 +247,113 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def train_centroids(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tol: float = 1e-4,
+) -> DataFrame:
+    """Scalable Lloyd-style k-means for the IVF index: returns a
+    ``(centroid_id, <vec_col>)`` DataFrame consumable by :func:`ivf_topk`.
+
+    Spark-shaped by construction — per iteration the corpus is touched
+    exactly once and never shuffled at corpus width:
+
+    - **assignment is a projection**: the current k centroids are inlined as
+      an array-of-structs literal (k × dim floats — driver-sized by the same
+      argument as :func:`ivf_topk`'s probe step), so each vector's nearest
+      centroid is an ``array_sort(transform(...))[0]`` argmax inside
+      whole-stage codegen.  No join, no Exchange over the corpus.
+    - **the update is one hash aggregation**: ``groupBy(cid)`` with one
+      ``avg(element_at(vec, d))`` per dimension.  Map-side partial
+      aggregation reduces every partition to ≤ k rows × dim columns before
+      the shuffle, so the per-iteration shuffle volume is
+      O(k × dim × partitions) regardless of corpus size.
+    - **driver traffic is k vectors per iteration** (the re-inlined
+      centroids), never corpus rows.
+
+    Initialization takes the k hash-smallest ids (``md5(id)`` order):
+    deterministic across runs and engines, one corpus pass, and unbiased by
+    insertion order — the classic random-subset init with a reproducible
+    PRNG.  Empty clusters keep their previous centroid (standard Lloyd
+    degenerate-case handling).  Iteration stops early when no centroid
+    moved more than ``tol`` (squared L2), checked driver-side on the k
+    collected vectors — at most ``iters`` corpus passes either way.
+
+    For very high-dimensional embeddings (dim in the thousands) the
+    dim-wide aggregate row still holds; if k × dim outgrows what the driver
+    should re-broadcast per iteration, delegate to
+    ``pyspark.ml.clustering.KMeans`` — the plan shape is the same
+    (assign-as-join + tree-aggregated update), traded for MLlib's
+    sample-based init.  Reference scope: the reference engine has no
+    vector-index training; this exists for the ANN operators the
+    training-data pipeline adds on top (SURVEY.md §2's LLM-pipeline block).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        raise ValueError("cannot train centroids on an empty corpus")
+    dim = first["d"]
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    init = (
+        base.orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(k)
+        .select("v")
+        .collect()
+    )
+    centroids: list[list[float]] = [[float(x) for x in r["v"]] for r in init]
+
+    def _cent_arr(cents: list[list[float]]) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("cid"),
+                    F.array(*[F.lit(x) for x in c]).alias("cv_cent"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+
+    for _ in range(iters):
+        ranked = F.array_sort(
+            F.transform(
+                _cent_arr(centroids),
+                lambda c: F.struct(
+                    (-cosine_similarity(F.col("v"), c["cv_cent"])).alias("neg"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )
+        assigned = base.select(ranked[0]["cid"].alias("cid"), "v")
+        means = (
+            assigned.groupBy("cid")
+            .agg(
+                *[
+                    F.avg(F.element_at(F.col("v"), d + 1)).alias(f"m{d}")
+                    for d in range(dim)
+                ]
+            )
+            .collect()
+        )
+        new_centroids = list(centroids)  # empty clusters keep their vector
+        shift = 0.0
+        for r in means:
+            vec = [float(r[f"m{d}"]) for d in range(dim)]
+            old = centroids[r["cid"]]
+            shift = max(shift, sum((a - b) ** 2 for a, b in zip(vec, old)))
+            new_centroids[r["cid"]] = vec
+        centroids = new_centroids
+        if shift <= tol:
+            break
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        schema=f"centroid_id int, {vec_col} array<double>",
+    )

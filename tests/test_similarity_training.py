@@ -1,0 +1,98 @@
+"""train_centroids: the scalable k-means that feeds ivf_topk.
+
+Reference scope: the reference engine has no vector-index training; these
+cover the ANN additions the training-data pipeline layers on top
+(SURVEY.md §2 LLM-pipeline block).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from meerkat_abacus_spark.datapipe.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    train_centroids,
+)
+
+
+def _clustered_corpus(spark, per_cluster=40):
+    """Three well-separated direction clusters in 4-D (cosine k-means
+    separates by direction, not offset)."""
+    dirs = [
+        [1.0, 0.05, 0.0, 0.0],
+        [0.0, 1.0, 0.05, 0.0],
+        [0.0, 0.0, 0.05, 1.0],
+    ]
+    rows = []
+    vid = 0
+    for ci, d in enumerate(dirs):
+        for j in range(per_cluster):
+            # deterministic small perturbation, never flips the dominant axis
+            noise = [((vid * 7 + i * 3) % 5 - 2) * 0.02 for i in range(4)]
+            rows.append((vid, [d[i] + noise[i] for i in range(4)]))
+            vid += 1
+    return spark.createDataFrame(
+        rows, schema="vec_id int, embedding array<double>"
+    )
+
+
+def _cos(a, b):
+    num = sum(x * y for x, y in zip(a, b))
+    den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
+    return num / den
+
+
+def test_train_centroids_recovers_cluster_directions(spark):
+    corpus = _clustered_corpus(spark)
+    cents = train_centroids(corpus, k=3, iters=5).collect()
+    assert len(cents) == 3
+    got = [list(r["embedding"]) for r in cents]
+    for d in (
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+    ):
+        assert max(_cos(d, g) for g in got) > 0.98
+
+
+def test_train_centroids_deterministic(spark):
+    corpus = _clustered_corpus(spark)
+    a = sorted(map(repr, train_centroids(corpus, k=3, iters=3).collect()))
+    b = sorted(map(repr, train_centroids(corpus, k=3, iters=3).collect()))
+    assert a == b
+
+
+def test_train_centroids_early_stop_and_empty_cluster(spark):
+    # two identical points + k=2: one cluster goes empty after the first
+    # assignment; its centroid must survive (no NaNs, no row loss)
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        schema="vec_id int, embedding array<double>",
+    )
+    cents = train_centroids(corpus, k=2, iters=10).collect()
+    assert len(cents) == 2
+    for r in cents:
+        assert all(x == x for x in r["embedding"])  # no NaN
+
+
+def test_train_centroids_empty_corpus_raises(spark):
+    empty = spark.createDataFrame([], schema="vec_id int, embedding array<double>")
+    with pytest.raises(ValueError):
+        train_centroids(empty, k=2)
+
+
+def test_ivf_with_trained_centroids_matches_brute_force(spark):
+    """End-to-end: trained index, n_probe=1, on cleanly clustered data the
+    IVF answer equals the exact answer (neighbors live in the same list)."""
+    corpus = _clustered_corpus(spark)
+    queries = corpus.filter(F.col("vec_id").isin([0, 45, 90]))
+    cents = train_centroids(corpus, k=3, iters=5)
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_topk(corpus, queries, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(corpus, queries, cents, k=3, n_probe=1).collect()
+    }
+    assert exact == approx

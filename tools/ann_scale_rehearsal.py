@@ -69,7 +69,23 @@ def time_queries(spark, sf_dir: str) -> dict:
         t0 = time.time()
         n = QUERIES[name](spark, sf_dir).count()
         out[name] = {"sec": round(time.time() - t0, 2), "rows": n}
+    out["ivf_train"] = time_index_build(spark, sf_dir)
     return out
+
+
+def time_index_build(spark, sf_dir: str) -> dict:
+    """Index-BUILD cost (train_centroids, k=16, 2 Lloyd iterations): the
+    dominant cost of IVF at 100 TB is building the lists, not probing them.
+    Expected shape: linear-ish in corpus size (per iteration: one
+    projection-only assignment pass + one map-side-combined groupBy whose
+    shuffle is O(k x dim x partitions), never corpus-sized)."""
+    from meerkat_abacus_spark.datapipe.similarity import train_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    train_centroids(emb, k=16, iters=1).count()  # warmup
+    t0 = time.time()
+    n = train_centroids(emb, k=16, iters=2).count()
+    return {"sec": round(time.time() - t0, 2), "rows": n}
 
 
 def main() -> None:
@@ -93,7 +109,7 @@ def main() -> None:
         "sf0.1": time_queries(spark, src),
         "100x": time_queries(spark, dest),
     }
-    for name in REHEARSED:
+    for name in REHEARSED + ("ivf_train",):
         a = report["sf0.1"][name]["sec"]
         b = report["100x"][name]["sec"]
         report[f"{name}_scale_ratio_100x_data"] = round(b / a, 2) if a else None
