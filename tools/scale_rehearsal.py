@@ -100,6 +100,42 @@ def time_queries(spark, sf_dir: str) -> dict:
     return out
 
 
+def build_events_10x(spark, src_dir: str, dest_dir: str) -> None:
+    """10x the events form table with DISJOINT ids/users per copy — the
+    composed pipeline's volume AND key cardinality both scale, mirroring a
+    real 10x deployment (more clinics, not more rows per clinic)."""
+    from meerkat_abacus_spark.queries import _t
+
+    events = _t(spark, src_dir, "events")
+    copies = [
+        events.select(
+            (F.col("event_id") + 10_000_000 * k).alias("event_id"),
+            "ts",
+            (F.col("user_id") + 1_000_000 * k).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for k in range(10)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.write.mode("overwrite").parquet(f"{dest_dir}/events.parquet")
+
+
+def time_pipeline(spark, sf_dir: str) -> dict:
+    """Wall time of the composed QC->fanout->coding->aggregate pipeline
+    (pipeline_composed = plans/pipeline.py's surveillance_pipeline): the
+    flagship end-to-end chain, timed warm (first run pays codegen)."""
+    from meerkat_abacus_spark.queries import QUERIES
+
+    QUERIES["pipeline_composed"](spark, sf_dir).count()  # warmup
+    t0 = time.time()
+    n = QUERIES["pipeline_composed"](spark, sf_dir).count()
+    return {"pipeline_composed": {"sec": round(time.time() - t0, 2), "rows": n}}
+
+
 def main() -> None:
     from meerkat_abacus_spark.session import get_spark
 
@@ -108,12 +144,15 @@ def main() -> None:
     dest = tempfile.gettempdir() + "/msa_scale_sf1"
     shutil.rmtree(dest, ignore_errors=True)
     build_sf1(spark, src, dest)
+    build_events_10x(spark, src, dest)
 
     report = {
-        "sf0.1": {**time_queries(spark, src), **bucket_stats(spark, src)},
-        "sf~1.0": {**time_queries(spark, dest), **bucket_stats(spark, dest)},
+        "sf0.1": {**time_queries(spark, src), **bucket_stats(spark, src),
+                  **time_pipeline(spark, src)},
+        "sf~1.0": {**time_queries(spark, dest), **bucket_stats(spark, dest),
+                   **time_pipeline(spark, dest)},
     }
-    for name in REHEARSED:
+    for name in REHEARSED + ("pipeline_composed",):
         a = report["sf0.1"][name]["sec"]
         b = report["sf~1.0"][name]["sec"]
         report[f"{name}_scale_ratio_10x_data"] = round(b / a, 2) if a else None

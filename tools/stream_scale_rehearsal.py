@@ -1,0 +1,145 @@
+"""State-scale rehearsal for the stateful streaming sessionizer (r4 verdict #6).
+
+``applyInPandasWithState`` keeps one state row per user in the executors'
+state store — at 100x users, state size and wall clock are the risk, not
+correctness.  This rehearsal replays the sf0.1 events table through the
+SAME four-time-slice / availableNow / maxFilesPerTrigger=1 harness the
+``streaming_sessionize`` oracle query uses, at 1x and 10x DISTINCT USERS
+(copies get disjoint user_id ranges; each copy user replays the same event
+timeline), and reports:
+
+- wall ratio (target: linear-ish in event volume),
+- ``numRowsTotal`` from the state operator's progress metrics — the
+  measured state footprint, expected == distinct users at both scales
+  (state is O(users), NOT O(events): the sessionizer folds each batch into
+  a 4-field summary row per user),
+- a correctness invariant: disjoint user copies => the 10x run must emit
+  exactly 10x the sessions of the 1x run.
+
+Eviction bound, documented with the measured number: the harness runs
+NoTimeout because the oracle query needs every user's final session in the
+memory sink; a production deployment sets
+``GroupStateTimeout.ProcessingTimeTimeout`` (or event-time timeout +
+watermark) so a user idle past the session gap has its ~40-byte state row
+dropped — bounding the store at rows = users active within the timeout
+horizon, which this rehearsal shows is the only state the operator keeps.
+
+Run: ``python tools/stream_scale_rehearsal.py`` -> one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def build_user_copies(spark, src_dir: str, out_dir: str, n_copies: int) -> None:
+    """Write the four time-sliced parquet files the sessionize harness
+    expects, with ``n_copies`` disjoint user_id ranges."""
+    from meerkat_abacus_spark.queries import _t
+
+    events = _t(spark, src_dir, "events").select("event_id", "user_id", "ts")
+    copies = [
+        events.select(
+            (F.col("event_id") + 10_000_000 * k).alias("event_id"),
+            (F.col("user_id") + 1_000_000 * k).alias("user_id"),
+            "ts",
+        )
+        for k in range(n_copies)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out = out.cache()
+    bounds = out.selectExpr(
+        "percentile_approx(ts, array(0.25, 0.5, 0.75), 10000) q"
+    ).collect()[0]["q"]
+    lo = [None] + list(bounds)
+    hi = list(bounds) + [None]
+    for i, (a, b) in enumerate(zip(lo, hi)):
+        sl = out
+        if a is not None:
+            sl = sl.filter(F.col("ts") > F.lit(a))
+        if b is not None:
+            sl = sl.filter(F.col("ts") <= F.lit(b))
+        sl.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/slice={i}")
+        time.sleep(0.05)  # distinct mtimes -> deterministic file order
+    out.unpersist()
+
+
+def run_once(spark, label: str, n_copies: int, src: str) -> dict:
+    from meerkat_abacus_spark.streaming.stateful import (
+        latest_sessions,
+        sessionize_stream,
+    )
+
+    base = tempfile.gettempdir() + f"/msa_stream_scale_{n_copies}x"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    build_user_copies(spark, src, base + "/src", n_copies)
+
+    t0 = time.time()
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base + "/src/slice=*")
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName(f"sess_{label}")
+        .outputMode("update")
+        .option("checkpointLocation", base + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = round(time.time() - t0, 2)
+    state_rows = max(
+        (p["stateOperators"][0]["numRowsTotal"] for p in q.recentProgress
+         if p.get("stateOperators")),
+        default=None,
+    )
+    sessions = latest_sessions(spark.table(f"sess_{label}")).count()
+    users = n_copies * 1500  # sf0.1 events carries 1500 distinct users
+    shutil.rmtree(base, ignore_errors=True)
+    return {
+        "sec": wall,
+        "state_rows_total": state_rows,
+        "distinct_users": users,
+        "sessions": sessions,
+    }
+
+
+def main() -> None:
+    from meerkat_abacus_spark.session import get_spark
+
+    spark = get_spark(app_name="stream_scale_rehearsal")
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    one = run_once(spark, "one", 1, src)
+    ten = run_once(spark, "ten", 10, src)
+    report = {
+        "1x_users": one,
+        "10x_users": ten,
+        "wall_ratio_10x": round(ten["sec"] / one["sec"], 2) if one["sec"] else None,
+        "state_rows_ratio_10x": (
+            round(ten["state_rows_total"] / one["state_rows_total"], 2)
+            if one["state_rows_total"]
+            else None
+        ),
+        "sessions_exactly_10x": ten["sessions"] == 10 * one["sessions"],
+    }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
