@@ -60,6 +60,10 @@ def get_spark(
         .config("spark.driver.extraJavaOptions", "-Xss64m")
         .config("spark.executor.extraJavaOptions", "-Xss64m")
         .config("spark.ui.enabled", "false")
+        # Stage progress bars interleave \r-prefixed junk into stdout, which
+        # corrupts the one-JSON-line contract of bench/rehearsal tools and
+        # the OK-per-line output of tools/compare.py.
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,126 @@
+"""One-shot evidence harness (r4 verdict #8): full-registry oracle compare
++ pytest + every scale rehearsal, collapsed into one JSON artifact.
+
+Runs, in order:
+
+1. ``tools/compare.py`` over the ENTIRE registry at sf0.01 (the driver's
+   correctness gate only snapshots the first 50 entries; this closes the
+   gap for the rest),
+2. ``pytest tests/ -q``,
+3. the three scale rehearsals (dedup+pipeline, ANN incl. index build,
+   streaming state) unless ``--skip-rehearsals``.
+
+Usage::
+
+    python tools/verify_all.py [--out VERIFY_rNN.json] [--skip-rehearsals]
+
+Exit status is non-zero if any compare line failed or pytest failed, so the
+tool doubles as a CI gate.  Rehearsal JSONs are embedded verbatim in the
+summary (and stay available as separate committed artifacts).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+LINE_RE = re.compile(r"(OK|FAIL|ERR|SKIP)\s+([a-z0-9_]+):")
+
+
+def run_compare(sf_dir: str) -> dict:
+    from meerkat_abacus_spark.queries import QUERIES
+
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "tools/compare.py", sf_dir],
+        cwd=REPO, capture_output=True, text=True, timeout=3600,
+    )
+    statuses = dict()
+    for status, name in LINE_RE.findall(proc.stdout + proc.stderr):
+        statuses[name] = status
+    missing = sorted(set(QUERIES) - set(statuses))
+    failures = sorted(n for n, s in statuses.items() if s in ("FAIL", "ERR"))
+    return {
+        "sf_dir": sf_dir,
+        "total": len(QUERIES),
+        "ok": sum(1 for s in statuses.values() if s == "OK"),
+        "skip": sum(1 for s in statuses.values() if s == "SKIP"),
+        "failures": failures,
+        "missing": missing,
+        "sec": round(time.time() - t0, 1),
+    }
+
+
+def run_pytest() -> dict:
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "-q"],
+        cwd=REPO, capture_output=True, text=True, timeout=3600,
+    )
+    tail = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+    m = re.search(r"(\d+) passed", tail)
+    f = re.search(r"(\d+) failed", tail)
+    return {
+        "passed": int(m.group(1)) if m else 0,
+        "failed": int(f.group(1)) if f else (0 if proc.returncode == 0 else -1),
+        "summary": tail,
+        "sec": round(time.time() - t0, 1),
+    }
+
+
+def run_rehearsal(script: str) -> dict | None:
+    proc = subprocess.run(
+        [sys.executable, f"tools/{script}"],
+        cwd=REPO, capture_output=True, text=True, timeout=3600,
+    )
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None, help="also write the JSON here")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--skip-rehearsals", action="store_true")
+    args = ap.parse_args()
+
+    report: dict = {
+        "compare": run_compare(args.sf_dir),
+        "pytest": run_pytest(),
+    }
+    if not args.skip_rehearsals:
+        report["rehearsals"] = {
+            "dedup_and_pipeline_10x": run_rehearsal("scale_rehearsal.py"),
+            "ann_100x": run_rehearsal("ann_scale_rehearsal.py"),
+            "stream_state_10x_users": run_rehearsal("stream_scale_rehearsal.py"),
+        }
+    ok = (
+        not report["compare"]["failures"]
+        and not report["compare"]["missing"]
+        and report["pytest"]["failed"] == 0
+    )
+    report["green"] = ok
+    line = json.dumps(report)
+    print(line)
+    if args.out:
+        with open(os.path.join(REPO, args.out), "w") as fh:
+            fh.write(line + "\n")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
