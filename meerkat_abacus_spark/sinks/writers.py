@@ -213,3 +213,33 @@ def dead_letter_split(
     )
     good = df.filter(~F.coalesce(error_condition, F.lit(False)))
     return good, bad
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (+ optionally sort-ordered) table.
+
+    The co-location primitive for fact-fact joins at 100 TB: two tables
+    bucketed on the same keys with the same bucket count join WITHOUT any
+    Exchange — each task reads bucket i of both sides, so the shuffle that
+    would dominate a 100 TB join never happens, and with matching
+    ``sort_cols`` the per-bucket sort is pre-paid at write time too.  The
+    reference keeps facts in Postgres and re-joins per request
+    (model.py:97-128); here the layout IS the join strategy.
+
+    Bucketing rides the session catalog (``saveAsTable``) because bucket
+    metadata lives in the table definition, not the parquet files.  Read
+    the table back with ``spark.table(table)`` — plain
+    ``spark.read.parquet`` on the files would discard bucket info and
+    silently reintroduce the shuffle.
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

@@ -51,8 +51,17 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "session_seq long, start_us long, last_us long, n long"
 
 
-def _session_func(gap_us: int):
-    """Build the per-group stateful function (gap in microseconds)."""
+def _session_func(gap_us: int, evict: bool = False):
+    """Build the per-group stateful function (gap in microseconds).
+
+    With ``evict=True`` the function arms an EVENT-TIME timeout at
+    ``last_event + gap`` after every batch: once the watermark passes that
+    point no event can extend the session (anything later would start a
+    new one), so the state row is dead weight and ``state.remove()`` drops
+    it.  Nothing needs to be emitted on timeout — update mode already
+    emitted the session's final snapshot when its last event arrived.
+    This is the bound that keeps the store at O(users active within one
+    gap of the watermark) instead of O(all users ever seen)."""
 
     def func(
         key: tuple,
@@ -60,6 +69,9 @@ def _session_func(gap_us: int):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if evict and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             seq, start_us, last_us, n = state.get
         else:
@@ -81,6 +93,8 @@ def _session_func(gap_us: int):
                 touched[seq] = (start_us, last_us, n)
 
         state.update((seq, start_us, last_us, n))
+        if evict and last_us is not None:
+            state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
         if touched:
             yield pd.DataFrame(
                 {
@@ -98,11 +112,32 @@ def _session_func(gap_us: int):
 
 
 def sessionize_stream(
-    events_stream: DataFrame, gap_seconds: int = 1800
+    events_stream: DataFrame,
+    gap_seconds: int = 1800,
+    evict: bool = False,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Attach the stateful sessionizer to a streaming events DataFrame
     (columns: user_id, ts, event_id).  Returns the update-mode emission
-    stream; pipe through ``latest_sessions`` after collection."""
+    stream; pipe through ``latest_sessions`` after collection.
+
+    ``evict=True`` is the production state-bound: a watermark (lagging
+    event time by ``watermark_delay``) drives an event-time timeout that
+    removes a user's state once no event could extend their open session
+    (watermark > last_event + gap).  The oracle-parity harness runs with
+    ``evict=False`` because it replays history where the watermark would
+    race ahead of per-user timelines; the rehearsal + eviction test cover
+    the bounded mode (STREAM_SCALE_r05.json measures the unbounded
+    footprint this eviction caps)."""
+    if evict:
+        stream = events_stream.withWatermark("ts", watermark_delay)
+        return stream.groupBy("user_id").applyInPandasWithState(
+            _session_func(gap_seconds * 1_000_000, evict=True),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     return events_stream.groupBy("user_id").applyInPandasWithState(
         _session_func(gap_seconds * 1_000_000),
         outputStructType=OUTPUT_SCHEMA,

@@ -56,3 +56,45 @@ def test_partitioned_data_table_prunes(spark, tmp_path):
         1 for i in range(60) if i % 2 and 2016 + (i % 3) == 2017
     )
     assert got == expected
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts must
+    join with ZERO Exchange in the physical plan — the co-location
+    contract write_bucketed exists for.  A non-bucketed control join of
+    the same data shows the Exchanges the layout removed."""
+    from meerkat_abacus_spark.sinks.writers import write_bucketed
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    # force the join shape a 100 TB fact-fact join takes (broadcast is off
+    # the table there; locally the fixtures would auto-broadcast)
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    orders = spark.range(0, 1000).selectExpr(
+        "id AS o_key", "id % 7 AS o_status"
+    )
+    lines = spark.range(0, 3000).selectExpr(
+        "id % 1000 AS l_key", "id AS l_qty"
+    )
+    write_bucketed(orders, "bkt_orders", ["o_key"], num_buckets=8,
+                   sort_cols=["o_key"])
+    write_bucketed(lines, "bkt_lines", ["l_key"], num_buckets=8,
+                   sort_cols=["l_key"])
+    try:
+        joined = spark.table("bkt_orders").join(
+            spark.table("bkt_lines"),
+            F.col("o_key") == F.col("l_key"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan  # co-located: zero shuffle
+        assert joined.count() == 3000
+
+        # control: same data through plain parquet pays the shuffle
+        control = orders.join(lines, F.col("o_key") == F.col("l_key"))
+        control_plan = control._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" in control_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lines")

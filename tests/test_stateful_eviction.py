@@ -1,0 +1,89 @@
+"""Event-time state eviction for the stateful sessionizer.
+
+STREAM_SCALE_r05.json measures the NoTimeout footprint (state rows ==
+every user ever seen); these tests prove the ``evict=True`` mode actually
+bounds it: once the watermark passes ``last_event + gap``, the user's
+state row is removed — without changing the emitted sessions.
+"""
+
+import time
+
+from pyspark.sql import functions as F
+
+from meerkat_abacus_spark.streaming.stateful import (
+    latest_sessions,
+    sessionize_stream,
+)
+
+T0 = "2024-01-01 00:00:00"
+
+
+def _write_slices(spark, src):
+    """Three micro-batch files.  User 1 stops after slice 0; user 2 keeps
+    emitting, advancing the watermark past user 1's session + gap."""
+    slices = [
+        [(1, 1, T0), (2, 1, "2024-01-01 00:00:10"), (3, 2, T0)],
+        [(4, 2, "2024-01-01 02:00:00")],
+        [(5, 2, "2024-01-01 04:00:00")],
+    ]
+    for i, rows in enumerate(slices):
+        spark.createDataFrame(
+            rows, schema="event_id long, user_id long, ts string"
+        ).select(
+            "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/slice={i}")
+        time.sleep(0.05)  # distinct mtimes -> deterministic batch order
+
+
+def _run(spark, src, ckpt, evict):
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/slice=*")
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=1800, evict=evict)
+        .writeStream.format("memory")
+        .queryName(f"evict_{evict}")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ops = [
+        p["stateOperators"][0]
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    ]
+    sessions = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["duration_s"])
+        for r in latest_sessions(spark.table(f"evict_{evict}")).collect()
+    }
+    return ops, sessions
+
+EXPECTED = {
+    (1, 1): (2, 10),  # user 1: one 2-event session, 10 s
+    (2, 1): (1, 0),   # user 2: three singleton sessions 2 h apart
+    (2, 2): (1, 0),
+    (2, 3): (1, 0),
+}
+
+
+def test_eviction_drops_idle_user_state(spark, tmp_path):
+    _write_slices(spark, str(tmp_path / "src"))
+    ops, sessions = _run(
+        spark, str(tmp_path / "src"), str(tmp_path / "ckpt"), evict=True
+    )
+    assert sessions == EXPECTED  # eviction never changes emitted sessions
+    assert sum(o.get("numRowsRemoved", 0) for o in ops) >= 1
+    assert ops[-1]["numRowsTotal"] == 1  # only user 2 still holds state
+
+
+def test_no_timeout_mode_keeps_all_state(spark, tmp_path):
+    _write_slices(spark, str(tmp_path / "src"))
+    ops, sessions = _run(
+        spark, str(tmp_path / "src"), str(tmp_path / "ckpt"), evict=False
+    )
+    assert sessions == EXPECTED
+    assert ops[-1]["numRowsTotal"] == 2  # both users retained forever
