@@ -123,3 +123,57 @@ def pack_documents(
     return df.withColumn(
         "pack_id", F.floor(prefix / F.lit(budget)).cast("bigint")
     )
+
+
+def split_assignment(
+    key: Column,
+    fractions: dict[str, float],
+    salt: str = "split",
+) -> Column:
+    """Deterministic train/val/test assignment from a stable key.
+
+    ``md5(salt || key)`` → a uniform 16-bit integer → cumulative-fraction
+    buckets, so the split is (a) reproducible across runs, engines and
+    cluster sizes, (b) a pure projection — no shuffle, no sampling state,
+    (c) stable under corpus growth: a document's split NEVER changes when
+    other documents are added or removed, which is what keeps eval sets
+    uncontaminated across corpus versions (re-sampling fractions per
+    release would leak train docs into val).  The salt namespaces
+    independent splits of the same corpus.
+
+    Portable construction (hex-digit arithmetic, no engine-specific hash)
+    so the DuckDB oracle reproduces the assignment bit-for-bit.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    alphabet = "0123456789abcdef"
+    h = F.md5(F.concat(F.lit(salt + ":"), key.cast("string")))
+    bucket = F.lit(0)
+    for pos in range(4):
+        digit = F.instr(F.lit(alphabet), F.substring(h, pos + 1, 1)) - 1
+        bucket = bucket * 16 + digit
+    out = None
+    acc = 0.0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        acc += frac
+        cond = bucket < F.lit(int(acc * 65536))
+        out = F.when(cond, F.lit(name)) if out is None else out.when(
+            cond, F.lit(name)
+        )
+    last = items[-1][0]
+    return F.lit(last) if out is None else out.otherwise(F.lit(last))
+
+
+def shuffle_order(key: Column, seed: str = "0") -> Column:
+    """Deterministic global shuffle ORDER for training examples:
+    ``md5(seed || key)``.  ``ORDER BY`` this column (or range-partition +
+    local sort on it at scale) yields a reproducible pseudo-random
+    permutation — same seed, same order, on any engine, with no
+    coordinator-side RNG.  Changing the seed re-shuffles; appending
+    documents interleaves them without disturbing relative order of the
+    rest (each key's sort position is independent of corpus membership) —
+    the property epoch-wise data loaders need for stable resume points.
+    """
+    return F.md5(F.concat(F.lit(seed + ":"), key.cast("string")))

@@ -130,6 +130,9 @@ _REGISTRY_PRIORITY = [
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frames",
+    # ---- r5 additions (behind the window; rotate into a future snapshot) ----
+    "dataset_split",
+    "corpus_shuffle",
 ]
 
 

@@ -488,3 +488,83 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_bigram_frac"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic dataset assembly: hash-keyed train/val/test split and
+# seeded global shuffle order — the two release-reproducibility primitives
+# a training-data pipeline runs after curation (datapipe/curation.py).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dataset_split",
+    f"""
+    WITH assigned AS (
+        SELECT doc_id, lang,
+               CASE WHEN {_hex4_sql('CAST(doc_id AS VARCHAR)', 'split')}
+                         < CAST(0.8 * 65536 AS INT) THEN 'train'
+                    WHEN {_hex4_sql('CAST(doc_id AS VARCHAR)', 'split')}
+                         < CAST(0.9 * 65536 AS INT) THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, lang, COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM assigned
+    GROUP BY 1, 2
+    """,
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split: a pure md5-bucket
+    projection (datapipe/curation.py:split_assignment), so a document's
+    split never changes as the corpus grows — the property that keeps eval
+    sets uncontaminated across releases.  ``id_sum`` pins the PER-DOCUMENT
+    assignment into the oracle hash, not just the counts."""
+    from meerkat_abacus_spark.datapipe.curation import split_assignment
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            split_assignment(
+                F.col("doc_id"),
+                {"train": 0.8, "val": 0.1, "test": 0.1},
+            ).alias("split"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+    )
+
+
+@_register(
+    "corpus_shuffle",
+    """
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)))
+                AS BIGINT) AS rank,
+           doc_id
+    FROM documents
+    ORDER BY rank
+    LIMIT 100
+    """,
+)
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic global shuffle (datapipe/curation.py:
+    shuffle_order): ORDER BY md5(seed||key) is a reproducible permutation
+    with no coordinator RNG — at scale, range-partition on the shuffle key
+    and sort within partitions for the same order without a single-node
+    sort.  First 100 positions checked against the oracle."""
+    from meerkat_abacus_spark.datapipe.curation import shuffle_order
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy(shuffle_order(F.col("doc_id"), seed="42"))
+    return (
+        docs.select(
+            F.row_number().over(w).cast("bigint").alias("rank"), "doc_id"
+        )
+        .filter(F.col("rank") <= 100)
+    )

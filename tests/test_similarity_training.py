@@ -96,3 +96,27 @@ def test_ivf_with_trained_centroids_matches_brute_force(spark):
         for r in ivf_topk(corpus, queries, cents, k=3, n_probe=1).collect()
     }
     assert exact == approx
+
+
+def test_split_assignment_validates_fractions(spark):
+    from meerkat_abacus_spark.datapipe.curation import split_assignment
+
+    with pytest.raises(ValueError):
+        split_assignment(F.lit("x"), {"train": 0.8, "val": 0.1})
+
+
+def test_split_assignment_stable_under_corpus_growth(spark):
+    """A document's split must not change when the corpus grows — the
+    anti-contamination property the md5-bucket construction guarantees."""
+    from meerkat_abacus_spark.datapipe.curation import split_assignment
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    small = spark.range(0, 50).select(
+        F.col("id"), split_assignment(F.col("id"), fr).alias("split")
+    )
+    big = spark.range(0, 5000).select(
+        F.col("id"), split_assignment(F.col("id"), fr).alias("split")
+    )
+    a = {r["id"]: r["split"] for r in small.collect()}
+    b = {r["id"]: r["split"] for r in big.collect()}
+    assert all(b[i] == s for i, s in a.items())
