@@ -557,14 +557,21 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle_order): ORDER BY md5(seed||key) is a reproducible permutation
     with no coordinator RNG — at scale, range-partition on the shuffle key
     and sort within partitions for the same order without a single-node
-    sort.  First 100 positions checked against the oracle."""
+    sort.  The head-of-permutation probe here is orderBy().limit(100) —
+    TakeOrderedAndProject (per-partition top-k, driver merge of 100-row
+    heaps), NOT a global-window sort — and only the 100 survivors pass
+    through the rank window."""
     from meerkat_abacus_spark.datapipe.curation import shuffle_order
 
     docs = _t(spark, sf_dir, "documents")
-    w = Window.orderBy(shuffle_order(F.col("doc_id"), seed="42"))
-    return (
+    top = (
         docs.select(
-            F.row_number().over(w).cast("bigint").alias("rank"), "doc_id"
+            "doc_id", shuffle_order(F.col("doc_id"), seed="42").alias("__k")
         )
-        .filter(F.col("rank") <= 100)
+        .orderBy("__k")
+        .limit(100)
+    )
+    w = Window.orderBy("__k")
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rank"), "doc_id"
     )
