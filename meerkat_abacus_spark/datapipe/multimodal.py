@@ -20,7 +20,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -195,3 +197,51 @@ def sample_frames(
             )
 
     return df.select("doc_id", "payload").mapInPandas(_frames, FRAMES_SCHEMA)
+
+
+EMBED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ]
+)
+
+
+def embed_media(
+    df: DataFrame, dim: int = 8, window: int = 64, center: int = 105
+) -> DataFrame:
+    """Feature EXTRACTION into an embedding vector — the multimodal →
+    similarity-search bridge: payload bytes → ``array<double>`` consumable
+    by everything in :mod:`datapipe.similarity` / the embedding dedup ops.
+
+    Deterministic stand-in for a real encoder (CLIP/CLAP et al. are not in
+    this container): ``emb[d] = Σ (byte[d + dim·i] − center)`` over the
+    first ``window`` payload bytes.  Centering makes coordinate signs vary
+    with content, so downstream sign-LSH bucketing partitions the corpus
+    instead of collapsing into one bucket (raw byte sums are always
+    positive).  Swapping in a real encoder changes only this function —
+    batch shape, Arrow transfer, output schema, and every downstream plan
+    stay identical.
+    """
+    import numpy as np
+
+    def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = []
+            for payload in pdf["payload"]:
+                raw = np.frombuffer(bytes(payload)[:window], dtype=np.uint8)
+                embs.append(
+                    [
+                        float(raw[d::dim].astype(np.int64).sum())
+                        - center * len(raw[d::dim])
+                        for d in range(dim)
+                    ]
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "embedding": embs,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(_embed, EMBED_SCHEMA)

@@ -133,6 +133,7 @@ _REGISTRY_PRIORITY = [
     # ---- r5 additions (behind the window; rotate into a future snapshot) ----
     "dataset_split",
     "corpus_shuffle",
+    "multimodal_embed_neardup",
 ]
 
 

@@ -94,3 +94,64 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(
         attach_binary_payload(docs, text_col="text"), frame_size=64, every_n=2
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal → similarity bridge: the feature-extract stage emits a real
+# embedding column, sign-LSH buckets block the pairwise term, cosine
+# verifies — the full image-near-dup pipeline shape with the encoder
+# stubbed (datapipe/multimodal.py embed_media).
+# ---------------------------------------------------------------------------
+
+_EMB_TERM = (
+    "(CASE WHEN len(text) >= {p} THEN ascii(substr(text, {p}, 1)) - 105 "
+    "ELSE 0 END)"
+)
+_EMB_DIM_SQL = [
+    "CAST(" + " + ".join(_EMB_TERM.format(p=d + 1 + 8 * i) for i in range(8))
+    + " AS DOUBLE)"
+    for d in range(8)
+]
+_MM_BUCKET_SQL = "|| ".join(
+    f"(CASE WHEN {{side}}.v[{i + 1}] >= 0 THEN '1' ELSE '0' END) "
+    for i in range(8)
+)
+_MM_COS_SQL = (
+    "(list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))"
+)
+
+
+@_register(
+    "multimodal_embed_neardup",
+    f"""
+    WITH emb AS (
+        SELECT doc_id, [{', '.join(_EMB_DIM_SQL)}] AS v FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND({_MM_COS_SQL}, 3) AS cosine
+    FROM emb a JOIN emb b
+      ON ({_MM_BUCKET_SQL.format(side='a')}) = ({_MM_BUCKET_SQL.format(side='b')})
+     AND a.doc_id < b.doc_id
+    WHERE {_MM_COS_SQL} >= 0.995
+    """,
+)
+def multimodal_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode → feature-extract (embedding) → sign-LSH block → cosine
+    verify: the composed multimodal near-dup pipeline.  The pairwise join
+    is bucket-bounded exactly like dedup_embedding_lsh; only the embedding
+    SOURCE differs (Arrow-batched extractor instead of a stored column)."""
+    from meerkat_abacus_spark.datapipe import dedup as dd
+    from meerkat_abacus_spark.datapipe import similarity as sim
+    from meerkat_abacus_spark.datapipe.multimodal import embed_media
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = embed_media(attach_binary_payload(docs, text_col="text"))
+    corpus = emb.withColumn(
+        "bucket", sim.sign_lsh_bucket(F.col("embedding"), 8)
+    )
+    pairs = dd.embedding_near_dup_pairs(
+        corpus, id_col="doc_id", vec_col="embedding", block_col="bucket",
+        min_cosine=0.995,
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 3).alias("cosine"))

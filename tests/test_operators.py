@@ -551,3 +551,28 @@ def test_simhash_wide_bucket_cap_star_edges(spark):
         docs, bits=64, max_hamming=4, max_bucket_size=None
     ).count()
     assert full == 28
+
+
+def test_embed_media_shape_and_short_payloads(spark):
+    """Feature extractor: fixed dim, double type, short payloads pad with
+    zero contribution, deterministic across runs."""
+    from meerkat_abacus_spark.datapipe.multimodal import (
+        attach_binary_payload,
+        embed_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 100), (2, "xyz"), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = embed_media(attach_binary_payload(docs, text_col="text"))
+    rows = {r["doc_id"]: list(r["embedding"]) for r in out.collect()}
+    assert all(len(v) == 8 for v in rows.values())
+    # 'a'*100 -> every sampled byte is ord('a')=97, 8 terms per dim
+    assert rows[1] == [(97 - 105) * 8.0] * 8
+    # 'xyz' -> dims 0..2 get one byte each, dims 3..7 are empty -> 0
+    assert rows[2][:3] == [ord("x") - 105.0, ord("y") - 105.0, ord("z") - 105.0]
+    assert rows[2][3:] == [0.0] * 5
+    assert rows[3] == [0.0] * 8
+    again = {r["doc_id"]: list(r["embedding"]) for r in out.collect()}
+    assert again == rows
