@@ -308,6 +308,17 @@ def minhash_lsh_candidates(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    return attach_jaccard(id_pairs, sh_docs)
+
+
+def attach_jaccard(id_pairs: DataFrame, sh_docs: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate ``(id_a, id_b)`` pairs.
+
+    The verification tail shared by the batch LSH path and the incremental
+    ingest path: shingle sets re-attach once per UNIQUE pair via two
+    equi-joins against the staged ``(id, sh)`` projection — never carried
+    through the band-key shuffle.
+    """
     pairs = id_pairs.join(
         sh_docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
         "id_a",

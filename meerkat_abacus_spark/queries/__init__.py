@@ -134,6 +134,7 @@ _REGISTRY_PRIORITY = [
     "dataset_split",
     "corpus_shuffle",
     "multimodal_embed_neardup",
+    "incremental_dedup_equals_batch",
 ]
 
 

@@ -66,18 +66,24 @@ MINHASH_CFG: dict[str, int] = {
 
 
 
-def _minhash_oracle_sql(corpus_sql: str, min_jaccard: float = 0.4) -> str:
+def _minhash_oracle_sql(
+    corpus_sql: str,
+    min_jaccard: float = 0.4,
+    max_bucket_size: int | None = MINHASH_CFG["max_bucket_size"],
+) -> str:
     """DuckDB mirror of ``dd.minhash_lsh_candidates`` under ``MINHASH_CFG``.
 
     Generated, not hand-written, so the oracle tracks the config: same
     md5-slice signature, same band keys, same bucket-size guard (rows of
     buckets over the cap pair only via the bucket-min star edge).
+    ``max_bucket_size=None`` drops the guard — the exact-candidates form
+    the incremental-ingest equivalence query checks against.
     """
     k = MINHASH_CFG["shingle_k"]
     groups = MINHASH_CFG["num_hashes"] // 4
     bands = MINHASH_CFG["bands"]
     rpb = MINHASH_CFG["rows_per_band"]
-    cap = MINHASH_CFG["max_bucket_size"]
+    cap = max_bucket_size
     shingle_expr = " || ' ' || ".join(
         "t[i]" if j == 0 else f"t[i+{j}]" for j in range(k)
     )
@@ -133,7 +139,7 @@ def _minhash_oracle_sql(corpus_sql: str, min_jaccard: float = 0.4) -> str:
         JOIN stats s ON s.band_key = a.band_key
         JOIN banded b
           ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-        WHERE s.n <= {cap} OR a.doc_id = s.min_id
+        WHERE {f's.n <= {cap} OR a.doc_id = s.min_id' if cap is not None else 'TRUE'}
     )
     SELECT id_a, id_b,
            ROUND(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
@@ -568,3 +574,91 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n_shared"),
         (F.coalesce("n", F.lit(0)) >= 3).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest dedup: only TODAY'S documents get shingled and hashed;
+# yesterday's band index and verified pairs are read from the store.  The
+# equivalence theorem the oracle checks: with band-key blocking,
+#     candidates(old ∪ new) = candidates(old) ∪ candidates(new × all)
+# so the delta band-join plus the stored pairs reproduces the full batch
+# answer EXACTLY.  Runs uncapped: the bucket-size guard depends on merged
+# bucket counts, so a bucket crossing the cap between runs would demote
+# previously-emitted old-old pairs to star edges — a production ingest keeps
+# per-bucket counts in the store and re-derives the guard on merged stats;
+# the exactness statement here is about the blocking itself.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "incremental_dedup_equals_batch",
+    _minhash_oracle_sql(_DOC_CORPUS_SQL, max_bucket_size=None),
+)
+def incremental_dedup_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest MinHash dedup: 80% of the corpus is 'yesterday'
+    (band rows + verified pairs persisted — the stored LSH index), 20% is
+    'today'.  The incremental step computes signatures for today's docs
+    ONLY, band-joins them against stored ∪ new band rows, verifies Jaccard
+    on the touched pairs, and unions the stored pairs.  Oracle = the
+    single-pass batch answer over the full corpus — hash equality IS the
+    no-drop/no-dup/no-skew guarantee at the ingest boundary.  At 100 TB
+    the saving is the point: the 16-md5-per-shingle signature pass touches
+    only the daily delta, and the band join shuffles bare (id, band_key)
+    rows exactly like the batch path."""
+    import os
+    import tempfile
+
+    from meerkat_abacus_spark.datapipe.curation import split_assignment
+
+    corpus = _doc_corpus(spark, sf_dir)
+    cfg = {k: v for k, v in MINHASH_CFG.items() if k != "max_bucket_size"}
+    tagged = corpus.withColumn(
+        "__split",
+        split_assignment(F.col("doc_id"), {"old": 0.8, "new": 0.2}, salt="inc"),
+    )
+    old = tagged.filter(F.col("__split") == "old").drop("__split")
+    new = tagged.filter(F.col("__split") == "new").drop("__split")
+
+    from ._shared import _scratch_tag
+
+    base = tempfile.gettempdir() + f"/msa_incdedup_v1_{_scratch_tag(sf_dir)}"
+    bands_p, pairs_p = base + "/bands_old", base + "/pairs_old"
+    if not os.path.exists(pairs_p):
+        # "yesterday's run": persist the band index and its verified pairs
+        dd.lsh_band_key_rows(
+            old, id_col="doc_id", text_col="text", **cfg
+        ).write.mode("overwrite").parquet(bands_p)
+        dd.minhash_lsh_candidates(
+            old, id_col="doc_id", text_col="text",
+            max_bucket_size=None, **cfg,
+        ).filter(F.col("jaccard") >= 0.4).select(
+            "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+        ).write.mode("overwrite").parquet(pairs_p)
+
+    bands_old = spark.read.parquet(bands_p)
+    bands_new = dd.lsh_band_key_rows(
+        new, id_col="doc_id", text_col="text", **cfg
+    )
+    all_bands = bands_old.unionByName(bands_new)
+    delta_ids = (
+        bands_new.alias("a")
+        .join(
+            all_bands.alias("b"),
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # verification shingles for touched docs (a production store would keep
+    # them beside the band index; recomputing only changes where the bytes
+    # come from, not the join shape)
+    sh_docs = dd.staged_shingle_rows(corpus, id_col="doc_id", text_col="text")
+    delta = dd.attach_jaccard(delta_ids, sh_docs).filter(
+        F.col("jaccard") >= 0.4
+    ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    stored = spark.read.parquet(pairs_p)
+    return stored.unionByName(delta)
