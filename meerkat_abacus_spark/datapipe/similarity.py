@@ -166,6 +166,121 @@ def lsh_topk(
     )
 
 
+def centroid_ranker(centroids: DataFrame, vec_col: str = "embedding"):
+    """Build the shared centroid-assignment projection: returns a function
+    ``vec_column -> array<struct(neg, cid)>`` sorted nearest-first with a
+    deterministic centroid-id tie-break.
+
+    The centroid table is inlined as an array-of-structs literal (it is
+    dimension-sized by construction — few lists over many vectors is the
+    thing IVF buys), so nearest-centroid assignment is a pure projection
+    inside whole-stage codegen: no join, no Exchange over the corpus.
+    Shared by :func:`ivf_topk`, :func:`write_ivf_index` and the probe path
+    so the index build and the query use the SAME assignment by
+    construction.
+    """
+    rows = centroids.select("centroid_id", vec_col).collect()
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(r["centroid_id"]).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r[vec_col]]).alias("cv_cent"),
+            )
+            for r in rows
+        ]
+    )
+
+    def _ranked(vec: Column) -> Column:
+        # struct sort order = (-cosine asc, centroid_id asc) → element [0]
+        # is the nearest centroid with deterministic tie-break.
+        return F.array_sort(
+            F.transform(
+                cent_arr,
+                lambda c: F.struct(
+                    (-cosine_similarity(vec, c["cv_cent"])).alias("neg"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )
+
+    return _ranked
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the IVF inverted lists, PARTITIONED BY list id.
+
+    The serving layout: each inverted list is its own partition directory,
+    so a probe reads ``n_probe`` directories out of thousands — partition
+    PRUNING at the file-listing level, before a single byte of vector data
+    is scanned.  At 100 TB this is the difference between an index probe
+    and a table scan; locally the pruned scan is visible as
+    ``PartitionFilters: [list_id IN (...)]`` in the plan.
+    """
+    ranked = centroid_ranker(centroids, vec_col)
+    lists = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        ranked(F.col(vec_col))[0]["cid"].alias("list_id"),
+    )
+    lists.write.mode(mode).partitionBy("list_id").parquet(path)
+
+
+def ivf_topk_from_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Probe a persisted IVF index (:func:`write_ivf_index`).
+
+    The probed list ids reach the scan as a partition filter (queries are
+    driver-sized here, matching :func:`brute_force_topk`'s broadcast
+    assumption; with a massive query batch, join on ``list_id`` instead
+    and let dynamic partition pruning do the same job).  Results are
+    identical to the in-memory :func:`ivf_topk` under the same centroids —
+    the unit test asserts it.
+    """
+    ranked = centroid_ranker(centroids, vec_col)
+    probed = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(
+            F.slice(ranked(F.col(vec_col)), 1, n_probe)["cid"]
+        ).alias("list_id"),
+    )
+    probe_ids = sorted(
+        {r["list_id"] for r in probed.select("list_id").distinct().collect()}
+    )
+    lists = spark.read.parquet(index_path).filter(
+        F.col("list_id").isin(probe_ids)
+    )
+    sim = cosine_similarity(F.col("qv"), F.col("cv"))
+    scored = (
+        F.broadcast(probed)
+        .join(lists, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -193,29 +308,7 @@ def ivf_topk(
     shuffle on vec_id just to rank centroids per vector — at 100 TB the
     index build is the dominant cost, and this removes its shuffle entirely.
     """
-    rows = centroids.select("centroid_id", vec_col).collect()
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(r["centroid_id"]).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in r[vec_col]]).alias("cv_cent"),
-            )
-            for r in rows
-        ]
-    )
-
-    def _ranked(vec: Column) -> Column:
-        # struct sort order = (-cosine asc, centroid_id asc) → element [0]
-        # is the nearest centroid with deterministic tie-break.
-        return F.array_sort(
-            F.transform(
-                cent_arr,
-                lambda c: F.struct(
-                    (-cosine_similarity(vec, c["cv_cent"])).alias("neg"),
-                    c["cid"].alias("cid"),
-                ),
-            )
-        )
+    _ranked = centroid_ranker(centroids, vec_col)
 
     lists = corpus.select(
         F.col(id_col).alias("neighbor_id"),

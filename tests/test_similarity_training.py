@@ -120,3 +120,35 @@ def test_split_assignment_stable_under_corpus_growth(spark):
     a = {r["id"]: r["split"] for r in small.collect()}
     b = {r["id"]: r["split"] for r in big.collect()}
     assert all(b[i] == s for i, s in a.items())
+
+
+def test_persisted_ivf_index_prunes_partitions_and_matches_memory(spark, tmp_path):
+    """write_ivf_index partitions by list id; probing must (a) reach the
+    scan as a partition filter — only the probed list directories are read —
+    and (b) return exactly what the in-memory ivf_topk returns."""
+    from meerkat_abacus_spark.datapipe.similarity import (
+        ivf_topk,
+        ivf_topk_from_index,
+        train_centroids,
+        write_ivf_index,
+    )
+
+    corpus = _clustered_corpus(spark)
+    queries = corpus.filter(F.col("vec_id").isin([0, 45, 90]))
+    cents = train_centroids(corpus, k=3, iters=5)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(corpus, cents, path)
+
+    probed = ivf_topk_from_index(spark, path, queries, cents, k=3, n_probe=1)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan, plan
+
+    mem = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(corpus, queries, cents, k=3, n_probe=1).collect()
+    }
+    idx = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in probed.collect()
+    }
+    assert mem == idx
