@@ -450,3 +450,45 @@ def train_centroids(
         [(i, c) for i, c in enumerate(centroids)],
         schema=f"centroid_id int, {vec_col} array<double>",
     )
+
+
+def assign_lists_by_join(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment for LARGE k: broadcast-join + ``max_by``.
+
+    The inlined-literal projection (:func:`centroid_ranker`) is ideal while
+    k × dim stays expression-sized; once k grows with the corpus (constant
+    inverted-list sizes — the regime flat probes need) the literal array
+    would blow up codegen.  This form broadcasts the centroid TABLE,
+    scores the k candidates per vector through the join, and reduces with
+    one hash aggregation: ``max_by(centroid_id, (cosine, -centroid_id))``
+    keeps the nearest centroid with the same deterministic tie-break as
+    the ranker (ties → smaller id), map-side combine shrinks every
+    partition to its distinct vectors before the only Exchange, and no
+    window/sort ever touches the corpus.
+
+    Returns ``(id, list_id)`` — the same contract the index writer needs.
+    """
+    c = F.broadcast(
+        centroids.select(
+            F.col("centroid_id").alias("__cid"),
+            F.col(vec_col).alias("__cv"),
+        )
+    )
+    scored = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("__v")
+    ).crossJoin(c)
+    # max_by on a (cosine, -cid) struct: struct comparison is lexicographic,
+    # so equal cosines fall back to the LARGER -cid == smaller cid.
+    pref = F.struct(
+        cosine_similarity(F.col("__v"), F.col("__cv")).alias("s"),
+        (-F.col("__cid")).alias("t"),
+    )
+    return (
+        scored.groupBy("id")
+        .agg(F.max_by(F.col("__cid"), pref).alias("list_id"))
+    )

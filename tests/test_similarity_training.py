@@ -152,3 +152,42 @@ def test_persisted_ivf_index_prunes_partitions_and_matches_memory(spark, tmp_pat
         for r in probed.collect()
     }
     assert mem == idx
+
+
+def test_join_assignment_matches_ranker(spark):
+    """assign_lists_by_join (large-k path) must agree with the inlined
+    centroid_ranker projection on every vector, ties included."""
+    from meerkat_abacus_spark.datapipe.similarity import (
+        assign_lists_by_join,
+        centroid_ranker,
+        train_centroids,
+    )
+
+    corpus = _clustered_corpus(spark)
+    cents = train_centroids(corpus, k=3, iters=3)
+    ranked = centroid_ranker(cents)
+    via_ranker = {
+        r["vec_id"]: r["lid"]
+        for r in corpus.select(
+            "vec_id", ranked(F.col("embedding"))[0]["cid"].alias("lid")
+        ).collect()
+    }
+    via_join = {
+        r["id"]: r["list_id"]
+        for r in assign_lists_by_join(corpus, cents).collect()
+    }
+    assert via_ranker == via_join
+
+    # exact tie: two identical centroids -> both paths pick the smaller id
+    dup = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0])],
+        schema="centroid_id int, embedding array<double>",
+    )
+    one = spark.createDataFrame(
+        [(7, [1.0, 0.0])], schema="vec_id int, embedding array<double>"
+    )
+    assert assign_lists_by_join(one, dup).collect()[0]["list_id"] == 0
+    r2 = centroid_ranker(dup)
+    assert one.select(
+        r2(F.col("embedding"))[0]["cid"].alias("c")
+    ).collect()[0]["c"] == 0
