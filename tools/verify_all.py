@@ -7,7 +7,11 @@ Runs, in order:
    correctness gate only snapshots the first 50 entries; this closes the
    gap for the rest),
 2. ``pytest tests/ -q``,
-3. the three scale rehearsals (dedup+pipeline, ANN incl. index build,
+3. an ANSI driver simulation: every registered query executed at sf0.001
+   on a session with ``spark.sql.ansi.enabled=true`` — the round driver
+   owns its SparkSession and Spark 4 defaults ANSI ON, so this catches
+   ANSI-unsafe expressions our own session factory would mask,
+4. the three scale rehearsals (dedup+pipeline, ANN incl. index build,
    streaming state) unless ``--skip-rehearsals``.
 
 Usage::
@@ -76,6 +80,42 @@ def run_pytest() -> dict:
     }
 
 
+ANSI_SIM = """
+import json, sys
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.ansi.enabled", "true")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.ui.showConsoleProgress", "false")
+         .getOrCreate())
+import __spark_entry__ as E
+assert E.entry(spark).count() > 0
+bad = []
+for name, fn in E.queries().items():
+    try:
+        fn(spark, "/root/testdata/sf0.001").count()
+    except Exception as ex:
+        bad.append([name, str(ex)[:200]])
+print("ANSI_RESULT " + json.dumps(bad))
+"""
+
+
+def run_ansi_sim() -> dict:
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "-c", ANSI_SIM],
+        cwd=REPO, capture_output=True, text=True, timeout=3600,
+    )
+    failures = None
+    for line in proc.stdout.splitlines():
+        if line.startswith("ANSI_RESULT "):
+            failures = json.loads(line[len("ANSI_RESULT "):])
+    return {
+        "failures": failures if failures is not None else [["harness", "no result line"]],
+        "sec": round(time.time() - t0, 1),
+    }
+
+
 def run_rehearsal(script: str) -> dict | None:
     proc = subprocess.run(
         [sys.executable, f"tools/{script}"],
@@ -101,6 +141,7 @@ def main() -> int:
     report: dict = {
         "compare": run_compare(args.sf_dir),
         "pytest": run_pytest(),
+        "ansi_sim": run_ansi_sim(),
     }
     if not args.skip_rehearsals:
         report["rehearsals"] = {
@@ -112,6 +153,7 @@ def main() -> int:
         not report["compare"]["failures"]
         and not report["compare"]["missing"]
         and report["pytest"]["failed"] == 0
+        and not report["ansi_sim"]["failures"]
     )
     report["green"] = ok
     line = json.dumps(report)
