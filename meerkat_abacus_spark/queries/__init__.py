@@ -135,6 +135,7 @@ _REGISTRY_PRIORITY = [
     "corpus_shuffle",
     "multimodal_embed_neardup",
     "incremental_dedup_equals_batch",
+    "ann_ivf_indexed",
 ]
 
 

@@ -337,3 +337,46 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "truth_n",
         F.round(F.col("hits") / F.col("truth_n"), 4).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The persisted-index serving path: same fixture centroids and probe set as
+# ann_ivf_topk, but the inverted lists are WRITTEN (partitioned by list_id)
+# and probed through partition pruning — so the same oracle must hash-match.
+# ---------------------------------------------------------------------------
+
+from ._shared import ORACLES as _ORACLES  # noqa: E402  (oracle reuse below)
+
+
+@_register("ann_ivf_indexed", _ORACLES["ann_ivf_topk"])
+def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ivf_topk_from_index over the write_ivf_index layout: the probe's
+    list ids prune partitions at file-listing time (PartitionFilters in
+    the scan — tests/test_similarity_training.py asserts it).  Identical
+    fixture centroids and probes as ann_ivf_topk, so the driver's hash
+    compare certifies that the persisted serving path returns exactly the
+    in-memory answer."""
+    import os
+    import tempfile
+
+    from ._shared import _scratch_tag
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries_df = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120))
+    path = tempfile.gettempdir() + f"/msa_ivfidx_v1_{_scratch_tag(sf_dir)}"
+    if not os.path.exists(path):
+        sim.write_ivf_index(
+            emb, centroids, path, id_col="vec_id", vec_col="embedding"
+        )
+    out = sim.ivf_topk_from_index(
+        spark, path, queries_df, centroids,
+        id_col="vec_id", vec_col="embedding", k=3, n_probe=2,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 3).alias("cosine"), "rank"
+    )
