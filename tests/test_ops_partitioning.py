@@ -98,3 +98,38 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_lines")
+
+
+def test_aqe_splits_planted_skew_join(spark):
+    """The 'outbreak clinic' claim, demonstrated: one key holding ~97% of
+    the left side, sort-merge join (broadcast disabled), and AQE's final
+    adaptive plan must mark the hot partition skew=true — runtime
+    splitting, no manual salting needed on the join path."""
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        hot = spark.range(300_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("a")
+        )
+        cold = spark.range(9_900).select(
+            (F.col("id") % 99 + 1).alias("k"), F.col("id").alias("a")
+        )
+        right = spark.range(100).select(
+            F.col("id").alias("k"), F.col("id").alias("b")
+        )
+        j = hot.unionByName(cold).join(right, "k")
+        plan_exec = j._jdf.queryExecution().executedPlan()
+        assert plan_exec.execute().count() == 309_900  # run THIS plan
+        final = plan_exec.toString()
+        assert "isFinalPlan=true" in final
+        assert "skew=true" in final, final
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
