@@ -31,6 +31,7 @@ def main() -> None:
     path = os.path.join(REPO, "README.md")
     src = open(path).read()
     src = re.sub(r"registry: \d+ queries", f"registry: {n_q} queries", src)
+    src = re.sub(r"streaming\): \d+ queries", f"streaming): {n_q} queries", src)
     if n_t is not None:
         src = re.sub(r"e2e \(\d+ tests\)", f"e2e ({n_t} tests)", src)
     src = re.sub(r"\d+/\d+ oracle matches", f"{n_o}/{n_q} oracle matches", src)
