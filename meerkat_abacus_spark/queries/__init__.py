@@ -136,6 +136,7 @@ _REGISTRY_PRIORITY = [
     "multimodal_embed_neardup",
     "incremental_dedup_equals_batch",
     "ann_ivf_indexed",
+    "ann_quantized_recall",
 ]
 
 

@@ -380,3 +380,92 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 3).alias("cosine"), "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 quantized embeddings: the storage/shuffle lever.  array<tinyint> is 8×
+# smaller than array<double> on disk and in every Exchange; cosine is
+# invariant to the per-vector scale, so ranking quality loses only rounding
+# noise — and that loss is MEASURED (recall@5 vs float ground truth), not
+# asserted.
+# ---------------------------------------------------------------------------
+
+_QZ_SQL = """
+    sc AS (SELECT vec_id, v,
+           greatest(list_aggregate(list_transform(v, y -> abs(y)), 'max')
+                    / 127.0, 1e-30) AS s
+           FROM corpus),
+    qz AS (SELECT vec_id, list_transform(v, x -> floor(x / s + 0.5)) AS v
+           FROM sc)
+"""
+
+
+@_register(
+    "ann_quantized_recall",
+    f"""
+    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_QZ_SQL},
+    truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                       ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS rank
+            FROM corpus a JOIN corpus b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id < 20
+        ) WHERE rank <= 5
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                       ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS rank
+            FROM qz a JOIN qz b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id < 20
+        ) WHERE rank <= 5
+    )
+    SELECT t.query_id,
+           COUNT(x.neighbor_id)::INT AS n_overlap,
+           ROUND(COUNT(x.neighbor_id) / 5.0, 3) AS recall
+    FROM truth t LEFT JOIN approx x
+      ON t.query_id = x.query_id AND t.neighbor_id = x.neighbor_id
+    GROUP BY t.query_id
+    """,
+)
+def ann_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of brute-force search over int8-quantized vectors against
+    the float ground truth, per query.  The quantized corpus genuinely
+    materializes as array<tinyint> (8× smaller than array<double> — at
+    100 TB that is the difference between a 12.5 TB and a 100 TB shuffle),
+    then upcasts to double only inside the dot product.  Rounding is
+    floor(x+0.5) in both engines so the oracle reproduces the quantizer
+    bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qs = emb.filter(F.col("vec_id") < 20)
+    truth = sim.brute_force_topk(
+        emb, qs, id_col="vec_id", vec_col="embedding", k=5
+    ).select("query_id", "neighbor_id")
+
+    qemb = emb.select(
+        "vec_id",
+        sim.quantize_int8(F.col("embedding"))
+        .cast("array<double>")
+        .alias("embedding"),
+    )
+    approx = sim.brute_force_topk(
+        qemb, qemb.filter(F.col("vec_id") < 20),
+        id_col="vec_id", vec_col="embedding", k=5,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+
+    return (
+        truth.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("int")
+            .alias("n_overlap")
+        )
+        .withColumn("recall", F.round(F.col("n_overlap") / F.lit(5.0), 3))
+        .select("query_id", "n_overlap", "recall")
+    )

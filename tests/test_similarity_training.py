@@ -191,3 +191,59 @@ def test_join_assignment_matches_ranker(spark):
     assert one.select(
         r2(F.col("embedding"))[0]["cid"].alias("c")
     ).collect()[0]["c"] == 0
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization (quantize_int8 + ann_quantized_recall's contract)
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_int8_bounds_type_and_scale_invariance(spark):
+    from meerkat_abacus_spark.datapipe.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [
+            (0, [0.5, -1.0, 0.25, 0.0]),
+            (1, [100.0, -200.0, 50.0, 0.0]),   # same direction ×200
+            (2, [0.0, 0.0, 0.0, 0.0]),          # zero vector must not divide by 0
+            (3, [1e-20, -1e-20, 0.0, 0.0]),
+        ],
+        schema="vec_id int, embedding array<double>",
+    )
+    q = df.select(
+        "vec_id", quantize_int8(F.col("embedding")).alias("q")
+    )
+    assert dict(q.dtypes)["q"] == "array<tinyint>"
+    rows = {r.vec_id: r.q for r in q.collect()}
+    # bounds: every component in [-127, 127], max-magnitude hits ±127
+    for vid, vec in rows.items():
+        assert all(-127 <= x <= 127 for x in vec), (vid, vec)
+    assert max(abs(x) for x in rows[0]) == 127
+    # cosine is scale-invariant -> same direction quantizes the same up to
+    # one FP-division rounding step (100/(200/127) = 63.4999…, not 63.5)
+    assert rows[0] == [64, -127, 32, 0]
+    assert all(abs(a - b) <= 1 for a, b in zip(rows[0], rows[1]))
+    assert rows[2] == [0, 0, 0, 0]
+
+
+def test_quantized_brute_force_recall_is_high(spark):
+    """Quantized ranking over the clustered corpus must agree with float
+    ranking almost everywhere — int8 loses only rounding noise."""
+    from meerkat_abacus_spark.datapipe.similarity import quantize_int8
+
+    corpus = _clustered_corpus(spark)
+    truth = brute_force_topk(
+        corpus, corpus.filter(F.col("vec_id") < 10), k=5
+    ).select("query_id", "neighbor_id")
+    qcorpus = corpus.select(
+        "vec_id",
+        quantize_int8(F.col("embedding")).cast("array<double>").alias("embedding"),
+    )
+    approx = brute_force_topk(
+        qcorpus, qcorpus.filter(F.col("vec_id") < 10), k=5
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    joined = truth.join(approx, ["query_id", "neighbor_id"], "left")
+    total = joined.count()
+    hits = joined.filter(F.col("hit").isNotNull()).count()
+    assert total == 50
+    assert hits / total >= 0.9, f"quantized recall {hits}/{total}"
