@@ -137,6 +137,7 @@ _REGISTRY_PRIORITY = [
     "incremental_dedup_equals_batch",
     "ann_ivf_indexed",
     "ann_quantized_recall",
+    "fuzzy_decontaminate",
 ]
 
 

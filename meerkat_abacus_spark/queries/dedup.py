@@ -662,3 +662,66 @@ def incremental_dedup_equals_batch(spark: SparkSession, sf_dir: str) -> DataFram
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     stored = spark.read.parquet(pairs_p)
     return stored.unionByName(delta)
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy decontamination: the exact-span query above misses paraphrased /
+# lightly-edited benchmark leakage.  This variant runs MinHash-LSH across
+# train ∪ eval and flags train docs whose Jaccard to ANY eval doc clears
+# the threshold — the GPT-3-style fuzzy decontamination pass.
+# ---------------------------------------------------------------------------
+
+_FUZZY_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text || ' zz qq ww'
+    FROM documents WHERE doc_id % 100 = 50
+"""
+
+
+@_register(
+    "fuzzy_decontaminate",
+    f"""
+    SELECT id_a AS doc_id,
+           MAX(jaccard) AS max_jaccard,
+           COUNT(*) AS n_eval_matches
+    FROM ({_minhash_oracle_sql(_FUZZY_CORPUS_SQL)})
+    WHERE id_a < 1000000 AND id_b >= 1000000
+    GROUP BY 1
+    """,
+)
+def fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate decontamination of a training corpus against an eval
+    set (a planted perturbed copy of every doc with doc_id % 100 == 50
+    stands in for the benchmark).  Same banded MinHash-LSH as
+    dedup_minhash_lsh — candidates come only from shared band buckets, so
+    the train×eval comparison never goes all-pairs; the jaccard >= 0.4
+    verify runs on candidates only.
+
+    Scale shape at 100 TB train × small eval: eval band-key rows are tiny
+    (benchmark suites are ~1e5 docs), so the band-bucket equi-join is
+    broadcast-able and train is scanned once; flagged ids then anti-join
+    back onto the corpus (the caller's side — this query reports the flags
+    with evidence: best jaccard + match count per contaminated doc)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    evald = docs.filter(F.col("doc_id") % 100 == 50).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" zz qq ww")).alias("text"),
+    )
+    corpus = docs.unionByName(evald)
+    cands = dd.minhash_lsh_candidates(
+        corpus, id_col="doc_id", text_col="text", **MINHASH_CFG
+    )
+    cross = cands.filter(
+        (F.col("id_a") < 1_000_000)
+        & (F.col("id_b") >= 1_000_000)
+        & (F.col("jaccard") >= 0.4)
+    )
+    return (
+        cross.select("id_a", F.round("jaccard", 4).alias("j"))
+        .groupBy(F.col("id_a").alias("doc_id"))
+        .agg(
+            F.max("j").alias("max_jaccard"),
+            F.count(F.lit(1)).alias("n_eval_matches"),
+        )
+    )
