@@ -138,6 +138,7 @@ _REGISTRY_PRIORITY = [
     "ann_ivf_indexed",
     "ann_quantized_recall",
     "fuzzy_decontaminate",
+    "streaming_dedup",
 ]
 
 

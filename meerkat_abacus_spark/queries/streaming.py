@@ -535,3 +535,86 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_windowed_counts_over_files(
         spark, src, ckpt, queryName=f"wincnt_{_scratch_tag(sf_dir)}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup with bounded state: at-least-once replay noise in, exactly
+# the batch DISTINCT out.
+# ---------------------------------------------------------------------------
+
+_STREAM_DEDUP_ORACLE = """
+    SELECT event_type,
+           COUNT(*) AS n_emitted,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1
+"""
+
+
+@_register("streaming_dedup", _STREAM_DEDUP_ORACLE)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark on event_id over a 3-file replay that
+    plants both failure modes of an at-least-once source
+    (streaming/dedup_stream.py):
+
+    - file 1 replays events from the last 30 min before the mid split —
+      within the 1-h watermark delay, their state is alive, dropped as
+      DUPLICATES;
+    - file 2 replays first-day events after the watermark moved past them —
+      their state is evicted (bounded state store), dropped as LATE rather
+      than double-emitted.
+
+    The emitted stream, aggregated per event_type, must hash-equal the
+    plain batch aggregate of the original events: exactly-once emission
+    through replay noise with O(watermark window) state, proven not
+    assumed."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from meerkat_abacus_spark.streaming.dedup_stream import (
+        run_dedup_over_files,
+    )
+
+    base = tempfile.gettempdir() + f"/msa_sdedup_{_scratch_tag(sf_dir)}"
+    src, ckpt = base + "/src", base + "/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(src)
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    row = events.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    ).collect()[0]
+    mn, mx = row["mn"], row["mx"]
+    mid = mn + (mx - mn) // 2
+
+    dup_replay = events.filter(
+        (F.unix_micros("ts") > mid - 1_800_000_000)
+        & (F.unix_micros("ts") <= mid)
+    )
+    late_replay = events.filter(F.unix_micros("ts") < mn + 86_400_000_000)
+
+    slices = [
+        events.filter(F.unix_micros("ts") <= mid),
+        events.filter(F.unix_micros("ts") > mid).unionByName(dup_replay),
+        late_replay,
+    ]
+    for k, sl in enumerate(slices):
+        tmp = f"{base}/tmp{k}"
+        sl.coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dest = f"{src}/slice{k}.parquet"
+        shutil.move(part, dest)
+        shutil.rmtree(tmp)
+        os.utime(dest, (1_700_000_000 + k, 1_700_000_000 + k))
+
+    emitted = run_dedup_over_files(
+        spark, src, ckpt, queryName=f"sdedup_{_scratch_tag(sf_dir)}"
+    )
+    return emitted.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_emitted"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

@@ -137,3 +137,59 @@ def test_returning_user_after_eviction_gets_unique_session_id(spark, tmp_path):
         (2, T0_US + 21600 * US): (1, 0),
     }
     assert sum(o.get("numRowsRemoved", 0) for o in ops) >= 1
+
+
+# ---------------------------------------------------------------------------
+# dropDuplicatesWithinWatermark (streaming/dedup_stream.py)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_dedup_drops_dups_and_late_replays(spark, tmp_path):
+    """3-file replay: a within-delay duplicate is suppressed by live state;
+    a beyond-delay replay is dropped by the late filter instead of
+    double-emitting after its state was evicted."""
+    import glob
+    import os
+    import shutil
+
+    from meerkat_abacus_spark.streaming.dedup_stream import (
+        run_dedup_over_files,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    from datetime import datetime
+
+    mk = lambda eid, ts: (
+        eid, datetime.fromisoformat(ts), 1, "t", 1.0, "{}",
+    )
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    slices = [
+        # originals: e1 early, e2 near the batch-0 frontier
+        [mk(1, "2024-01-01 00:00:00"), mk(2, "2024-01-01 06:00:00")],
+        # later data advances the watermark to 11:00; replay of e2 (state
+        # alive: 06:00 within no-eviction reach) must be suppressed
+        [mk(3, "2024-01-01 12:00:00"), mk(2, "2024-01-01 06:00:00")],
+        # replay of e1 (00:00 < watermark 11:00): dropped as late, NOT
+        # re-emitted even though e1's state row was evicted long ago
+        [mk(1, "2024-01-01 00:00:00")],
+    ]
+    for i, rows in enumerate(slices):
+        tmp = f"{src}_tmp{i}"
+        spark.createDataFrame(rows, schema=schema).coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dest = f"{src}/slice{i}.parquet"
+        shutil.move(part, dest)
+        shutil.rmtree(tmp)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    emitted = run_dedup_over_files(
+        spark, src, ckpt, watermark_delay="1 hour",
+        queryName="t_sdedup_unit",
+    )
+    ids = sorted(r.event_id for r in emitted.select("event_id").collect())
+    assert ids == [1, 2, 3], ids
