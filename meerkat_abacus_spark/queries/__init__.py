@@ -139,6 +139,7 @@ _REGISTRY_PRIORITY = [
     "ann_quantized_recall",
     "fuzzy_decontaminate",
     "streaming_dedup",
+    "vocab_topk",
 ]
 
 

@@ -575,3 +575,51 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         F.row_number().over(w).cast("bigint").alias("rank"), "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary build: global term + document frequencies, top-k.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "vocab_topk",
+    r"""
+    WITH tok AS (
+        SELECT doc_id,
+               UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents
+    )
+    SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+    FROM tok GROUP BY 1
+    ORDER BY tf DESC, token ASC LIMIT 50
+    """,
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 tokens by total term frequency, with
+    document frequency — the first step of any tokenizer-training /
+    data-mixing analysis pass.
+
+    Scale shape: the explode is the only wide part and it feeds a groupBy
+    whose partial (map-side) aggregate collapses each partition's token
+    counts before the single shuffle on token; df rides the same shuffle
+    as count(distinct doc_id).  The top-50 is orderBy+limit, which
+    Catalyst plans as TakeOrderedAndProject — per-partition heaps and a
+    driver-side merge of 50-row heads, never a global sort of the
+    vocabulary."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("token"),
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("token").asc())
+        .limit(50)
+    )
