@@ -140,6 +140,8 @@ _REGISTRY_PRIORITY = [
     "fuzzy_decontaminate",
     "streaming_dedup",
     "vocab_topk",
+    "cases_rollup",
+    "epi_curve_rolling",
 ]
 
 

@@ -330,3 +330,116 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.join(sums, "event_type").select(
         "event_type", "n", F.round("sum", 2).alias("sum_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-granularity reporting: ROLLUP subtotals and a rolling epi-curve.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "cases_rollup",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           GROUPING(r.r_name) * 2 + GROUPING(n.n_name) AS lvl,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_value
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def cases_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region → nation ROLLUP of urgent orders: per-nation rows, per-region
+    subtotals, and the grand total in ONE pass — the multi-granularity
+    report the reference's per-level aggregation API answers with one
+    round-trip per level (SURVEY §2.7 aggregation surface).
+
+    Scale shape: Catalyst plans rollup as Expand (3 rows per input row,
+    one per grouping set) feeding a single partial→final hash aggregate —
+    one shuffle total, vs three separate groupBy jobs re-scanning 100 TB
+    each.  The grouping-level bitmask (lvl) disambiguates subtotal rows
+    from genuine NULL keys."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    enriched = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        enriched.rollup(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.grouping_id().alias("lvl"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+        .select("region", "nation", "lvl", "n_orders", "total_value")
+    )
+
+
+@_register(
+    "epi_curve_rolling",
+    """
+    WITH daily AS (
+        SELECT r.r_name AS region, CAST(o.o_orderdate AS DATE) AS day,
+               COUNT(*) AS n
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE o.o_orderpriority = '1-URGENT'
+        GROUP BY 1, 2
+    )
+    SELECT region, day, n,
+           ROUND(AVG(n) OVER (PARTITION BY region ORDER BY day
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 3)
+               AS avg7
+    FROM daily
+    WHERE region = 'ASIA'
+    """,
+)
+def epi_curve_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling mean of daily urgent-case counts per region — the
+    epi-curve smoothing every surveillance dashboard draws over the
+    reference's daily aggregates.  RANGE framing over the calendar (not
+    ROWS) so gaps in the date series shrink the window instead of
+    reaching back past 7 days.
+
+    Scale shape: the daily pre-aggregation collapses the fact table to
+    |regions|×|days| rows BEFORE the window sort, so the window's
+    per-partition sort runs over a few thousand rows regardless of fact
+    cardinality; the dimension chain broadcasts."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    daily = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("region")
+        .orderBy(F.unix_date(F.col("day")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.filter(F.col("region") == "ASIA").select(
+        "region", "day", "n", F.round(F.avg("n").over(w), 3).alias("avg7")
+    )
