@@ -142,6 +142,9 @@ _REGISTRY_PRIORITY = [
     "vocab_topk",
     "cases_rollup",
     "epi_curve_rolling",
+    "dedup_keep_best",
+    "jsonl_source_roundtrip",
+    "quality_percentile_filter",
 ]
 
 

@@ -725,3 +725,102 @@ def fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_eval_matches"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Keep-best materialization: the dedup endgame.  Clusters say WHICH docs are
+# duplicates; this decides WHO survives — highest quality score, ties to the
+# lowest id — the selection a real pipeline applies before writing the
+# deduplicated corpus.
+# ---------------------------------------------------------------------------
+
+_STOP_EN_D = "', '".join(tx.LANG_PROFILES["en"])
+
+
+@_register(
+    "dedup_keep_best",
+    f"""
+    WITH RECURSIVE edges AS ({_CC_EDGES_SQL}),
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM edges
+        UNION SELECT id_b, id_a FROM edges
+    ),
+    reach(node, lab) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY 1),
+    corpus AS ({_DOC_CORPUS3_SQL}),
+    q AS (
+        SELECT doc_id,
+               ROUND((least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+                + 1.0 - least(5.0 * CAST(len(regexp_replace(text,
+                      '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                    / greatest(len(text), 1), 1.0)
+                + least(5.0 * CAST(len(list_filter(toks,
+                      s -> s IN ('{_STOP_EN_D}'))) AS DOUBLE)
+                    / greatest(len(toks), 1), 1.0)) / 3, 4) AS quality
+        FROM (SELECT doc_id, text,
+                     string_split_regex(trim(lower(text)), '\\s+') AS toks
+              FROM corpus)
+    ),
+    scored AS (
+        SELECT c.component, c.node, q.quality
+        FROM comp c JOIN q ON q.doc_id = c.node
+    ),
+    best AS (SELECT component, MAX(quality) AS best_quality
+             FROM scored GROUP BY 1)
+    SELECT s.component, COUNT(*) AS cluster_size,
+           MIN(CASE WHEN s.quality = b.best_quality THEN s.node END)
+               AS survivor_id,
+           b.best_quality
+    FROM scored s JOIN best b USING (component)
+    GROUP BY s.component, b.best_quality
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection per duplicate cluster: connected components over
+    the verified LSH edges (same construction as dedup_clusters), each
+    member scored with the composite quality heuristic, survivor = highest
+    quality with ties to the lowest doc id.
+
+    Scale shape: components and per-doc quality are both linear passes;
+    the selection is one groupBy over (component) rows — the per-component
+    max broadcasts back (aggregated frame is tiny relative to the corpus).
+    Quality ranks on the ROUNDED score so the cross-engine argmax cannot
+    flip on last-ulp float noise."""
+    corpus = _doc_corpus3(spark, sf_dir)
+    pairs = dd.minhash_lsh_candidates(
+        corpus, id_col="doc_id", text_col="text", **MINHASH_CFG
+    ).filter(F.col("jaccard") >= 0.4)
+    comps = dd.connected_components(pairs)
+    quality = corpus.withColumn(
+        "toks_lower", dd.tokens_col(F.lower(F.col("text")))
+    ).select(
+        "doc_id",
+        F.round(
+            tx.quality_score(F.col("text"), F.col("toks_lower")), 4
+        ).alias("quality"),
+    )
+    scored = comps.join(quality, comps.node == quality.doc_id).select(
+        "component", "node", "quality"
+    )
+    best = scored.groupBy("component").agg(
+        F.max("quality").alias("best_quality")
+    )
+    return (
+        scored.join(F.broadcast(best), "component")
+        .groupBy("component", "best_quality")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min(
+                F.when(
+                    F.col("quality") == F.col("best_quality"), F.col("node")
+                )
+            ).alias("survivor_id"),
+        )
+        .select(
+            "component", "cluster_size", "survivor_id", "best_quality"
+        )
+    )

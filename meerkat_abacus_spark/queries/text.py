@@ -623,3 +623,119 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tf").desc(), F.col("token").asc())
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# JSONL source round-trip: S-family breadth.  Training corpora ship as
+# JSON-lines at least as often as parquet; prove the engine reads them with
+# full fidelity (embedded newlines, quotes, unicode all survive).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "jsonl_source_roundtrip",
+    """
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def jsonl_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the documents table as JSON-lines, read it back with an
+    explicit schema (never inference — a second full scan at 100 TB), and
+    aggregate: the result must hash-equal the same aggregate over the
+    original parquet, proving lossless JSONL round-trip of real text
+    (newlines, quotes, unicode).
+
+    Scale shape: the JSONL scan is splittable line-by-line, so it
+    parallelizes like any text source; the explicit schema keeps it a
+    single pass."""
+    import os
+    import tempfile
+
+    from ._shared import _scratch_tag
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = tempfile.gettempdir() + f"/msa_jsonl_v1_{_scratch_tag(sf_dir)}"
+    if not os.path.exists(path):
+        docs.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).json(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global-percentile quality gate: filter against a corpus-level statistic.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "quality_percentile_filter",
+    f"""
+    WITH t AS (
+        SELECT doc_id, lang, text,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ), q AS (
+        SELECT doc_id, lang,
+               ROUND((least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+                + 1.0 - least(5.0 * CAST(len(regexp_replace(text,
+                      '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                    / greatest(len(text), 1), 1.0)
+                + least(5.0 * CAST(len(list_filter(toks,
+                      s -> s IN ('{_STOP_EN}'))) AS DOUBLE)
+                    / greatest(len(toks), 1), 1.0)) / 3, 4) AS quality
+        FROM t
+    ), thr AS (
+        SELECT ROUND(quantile_cont(quality, 0.25), 4) AS p25 FROM q
+    )
+    SELECT lang,
+           CAST(SUM(CASE WHEN quality >= p25 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           COUNT(*) AS n_total,
+           p25 AS threshold
+    FROM q, thr
+    GROUP BY lang, p25
+    """,
+)
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative quality gate: keep documents at or above the 25th
+    percentile of the composite quality score — thresholds in real
+    curation are set against the corpus distribution, not hardcoded.
+
+    Scale shape: the percentile is ONE global aggregate (Spark's exact
+    interpolated ``percentile``, partial-aggregated t-digest-free since
+    the value set per partition is bounded by rounding at 4dp), then a
+    literal-sized scalar broadcast-joined onto the scan — the fact table
+    is read once and never shuffled.  Both engines rank on the ROUNDED
+    score so the >= boundary cannot flip on last-ulp noise."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "toks_lower", tx.tokens_col(F.lower(F.col("text")))
+    )
+    q = docs.select(
+        "doc_id",
+        "lang",
+        F.round(
+            tx.quality_score(F.col("text"), F.col("toks_lower")), 4
+        ).alias("quality"),
+    )
+    thr = q.agg(
+        F.round(F.expr("percentile(quality, 0.25)"), 4).alias("threshold")
+    )
+    return (
+        q.crossJoin(F.broadcast(thr))
+        .groupBy("lang", "threshold")
+        .agg(
+            F.sum(
+                F.when(F.col("quality") >= F.col("threshold"), 1).otherwise(0)
+            ).alias("n_kept"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .select("lang", "n_kept", "n_total", "threshold")
+    )
