@@ -145,6 +145,7 @@ _REGISTRY_PRIORITY = [
     "dedup_keep_best",
     "jsonl_source_roundtrip",
     "quality_percentile_filter",
+    "tfidf_top_terms",
 ]
 
 

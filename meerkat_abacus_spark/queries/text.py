@@ -739,3 +739,78 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("lang", "n_kept", "n_total", "threshold")
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF: per-source top terms ranked against global document frequency.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tfidf_top_terms",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM documents),
+    dfreq AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS dfq FROM tok GROUP BY 1
+    ),
+    tf AS (
+        SELECT source, token, COUNT(*) AS tfq FROM tok GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT source, token, tfq,
+               ROUND(tfq * ROUND(ln(CAST(n AS DOUBLE) / dfq), 6), 4) AS tfidf
+        FROM tf JOIN dfreq USING (token) CROSS JOIN nn
+    )
+    SELECT source, token, tfidf, rank FROM (
+        SELECT source, token, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY tfidf DESC, token ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per source: the characteristic-vocabulary probe
+    behind corpus mixing decisions (which sources contribute what).
+
+    Scale shape: one explode feeds BOTH aggregates (term frequency per
+    source, document frequency global); the df table is vocabulary-sized,
+    so the tf←df join broadcasts; ranking is a per-source window over the
+    aggregated (source × token) frame, not the token stream.  The idf is
+    rounded to 6dp BEFORE the multiply so the cross-engine ranking cannot
+    flip on last-ulp ln() noise (libm vs JVM)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "token"
+        ),
+    )
+    n_docs = docs.count()
+    dfreq = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("dfq")
+    )
+    tf = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tfq"))
+    scored = tf.join(F.broadcast(dfreq), "token").select(
+        "source",
+        "token",
+        F.round(
+            F.col("tfq")
+            * F.round(F.log(F.lit(float(n_docs)) / F.col("dfq")), 6),
+            4,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("source", "token", "tfidf", "rank")
+    )

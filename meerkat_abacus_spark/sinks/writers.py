@@ -243,3 +243,38 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def compact_parquet(
+    df: DataFrame,
+    path: str,
+    rows_per_file: int = 1_000_000,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> int:
+    """Small-file compaction: rewrite ``df`` into ~``rows_per_file``-sized
+    parquet files, optionally range-clustered on ``sort_by``.
+
+    The maintenance pass every long-lived ingest needs — streaming
+    foreachBatch and per-day upserts leave thousands of KB-scale files,
+    and at 100 TB the NameNode/file-listing cost plus per-file open
+    overhead dominate scans.  One count fixes the target file count
+    (cheap: parquet row-count metadata only), ``repartitionByRange`` on
+    the sort key makes file min/max ranges disjoint so downstream
+    predicate pushdown prunes whole files, and ``maxRecordsPerFile``
+    hard-caps stragglers from a skewed range.  Returns the file count
+    target.
+    """
+    import math
+
+    n = df.count()
+    n_files = max(1, math.ceil(n / rows_per_file))
+    if sort_by:
+        out = df.repartitionByRange(n_files, *[F.col(c) for c in sort_by])
+        out = out.sortWithinPartitions(*sort_by)
+    else:
+        out = df.repartition(n_files)
+    out.write.option("maxRecordsPerFile", rows_per_file).mode(mode).parquet(
+        path
+    )
+    return n_files

@@ -133,3 +133,49 @@ def test_aqe_splits_planted_skew_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_compact_parquet_file_sizing_and_clustering(spark, tmp_path):
+    """Compaction caps rows per file and, with sort_by, produces disjoint
+    per-file key ranges (file-level pruning)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from meerkat_abacus_spark.sinks.writers import compact_parquet
+
+    df = spark.range(10_000).withColumn("k", F.col("id") % 100)
+    path = str(tmp_path / "compacted")
+    n_files = compact_parquet(df, path, rows_per_file=2500, sort_by=["id"])
+    assert n_files == 4
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    # range sampling makes partitions uneven; maxRecordsPerFile splits any
+    # over-cap partition into sequential files, so count may exceed the
+    # target but never the cap
+    assert 4 <= len(files) <= 8
+    ranges = []
+    for f in files:
+        t = pq.read_table(f, columns=["id"])
+        assert t.num_rows <= 2500
+        ids = t.column("id").to_pylist()
+        ranges.append((min(ids), max(ids)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping file ranges {ranges}"
+    total = sum(pq.read_table(f).num_rows for f in files)
+    assert total == 10_000
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """HLL sketch (approx_count_distinct) lands within 5% of exact on the
+    events user population — the cardinality primitive for 100 TB profiling
+    where exact distinct would shuffle every key."""
+    sf = __import__("os").environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+    )
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact <= 0.05, row
