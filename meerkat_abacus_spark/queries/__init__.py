@@ -146,6 +146,8 @@ _REGISTRY_PRIORITY = [
     "jsonl_source_roundtrip",
     "quality_percentile_filter",
     "tfidf_top_terms",
+    "snapshot_diff",
+    "inverted_index",
 ]
 
 

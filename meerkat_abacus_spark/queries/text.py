@@ -814,3 +814,66 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("source", "token", "tfidf", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build: token → posting list, content-addressed.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "inverted_index",
+    r"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents
+    ),
+    postings AS (
+        SELECT token,
+               COUNT(*) AS df,
+               MIN(doc_id) AS first_doc,
+               MAX(doc_id) AS last_doc,
+               md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+                   AS posting_hash
+        FROM tok GROUP BY 1
+    )
+    SELECT token, df, first_doc, last_doc, posting_hash
+    FROM postings WHERE df >= 100
+    """,
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list construction for an inverted text index: per token the
+    sorted document list (content-addressed via md5 so the oracle checks
+    every element and its order, not just the count) for tokens appearing
+    in >= 100 docs.
+
+    Scale shape: explode → per-doc distinct (array_distinct BEFORE the
+    explode, map-side) → one groupBy on token building the sorted posting
+    via sort_array(collect_list).  Posting lists are the classic skew
+    hazard — stopword tokens collect millions of ids — so a production
+    variant shards hot tokens by (token, doc_id div B); here df is
+    bounded by the corpus and the hash keeps the oracle exact."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            )
+        ).alias("token"),
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.md5(
+                F.array_join(
+                    F.sort_array(F.collect_list(F.col("doc_id"))), ","
+                )
+            ).alias("posting_hash"),
+        )
+        .filter(F.col("df") >= 100)
+    )

@@ -443,3 +443,84 @@ def epi_curve_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.filter(F.col("region") == "ASIA").select(
         "region", "day", "n", F.round(F.avg("n").over(w), 3).alias("avg7")
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot reconciliation (CDC-shaped): what changed between two loads?
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "snapshot_diff",
+    """
+    WITH old AS (
+        SELECT o_orderkey AS k, md5(o_orderstatus || '|' ||
+               CAST(ROUND(o_totalprice, 2) AS VARCHAR)) AS h
+        FROM orders WHERE o_orderkey % 10 <> 0
+    ),
+    new AS (
+        SELECT o_orderkey AS k,
+               md5((CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+                    ELSE o_orderstatus END) || '|' ||
+               CAST(ROUND(o_totalprice, 2) AS VARCHAR)) AS h
+        FROM orders WHERE o_orderkey % 10 <> 1
+    )
+    SELECT CASE WHEN o.k IS NULL THEN 'added'
+                WHEN n.k IS NULL THEN 'removed'
+                WHEN o.h <> n.h THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           COUNT(*) AS n
+    FROM old o FULL OUTER JOIN new n ON o.k = n.k
+    GROUP BY 1
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconcile two table snapshots into added/removed/changed/unchanged
+    row classes — the CDC-shaped audit every periodic 100 TB reload needs
+    before swapping a partition in (two synthetic snapshots are carved
+    from orders: every 10th key dropped on one side, every 7th status
+    mutated).
+
+    Scale shape: rows collapse to (key, row-hash) BEFORE the full outer
+    join, so the one co-partitioned shuffle carries ~48 bytes/row
+    regardless of row width; the class counts ride a partial-aggregated
+    groupBy on top."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def snap(mutate: bool) -> DataFrame:
+        status = (
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            )
+            if mutate
+            else F.col("o_orderstatus")
+        )
+        keep = (
+            (F.col("o_orderkey") % 10 != 1)
+            if mutate
+            else (F.col("o_orderkey") % 10 != 0)
+        )
+        return orders.filter(keep).select(
+            F.col("o_orderkey").alias("k"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    status,
+                    F.round(F.col("o_totalprice"), 2).cast("string"),
+                )
+            ).alias("h"),
+        )
+
+    old, new = snap(False), snap(True)
+    joined = old.alias("o").join(
+        new.alias("n"), F.col("o.k") == F.col("n.k"), "full_outer"
+    )
+    status = (
+        F.when(F.col("o.k").isNull(), "added")
+        .when(F.col("n.k").isNull(), "removed")
+        .when(F.col("o.h") != F.col("n.h"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
