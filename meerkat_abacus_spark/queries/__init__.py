@@ -148,6 +148,8 @@ _REGISTRY_PRIORITY = [
     "tfidf_top_terms",
     "snapshot_diff",
     "inverted_index",
+    "streaming_interval_join",
+    "quality_quantiles_by_source",
 ]
 
 

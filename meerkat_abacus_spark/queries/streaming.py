@@ -618,3 +618,72 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_emitted"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join: buffered state across micro-batch boundaries.
+# ---------------------------------------------------------------------------
+
+_IJOIN_ORACLE = """
+    SELECT a.user_id % 32 AS bucket,
+           COUNT(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    GROUP BY 1
+"""
+
+
+@_register("streaming_interval_join", _IJOIN_ORACLE)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (streaming/join_stream.py): even-id events
+    match odd-id events of the same user within [ts, ts+30min], replayed
+    as four time slices so pairs straddle micro-batch boundaries and must
+    come out of BUFFERED state, not the same batch.  Both sides carry a
+    1-hour watermark (> the 30-min interval), so Spark evicts a buffered
+    row once the opposite watermark passes its match window — bounded
+    state — without dropping any straddling pair.  The joined output,
+    bucketed per user group, hash-equals the batch interval join."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from meerkat_abacus_spark.streaming.join_stream import (
+        run_interval_join_over_files,
+    )
+
+    base = tempfile.gettempdir() + f"/msa_ijoin_{_scratch_tag(sf_dir)}"
+    src, ckpt = base + "/src", base + "/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(src)
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    bounds = events.selectExpr(
+        "percentile_approx(ts, array(0.25, 0.5, 0.75), 10000) q"
+    ).collect()[0]["q"]
+    lo = [None] + list(bounds)
+    hi = list(bounds) + [None]
+    for k, (a, b) in enumerate(zip(lo, hi)):
+        sl = events
+        if a is not None:
+            sl = sl.filter(F.col("ts") > F.lit(a))
+        if b is not None:
+            sl = sl.filter(F.col("ts") <= F.lit(b))
+        tmp = f"{base}/tmp{k}"
+        sl.coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dest = f"{src}/slice{k}.parquet"
+        shutil.move(part, dest)
+        shutil.rmtree(tmp)
+        os.utime(dest, (1_700_000_000 + k, 1_700_000_000 + k))
+
+    joined = run_interval_join_over_files(
+        spark, src, ckpt, queryName=f"ijoin_{_scratch_tag(sf_dir)}"
+    )
+    return joined.groupBy((F.col("k") % 32).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

@@ -877,3 +877,62 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= 100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped exact quantiles: the per-source quality distribution.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "quality_quantiles_by_source",
+    f"""
+    WITH t AS (
+        SELECT doc_id, source, text,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ), q AS (
+        SELECT source,
+               ROUND((least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+                + 1.0 - least(5.0 * CAST(len(regexp_replace(text,
+                      '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                    / greatest(len(text), 1), 1.0)
+                + least(5.0 * CAST(len(list_filter(toks,
+                      s -> s IN ('{_STOP_EN}'))) AS DOUBLE)
+                    / greatest(len(toks), 1), 1.0)) / 3, 4) AS quality
+        FROM t
+    )
+    SELECT source,
+           COUNT(*) AS n,
+           ROUND(quantile_cont(quality, 0.25), 4) AS p25,
+           ROUND(quantile_cont(quality, 0.50), 4) AS p50,
+           ROUND(quantile_cont(quality, 0.75), 4) AS p75
+    FROM q GROUP BY 1
+    """,
+)
+def quality_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality distribution (exact interpolated quartiles) —
+    the profile that decides per-source mixing weights and thresholds.
+
+    Scale shape: quality is a pure projection; the grouped percentile is
+    one shuffle on source.  Exact grouped percentiles buffer each group's
+    values — right for profiling runs over |sources| groups; the
+    streaming-friendly alternative (approx_percentile, t-digest,
+    partial-aggregable) is tolerance-tested in
+    tests/test_ops_partitioning.py since its sketch output is
+    engine-specific and cannot hash-match a DuckDB oracle."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "toks_lower", tx.tokens_col(F.lower(F.col("text")))
+    )
+    q = docs.select(
+        "source",
+        F.round(
+            tx.quality_score(F.col("text"), F.col("toks_lower")), 4
+        ).alias("quality"),
+    )
+    return q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(quality, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(quality, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(quality, 0.75)"), 4).alias("p75"),
+    )

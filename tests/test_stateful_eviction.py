@@ -193,3 +193,56 @@ def test_streaming_dedup_drops_dups_and_late_replays(spark, tmp_path):
     )
     ids = sorted(r.event_id for r in emitted.select("event_id").collect())
     assert ids == [1, 2, 3], ids
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join (streaming/join_stream.py)
+# ---------------------------------------------------------------------------
+
+
+def test_interval_join_matches_across_batch_boundary(spark, tmp_path):
+    """A left row buffered in batch 0 must still match a right row arriving
+    in batch 1 (within the interval), and a right row outside the interval
+    must not match."""
+    import glob
+    import os
+    import shutil
+    from datetime import datetime
+
+    from meerkat_abacus_spark.streaming.join_stream import (
+        run_interval_join_over_files,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    mk = lambda eid, ts: (
+        eid, datetime.fromisoformat(ts), 7, "t", 1.0, "{}",
+    )
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    slices = [
+        # batch 0: left (even) row only — must be buffered
+        [mk(2, "2024-01-01 10:00:00")],
+        # batch 1: right (odd) rows — one inside [10:00, 10:30], one outside
+        [mk(3, "2024-01-01 10:20:00"), mk(5, "2024-01-01 11:30:00")],
+    ]
+    for i, rows in enumerate(slices):
+        tmp = f"{src}_tmp{i}"
+        spark.createDataFrame(rows, schema=schema).coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dest = f"{src}/slice{i}.parquet"
+        shutil.move(part, dest)
+        shutil.rmtree(tmp)
+        os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    joined = run_interval_join_over_files(
+        spark, src, ckpt, queryName="t_ijoin_unit",
+    )
+    pairs = sorted(
+        (r.left_id, r.right_id)
+        for r in joined.select("left_id", "right_id").collect()
+    )
+    assert pairs == [(2, 3)], pairs
