@@ -741,10 +741,12 @@ def connected_components(
         .unionByName(edges.selectExpr(f"{dst} AS a", f"{src} AS b"))
         .cache()
     )
-    labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+    # Fused first hop: the node set needs a dedup shuffle anyway, and with
+    # identity labels iteration 1 would just compute min(self, min neighbor)
+    # — so fold that into the SAME aggregation and start the loop one round
+    # (one join + checkpoint + convergence job) ahead.
+    labels = sym.groupBy(F.col("a").alias("node")).agg(
+        F.least(F.col("a"), F.min("b")).alias("component")
     )
     labels = _pin(labels)
     for _ in range(max_iterations):
