@@ -150,6 +150,7 @@ _REGISTRY_PRIORITY = [
     "inverted_index",
     "streaming_interval_join",
     "quality_quantiles_by_source",
+    "funnel_conversion",
 ]
 
 

@@ -687,3 +687,85 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy((F.col("k") % 32).alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: step-to-step conversion over the event stream.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+    WITH firsts AS (
+        SELECT user_id, event_type, MIN(ts) AS first_ts
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type AS step_from, b.event_type AS step_to,
+               COUNT(*) AS n_converted
+        FROM firsts a JOIN firsts b
+          ON a.user_id = b.user_id
+         AND a.event_type < b.event_type
+         AND b.first_ts > a.first_ts
+         AND b.first_ts <= a.first_ts + INTERVAL 7 DAY
+        GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT event_type, COUNT(*) AS n_reached FROM firsts GROUP BY 1
+    )
+    SELECT p.step_from, p.step_to, p.n_converted, b.n_reached,
+           ROUND(CAST(p.n_converted AS DOUBLE) / b.n_reached, 4)
+               AS conversion
+    FROM pairs p JOIN base b ON b.event_type = p.step_from
+"""
+
+
+@_register("funnel_conversion", _FUNNEL_ORACLE)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-pair funnel: of the users who first did step A, how many went
+    on to first do step B within 7 days — the conversion matrix behind
+    any product/epidemiological pathway analysis (visit → lab-confirm →
+    alert in the reference's world).
+
+    Scale shape: the fact collapses to (user, step, first_ts) — one
+    partial-aggregated groupBy — before any join; the step-pair self-join
+    is then per-user with ≤ |steps| rows a side (bounded fan-out, never
+    event×event); conversion denominators ride a broadcast of the
+    step-counts frame."""
+    events = _t(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts")
+    )
+    a = firsts.select(
+        "user_id",
+        F.col("event_type").alias("step_from"),
+        F.col("first_ts").alias("ts_from"),
+    )
+    b = firsts.select(
+        "user_id",
+        F.col("event_type").alias("step_to"),
+        F.col("first_ts").alias("ts_to"),
+    )
+    pairs = (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("step_from") < F.col("step_to"))
+            & (F.col("ts_to") > F.col("ts_from"))
+            & (
+                F.col("ts_to")
+                <= F.col("ts_from") + F.expr("INTERVAL 7 DAYS")
+            )
+        )
+        .groupBy("step_from", "step_to")
+        .agg(F.count(F.lit(1)).alias("n_converted"))
+    )
+    base = firsts.groupBy(F.col("event_type").alias("step_from")).agg(
+        F.count(F.lit(1)).alias("n_reached")
+    )
+    return pairs.join(F.broadcast(base), "step_from").select(
+        "step_from",
+        "step_to",
+        "n_converted",
+        "n_reached",
+        F.round(
+            F.col("n_converted").cast("double") / F.col("n_reached"), 4
+        ).alias("conversion"),
+    )
