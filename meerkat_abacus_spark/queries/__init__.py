@@ -151,6 +151,8 @@ _REGISTRY_PRIORITY = [
     "streaming_interval_join",
     "quality_quantiles_by_source",
     "funnel_conversion",
+    "alert_seasonal_baseline",
+    "fuzzy_name_linkage",
 ]
 
 

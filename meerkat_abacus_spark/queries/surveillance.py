@@ -1901,3 +1901,138 @@ def deadletter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("bad").alias("side"), "n"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-baseline alert: this week's count vs the same epi-week in prior
+# years — the classic surveillance excess-signal beyond the fixed-threshold
+# (A1/A2) and week-over-week (A3) alerts already covered.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "alert_seasonal_baseline",
+    f"""
+    WITH weekly AS (
+        SELECT r.r_name AS region,
+               {_EPI_Y_SQL} AS epi_year,
+               {_EPI_W_SQL} AS epi_week,
+               COUNT(*) AS n
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE o.o_orderpriority = '1-URGENT'
+        GROUP BY 1, 2, 3
+    ),
+    hist AS (
+        SELECT region, epi_year, epi_week, n,
+               ROUND(AVG(n) OVER (PARTITION BY region, epi_week
+                     ORDER BY epi_year
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 2)
+                   AS expected
+        FROM weekly
+    )
+    SELECT region, epi_year, epi_week, n, expected,
+           n >= 1.5 * expected AS flagged
+    FROM hist WHERE expected IS NOT NULL
+    """,
+)
+def alert_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal excess detection: each (region, epi-week)'s count compared
+    to the average of the SAME epi-week across all prior years; weeks at
+    >= 1.5x their seasonal baseline are flagged.
+
+    Scale shape: the fact collapses to region x epi-week x year in one
+    partial-aggregated groupBy; the baseline window then sorts only
+    |regions| x 53 x |years| rows.  The flag compares against the ROUNDED
+    expectation so the cross-engine boolean cannot flip on summation-order
+    noise."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    epi_year, epi_week = epi_week_columns(F.col("o_orderdate"), "day:0")
+    weekly = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .withColumns({"epi_year": epi_year, "epi_week": epi_week})
+        .groupBy(
+            F.col("r_name").alias("region"), "epi_year", "epi_week"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("region", "epi_week")
+        .orderBy("epi_year")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = weekly.withColumn("expected", F.round(F.avg("n").over(w), 2))
+    return hist.filter(F.col("expected").isNotNull()).select(
+        "region",
+        "epi_year",
+        "epi_week",
+        "n",
+        "expected",
+        (F.col("n") >= 1.5 * F.col("expected")).alias("flagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy record linkage: blocked edit-distance matching.  The reference's
+# links are exact-key joins (J1-J4); real registries also need typo-tolerant
+# matching, which at 100 TB must be blocked — never all-pairs levenshtein.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "fuzzy_name_linkage",
+    """
+    WITH blocked AS (
+        SELECT c_custkey AS id, c_name AS name, c_nationkey,
+               substr(c_name, 10, 7) AS blk
+        FROM customer
+    )
+    SELECT a.blk AS block_key,
+           COUNT(*) AS n_pairs,
+           MIN(a.id) AS min_id,
+           MAX(b.id) AS max_id
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.id < b.id
+    WHERE levenshtein(a.name, b.name) <= 1
+    GROUP BY 1
+    """,
+)
+def fuzzy_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant linkage candidates: customers whose names are within
+    edit distance 1, blocked on a name prefix so the comparison is an
+    equi-join on the block key with levenshtein run only INSIDE blocks —
+    the blocking+verify shape every scalable fuzzy matcher uses (same
+    discipline as the MinHash/SimHash families, different similarity).
+
+    Scale shape: the block key is the shuffle key; per-block pair counts
+    are bounded by block cardinality (here the name's thousands-prefix,
+    ~100 rows), so cost is O(sum of block²) with small blocks, never
+    corpus².  Aggregated per block for a compact oracle surface."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.substring("c_name", 10, 7).alias("blk"),
+    )
+    pairs = (
+        cust.alias("a")
+        .join(
+            cust.alias("b"),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(F.levenshtein(F.col("a.name"), F.col("b.name")) <= 1)
+    )
+    return pairs.groupBy(F.col("a.blk").alias("block_key")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min(F.col("a.id")).alias("min_id"),
+        F.max(F.col("b.id")).alias("max_id"),
+    )
