@@ -86,6 +86,13 @@ REHEARSED = (
     "dedup_clusters",
     "dedup_simhash_wide",
     "dedup_repeated_spans",
+    # text-aggregation family (r5): explode-heavy aggregations whose output
+    # is top-k / threshold-bounded — wall must scale with the corpus, rows
+    # must not explode
+    "vocab_topk",
+    "tfidf_top_terms",
+    "inverted_index",
+    "fuzzy_decontaminate",
 )
 
 
