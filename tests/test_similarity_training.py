@@ -247,3 +247,51 @@ def test_quantized_brute_force_recall_is_high(spark):
     hits = joined.filter(F.col("hit").isNotNull()).count()
     assert total == 50
     assert hits / total >= 0.9, f"quantized recall {hits}/{total}"
+
+
+def test_quantize_int8_property_bounds_and_cosine(spark):
+    """Randomized property: for any vector batch, quantized components stay
+    in [-127, 127], the max-magnitude component saturates, and quantized
+    cosine stays within the rounding-noise envelope of float cosine."""
+    import random
+
+    rng = random.Random(20260814)
+    rows = []
+    for i in range(200):
+        dim = rng.choice([4, 8, 16])
+        scale = 10 ** rng.randint(-6, 6)
+        rows.append(
+            (i, [rng.uniform(-1, 1) * scale for _ in range(dim)])
+        )
+    from meerkat_abacus_spark.datapipe.similarity import quantize_int8
+
+    df = spark.createDataFrame(rows, schema="vec_id int, embedding array<double>")
+    out = df.select(
+        "vec_id",
+        "embedding",
+        quantize_int8(F.col("embedding")).alias("q"),
+    ).collect()
+    by_id = {r.vec_id: r for r in out}
+    for r in out:
+        assert all(-127 <= x <= 127 for x in r.q), r.vec_id
+        assert max(abs(x) for x in r.q) in (126, 127), r.vec_id
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        da = sum(x * x for x in a) ** 0.5
+        db = sum(y * y for y in b) ** 0.5
+        return num / (da * db) if da and db else 0.0
+
+    # same-dim pairs: |cos_float - cos_int8| small (rounding noise only)
+    ids = sorted(by_id)
+    checked = 0
+    for i, j in zip(ids, ids[1:]):
+        a, b = by_id[i], by_id[j]
+        if len(a.embedding) != len(b.embedding):
+            continue
+        err = abs(
+            cos(a.embedding, b.embedding) - cos(list(a.q), list(b.q))
+        )
+        assert err < 0.02, (i, j, err)
+        checked += 1
+    assert checked > 20
