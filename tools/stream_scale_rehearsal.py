@@ -124,6 +124,80 @@ def run_once(spark, label: str, n_copies: int, src: str,
     return out
 
 
+
+
+def build_event_copies_full(spark, src_dir: str, out_dir: str,
+                            n_copies: int) -> int:
+    """Four time-sliced files with ALL event columns and ``n_copies``
+    disjoint event_id ranges; slice 1 additionally replays the 30 minutes
+    before the mid split (within-watermark duplicates the dedup must
+    suppress).  Returns the original (pre-replay) event count."""
+    from meerkat_abacus_spark.queries import _t
+
+    events = _t(spark, src_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    copies = [
+        events.withColumn("event_id", F.col("event_id") + 10_000_000 * k)
+        for k in range(n_copies)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out = out.cache()
+    n_original = out.count()
+    row = out.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    ).collect()[0]
+    mid = row["mn"] + (row["mx"] - row["mn"]) // 2
+    dup = out.filter(
+        (F.unix_micros("ts") > mid - 1_800_000_000)
+        & (F.unix_micros("ts") <= mid)
+    )
+    slices = [
+        out.filter(F.unix_micros("ts") <= mid),
+        out.filter(F.unix_micros("ts") > mid).unionByName(dup),
+    ]
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/slice={i}")
+        time.sleep(0.05)
+    out.unpersist()
+    return n_original
+
+
+def run_dedup_once(spark, label: str, n_copies: int, src: str) -> dict:
+    """Streaming dedup at ``n_copies``x event volume.  Unlike the
+    sessionizer (state = one row per USER), dropDuplicatesWithinWatermark
+    state is one row per KEY within the watermark horizon — so state_rows
+    here is expected to track event volume until eviction catches up; the
+    evidence is (a) emitted == original events (duplicates suppressed at
+    every scale) and (b) wall linear-ish."""
+    from meerkat_abacus_spark.streaming.dedup_stream import (
+        run_dedup_over_files,
+    )
+
+    base = tempfile.gettempdir() + f"/msa_sdedup_scale_{n_copies}x"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    n_original = build_event_copies_full(spark, src, base + "/src", n_copies)
+
+    t0 = time.time()
+    emitted = run_dedup_over_files(
+        spark, base + "/src", base + "/ckpt",
+        queryName=f"sdedup_{label}",
+    )
+    n_emitted = emitted.count()
+    wall = round(time.time() - t0, 2)
+    shutil.rmtree(base, ignore_errors=True)
+    return {
+        "sec": wall,
+        "events_original": n_original,
+        "emitted": n_emitted,
+        "dups_suppressed_ok": n_emitted == n_original,
+    }
+
+
 def main() -> None:
     from meerkat_abacus_spark.session import get_spark
 
@@ -133,6 +207,8 @@ def main() -> None:
     one = run_once(spark, "one", 1, src)
     ten = run_once(spark, "ten", 10, src)
     ten_evict = run_once(spark, "ten_evict", 10, src, evict=True)
+    d_one = run_dedup_once(spark, "one", 1, src)
+    d_ten = run_dedup_once(spark, "ten", 10, src)
     report = {
         "1x_users": one,
         "10x_users": ten,
@@ -145,6 +221,11 @@ def main() -> None:
             else None
         ),
         "sessions_exactly_10x": ten["sessions"] == 10 * one["sessions"],
+        "dedup_1x": d_one,
+        "dedup_10x": d_ten,
+        "dedup_wall_ratio_10x": (
+            round(d_ten["sec"] / d_one["sec"], 2) if d_one["sec"] else None
+        ),
     }
     print(json.dumps(report))
 
