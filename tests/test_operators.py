@@ -576,3 +576,27 @@ def test_embed_media_shape_and_short_payloads(spark):
     assert rows[3] == [0.0] * 8
     again = {r["doc_id"]: list(r["embedding"]) for r in out.collect()}
     assert again == rows
+
+
+def test_datapipe_operators_accept_empty_input(spark):
+    """Every text/dedup/similarity operator must return an EMPTY frame (not
+    raise) on an empty corpus — day-one incremental runs and filtered-out
+    partitions feed empty frames all the time at scale."""
+    from meerkat_abacus_spark.datapipe import dedup as dd
+    from meerkat_abacus_spark.datapipe import similarity as sim
+
+    docs = spark.createDataFrame([], schema="doc_id long, text string")
+    embs = spark.createDataFrame(
+        [], schema="vec_id long, embedding array<double>"
+    )
+
+    assert dd.minhash_lsh_candidates(docs).count() == 0
+    assert dd.exact_dedup(docs, "doc_id", "text").count() == 0
+    assert dd.simhash_wide_pairs(docs).count() == 0
+    assert dd.connected_components(
+        spark.createDataFrame([], schema="id_a long, id_b long")
+    ).count() == 0
+    assert sim.brute_force_topk(embs, embs).count() == 0
+    assert sim.lsh_topk(embs, embs).count() == 0
+    q = embs.select("vec_id", sim.quantize_int8(F.col("embedding")).alias("q"))
+    assert q.count() == 0
