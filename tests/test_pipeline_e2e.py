@@ -98,3 +98,23 @@ def test_pipeline_end_to_end(spark):
     # visits carry vis_1, not tot_1
     assert all(r["variables"].get("vis_1") == "1" for r in visits)
     assert all("tot_1" not in r["variables"] for r in visits)
+
+
+def test_step_monitor_counts_rows_in_one_action(spark):
+    """StepMonitor (plans/monitoring.py) mirrors the reference's
+    step_monitoring rows via df.observe: per-step row counts materialize
+    from the SAME action that drives the plan — no extra jobs."""
+    from meerkat_abacus_spark.plans.monitoring import StepMonitor
+
+    mon = StepMonitor()
+    df = spark.range(1000).withColumn("v", F.col("id") % 10)
+    df = mon.observe(df, "source")
+    filtered = mon.observe(df.filter(F.col("v") < 5), "filter")
+    agg = filtered.groupBy("v").count()
+    assert agg.count() == 5  # the single driving action
+
+    rows = {step: n for step, n, _ in mon.rows()}
+    assert rows == {"source": 1000, "filter": 500}
+    tbl = mon.to_df(spark)
+    assert tbl.columns == ["step", "n", "duration_s"]
+    assert tbl.count() == 2
