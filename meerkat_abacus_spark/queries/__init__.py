@@ -153,6 +153,7 @@ _REGISTRY_PRIORITY = [
     "funnel_conversion",
     "alert_seasonal_baseline",
     "fuzzy_name_linkage",
+    "json_props_extract",
 ]
 
 

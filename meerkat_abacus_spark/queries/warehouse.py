@@ -524,3 +524,46 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(status.alias("status")).agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured extraction: typed JSON parsing of the props column.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "json_props_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+               AS sum_k,
+           MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS INTEGER) >= 50
+    GROUP BY 1
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from the semi-structured ``props`` JSON column —
+    log/event pipelines carry most of their payload this way, and the
+    engine must project it into typed columns without a Python row loop.
+
+    Uses ``from_json`` with an explicit schema (single parse per row,
+    JVM-side, codegen'd) rather than repeated ``get_json_object`` calls —
+    one parse serves every extracted field, and the typed struct lets the
+    filter and aggregate stay in Tungsten.  At 100 TB the schema is
+    mandatory anyway: inference would be a second full scan."""
+    events = _t(spark, sf_dir, "events")
+    parsed = events.withColumn(
+        "p", F.from_json(F.col("props"), "k int")
+    )
+    return (
+        parsed.filter(F.col("p.k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p.k").cast("bigint").alias("sum_k"),
+            F.max("p.k").alias("max_k"),
+        )
+    )
