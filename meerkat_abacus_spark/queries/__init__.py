@@ -154,6 +154,8 @@ _REGISTRY_PRIORITY = [
     "alert_seasonal_baseline",
     "fuzzy_name_linkage",
     "json_props_extract",
+    "csv_source_roundtrip",
+    "embedding_dim_stats",
 ]
 
 

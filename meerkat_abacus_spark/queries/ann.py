@@ -469,3 +469,47 @@ def ann_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("recall", F.round(F.col("n_overlap") / F.lit(5.0), 3))
         .select("query_id", "n_overlap", "recall")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding profile: array-position analytics.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "embedding_dim_stats",
+    """
+    WITH flat AS (
+        SELECT u.dim - 1 AS dim, u.x
+        FROM embeddings,
+             UNNEST(list_transform(range(1, len(embedding) + 1),
+                    i -> struct_pack(dim := i, x := embedding[i]::DOUBLE)))
+                 AS t(u)
+    )
+    SELECT dim,
+           COUNT(*) AS n,
+           ROUND(AVG(x), 4) AS mean_x,
+           ROUND(MIN(x), 4) AS min_x,
+           ROUND(MAX(x), 4) AS max_x
+    FROM flat GROUP BY 1
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution of the embedding corpus (mean/min/max per
+    coordinate) — the drift/normalization profile run before quantization
+    or index (re)builds decides its scales and centroids.
+
+    Scale shape: posexplode emits (dim, value) pairs whose aggregate is
+    partial-combined map-side, so the one shuffle carries |dims| rows per
+    partition regardless of corpus size."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        )
+    )
+    return emb.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("x"), 4).alias("mean_x"),
+        F.round(F.min("x"), 4).alias("min_x"),
+        F.round(F.max("x"), 4).alias("max_x"),
+    )

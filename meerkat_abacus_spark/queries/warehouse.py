@@ -567,3 +567,59 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("p.k").alias("max_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CSV source round-trip: the reference's S1 ingestion shape (all-string CSV,
+# cast downstream), proven lossless against the parquet aggregate.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "csv_source_roundtrip",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+               AS sum_k
+    FROM events GROUP BY 1
+    """,
+)
+def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events as CSV, read back ALL-STRING (the reference's S1
+    contract: ODK exports arrive as strings, typing happens downstream —
+    consumer/get_data.py:65-79), cast, aggregate: must hash-equal the
+    parquet aggregate, proving the string round-trip loses nothing
+    (timestamps, floats, embedded JSON with quotes).
+
+    Scale shape: header CSV without embedded newlines stays line-split­table,
+    so the read parallelizes like any text source; the all-string schema
+    makes the scan a single pass with casts in codegen."""
+    import os
+    import tempfile
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        F.format_number(F.col("value"), 6).alias("value"),
+        "props",
+    )
+    path = tempfile.gettempdir() + f"/msa_csv_v1_{_scratch_tag(sf_dir)}"
+    if not os.path.exists(path):
+        events.write.mode("overwrite").option("header", "true").csv(path)
+    back = spark.read.schema(
+        "event_id string, ts string, user_id string, event_type string, "
+        "value string, props string"
+    ).option("header", "true").csv(path)
+    typed = back.select(
+        "event_type",
+        F.regexp_replace("value", ",", "").cast("double").alias("value"),
+        F.from_json("props", "k int").alias("p"),
+    )
+    return typed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.sum("p.k").cast("bigint").alias("sum_k"),
+    )
