@@ -156,6 +156,8 @@ _REGISTRY_PRIORITY = [
     "json_props_extract",
     "csv_source_roundtrip",
     "embedding_dim_stats",
+    "streaming_session_window",
+    "inverted_index_salted",
 ]
 
 

@@ -769,3 +769,89 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_converted").cast("double") / F.col("n_reached"), 4
         ).alias("conversion"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Native session windows: the built-in stateful sessionizer.
+# ---------------------------------------------------------------------------
+
+_SESSION_WINDOW_ORACLE = """
+    WITH gaps AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS seq,
+               ts
+        FROM gaps
+    ),
+    agg AS (
+        SELECT user_id, seq, COUNT(*) AS n_events,
+               MIN(ts) AS mn, MAX(ts) AS mx
+        FROM sessions GROUP BY 1, 2
+    ),
+    b AS (SELECT MAX(epoch_us(ts)) AS gmx FROM events)
+    SELECT user_id,
+           epoch_us(mn) AS session_start_us,
+           n_events,
+           epoch_us(mx) - epoch_us(mn) AS duration_us
+    FROM agg, b
+    WHERE epoch_us(mx) + 1800000000 <= gmx - 3600000000
+"""
+
+
+@_register("streaming_session_window", _SESSION_WINDOW_ORACLE)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessions via the BUILT-IN ``session_window`` aggregation
+    (streaming/windowed.py) — interval-merge in the JVM state store, no
+    Python worker in the loop — over the same 4-slice replay as the
+    custom sessionizer.  Append mode emits each session exactly once when
+    the watermark passes its end; the batch oracle reproduces the
+    half-open merge rule (an event exactly 30 min after its predecessor
+    opens a new session) and withholds trailing sessions the final
+    watermark has not passed, exactly as the stream does."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from meerkat_abacus_spark.streaming.windowed import (
+        run_session_window_over_files,
+    )
+
+    base = tempfile.gettempdir() + f"/msa_sesswin_{_scratch_tag(sf_dir)}"
+    src, ckpt = base + "/src", base + "/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(src)
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    bounds = events.selectExpr(
+        "percentile_approx(ts, array(0.25, 0.5, 0.75), 10000) q"
+    ).collect()[0]["q"]
+    lo = [None] + list(bounds)
+    hi = list(bounds) + [None]
+    for k, (a, b) in enumerate(zip(lo, hi)):
+        sl = events
+        if a is not None:
+            sl = sl.filter(F.col("ts") > F.lit(a))
+        if b is not None:
+            sl = sl.filter(F.col("ts") <= F.lit(b))
+        tmp = f"{base}/tmp{k}"
+        sl.coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dest = f"{src}/slice{k}.parquet"
+        shutil.move(part, dest)
+        shutil.rmtree(tmp)
+        os.utime(dest, (1_700_000_000 + k, 1_700_000_000 + k))
+
+    return run_session_window_over_files(
+        spark, src, ckpt, queryName=f"sesswin_{_scratch_tag(sf_dir)}"
+    )

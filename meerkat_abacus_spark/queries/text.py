@@ -936,3 +936,51 @@ def quality_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(quality, 0.50)"), 4).alias("p50"),
         F.round(F.expr("percentile(quality, 0.75)"), 4).alias("p75"),
     )
+
+
+from ._shared import ORACLES as _ORACLES_T  # noqa: E402  (oracle reuse)
+
+
+@_register("inverted_index_salted", _ORACLES_T["inverted_index"])
+def inverted_index_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe posting-list build: the two-phase salted form of
+    inverted_index, certified IDENTICAL output by sharing its oracle.
+
+    Phase 1 groups by (token, doc_id % 8): a stopword token's millions of
+    postings spread over 8 reducers, each emitting a sorted partial list.
+    Phase 2 merges the ≤8 partials per token — flatten + one sort of the
+    final list — so no single reducer ever materializes a hot token's
+    postings from the raw explode.  This is the generic recipe for
+    skew-prone ORDERED aggregation (collect_list/sort) where a plain
+    two-phase sum (functions/skew.py) doesn't apply."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            )
+        ).alias("token"),
+    )
+    partial = tok.groupBy(
+        "token", (F.col("doc_id") % 8).alias("shard")
+    ).agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.min("doc_id").alias("pmin"),
+        F.max("doc_id").alias("pmax"),
+        F.sort_array(F.collect_list("doc_id")).alias("plist"),
+    )
+    return (
+        partial.groupBy("token")
+        .agg(
+            F.sum("pn").alias("df"),
+            F.min("pmin").alias("first_doc"),
+            F.max("pmax").alias("last_doc"),
+            F.md5(
+                F.array_join(
+                    F.sort_array(F.flatten(F.collect_list("plist"))), ","
+                )
+            ).alias("posting_hash"),
+        )
+        .filter(F.col("df") >= 100)
+    )

@@ -92,3 +92,68 @@ def run_windowed_counts_over_files(
         "n_events",
         F.round("total_value", 2).alias("total_value"),
     )
+
+
+def session_window_stream(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """JVM-native gap sessionization via ``session_window``: Spark merges
+    each user's overlapping ``[ts, ts+gap)`` intervals in the state store
+    and finalizes a session once the watermark passes its end — the
+    built-in, codegen'd alternative to the custom
+    ``applyInPandasWithState`` sessionizer (stateful.py), with the same
+    watermark-bounded state and none of the Python worker round-trips.
+    Note the half-open merge semantics: an event exactly ``gap`` after its
+    predecessor starts a NEW session."""
+    return (
+        events_stream.withWatermark("ts", watermark_delay)
+        .groupBy(
+            F.session_window(F.col("ts"), gap).alias("w"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
+def run_session_window_over_files(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark_delay: str = "1 hour",
+    queryName: str = "session_window",
+) -> DataFrame:
+    """Drive native session windows over time-sliced parquet files
+    (availableNow, one file per micro-batch) and return the finalized
+    sessions."""
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    out = session_window_stream(
+        stream, gap=gap, watermark_delay=watermark_delay
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(queryName)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(queryName).select(
+        "user_id",
+        F.unix_micros("first_ts").alias("session_start_us"),
+        "n_events",
+        (F.unix_micros("last_ts") - F.unix_micros("first_ts")).alias(
+            "duration_us"
+        ),
+    )
