@@ -21,7 +21,6 @@ formula is also emitted as DuckDB SQL (for oracle checks) by
 from __future__ import annotations
 
 import datetime as _dt
-from functools import reduce
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F

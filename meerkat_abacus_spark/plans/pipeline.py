@@ -12,7 +12,6 @@ sees the whole dataflow (SURVEY.md §3.1).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
-from pyspark.sql import functions as F
 
 from meerkat_abacus_spark.functions.dates import day_truncated, timestamp_of
 from meerkat_abacus_spark.functions.epi_week import epi_week_columns

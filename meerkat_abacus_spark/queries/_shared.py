@@ -5,7 +5,7 @@ synthetic doc/embedding corpora used by the LLM-pipeline families."""
 from __future__ import annotations
 
 from collections.abc import Callable
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 

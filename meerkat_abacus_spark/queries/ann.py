@@ -4,7 +4,7 @@
 from __future__ import annotations
 
 from meerkat_abacus_spark.datapipe import similarity as sim
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from ._shared import _COS_SQL, _register, _t
 

@@ -7,7 +7,7 @@ from __future__ import annotations
 from meerkat_abacus_spark.datapipe import dedup as dd
 from meerkat_abacus_spark.datapipe import similarity as sim
 from meerkat_abacus_spark.datapipe import text as tx
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from ._shared import _COS_SQL, _DOC_CORPUS3_SQL, _DOC_CORPUS_SQL, _EMB_CORPUS_SQL, _doc_corpus, _doc_corpus3, _emb_corpus, _register, _t
 from .ann import _BUCKET_SQL

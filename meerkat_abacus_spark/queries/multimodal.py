@@ -4,7 +4,7 @@ decode (schema/partitioning/batch shape real; codecs stubbed per SURVEY)."""
 from __future__ import annotations
 
 from meerkat_abacus_spark.datapipe.multimodal import attach_binary_payload, decode_media
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from ._shared import _register, _t
 

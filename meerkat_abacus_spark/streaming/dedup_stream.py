@@ -25,7 +25,6 @@ structure, no driver state.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from meerkat_abacus_spark.streaming.windowed import EVENT_SCHEMA
 
