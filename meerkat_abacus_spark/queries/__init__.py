@@ -130,7 +130,9 @@ _REGISTRY_PRIORITY = [
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frames",
-    # ---- r5 additions (behind the window; rotate into a future snapshot) ----
+    # ---- r5 additions (behind the window; r6 TODO: rotate these into the
+    # first-50 snapshot for driver certification — the 50 rows above all
+    # have driver history after CORRECTNESS_r05) ----
     "dataset_split",
     "corpus_shuffle",
     "multimodal_embed_neardup",
