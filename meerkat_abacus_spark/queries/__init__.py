@@ -160,6 +160,7 @@ _REGISTRY_PRIORITY = [
     "embedding_dim_stats",
     "streaming_session_window",
     "inverted_index_salted",
+    "market_share",
 ]
 
 

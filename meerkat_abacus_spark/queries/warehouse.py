@@ -623,3 +623,95 @@ def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("total_value"),
         F.sum("p.k").cast("bigint").alias("sum_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8-shaped market share: the 8-table optimizer workout.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "market_share",
+    """
+    WITH flat AS (
+        SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN region r ON n1.n_regionkey = r.r_regionkey
+        JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'AMERICA' AND p.p_type = 'MEDIUM'
+    )
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'BRAZIL' THEN volume
+                     ELSE 0 END), 2) AS nation_volume,
+           ROUND(SUM(volume), 2) AS total_volume,
+           ROUND(ROUND(SUM(CASE WHEN supp_nation = 'BRAZIL' THEN volume
+                     ELSE 0 END), 2) / ROUND(SUM(volume), 2), 4)
+               AS mkt_share
+    FROM flat GROUP BY 1
+    """,
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: one nation's fraction of yearly trade
+    volume inside a region — an 8-table join tree (fact + two dim chains
+    that both pass through nation) that exercises join reordering,
+    broadcast selection, and conditional aggregation in one plan.
+
+    Scale shape: true dimensions (filtered part, supplier, both nation
+    legs, region) broadcast explicitly; lineitem⋈orders and ⋈customer are
+    fact-to-fact and stay shuffle joins on their keys — broadcasting
+    orders would be a 100 TB-side OOM, so the hint is deliberately
+    absent and AQE is free to upgrade them only when a filtered side
+    measures small.  The ratio divides the two ROUNDED sums so the
+    cross-engine hash cannot flip on summation order."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "MEDIUM")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = nation.alias("n1")
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    flat = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n1), customer.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(region), F.col("n1.n_regionkey") == region.r_regionkey)
+        .join(F.broadcast(n2), supplier.s_nationkey == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "volume"
+            ),
+            "supp_nation",
+        )
+    )
+    agg = flat.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "BRAZIL", F.col("volume"))
+                .otherwise(0.0)
+            ),
+            2,
+        ).alias("nation_volume"),
+        F.round(F.sum("volume"), 2).alias("total_volume"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_volume",
+        "total_volume",
+        F.round(F.col("nation_volume") / F.col("total_volume"), 4).alias(
+            "mkt_share"
+        ),
+    )
