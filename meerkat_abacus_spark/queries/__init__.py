@@ -161,6 +161,7 @@ _REGISTRY_PRIORITY = [
     "streaming_session_window",
     "inverted_index_salted",
     "market_share",
+    "text_reject_reasons",
 ]
 
 

@@ -984,3 +984,60 @@ def inverted_index_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= 100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation dead-letter: filter with an audit trail, not a silent drop.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "text_reject_reasons",
+    f"""
+    WITH t AS (
+        SELECT doc_id, lang, text,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, lang,
+               len(toks) AS n_tokens,
+               CAST(len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                    AS DOUBLE) / greatest(len(text), 1) AS punct
+        FROM t
+    ), routed AS (
+        SELECT doc_id, lang,
+               CASE WHEN n_tokens < 5 THEN 'too_short'
+                    WHEN punct > 0.2 THEN 'too_much_punct'
+                    ELSE 'clean' END AS route
+        FROM scored
+    )
+    SELECT route, lang, COUNT(*) AS n
+    FROM routed GROUP BY 1, 2
+    """,
+)
+def text_reject_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation dead-letter routing: every dropped document carries WHY it
+    was dropped (first matching rule wins), so filter-rate regressions are
+    debuggable per reason × language instead of a silent shrinking count —
+    the datapipe counterpart of the K4 form dead-letter sink.
+
+    Scale shape: one projection computes all gate features, one CASE
+    routes, one partial-aggregated groupBy counts — a single scan, no
+    per-rule passes."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "toks", tx.tokens_col(F.lower(F.col("text")))
+    )
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size("toks").alias("n_tokens"),
+        tx.punct_ratio(F.col("text")).alias("punct"),
+    )
+    route = (
+        F.when(F.col("n_tokens") < 5, "too_short")
+        .when(F.col("punct") > 0.2, "too_much_punct")
+        .otherwise("clean")
+    )
+    return scored.groupBy(route.alias("route"), F.col("lang")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
