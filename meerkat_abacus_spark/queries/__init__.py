@@ -162,6 +162,7 @@ _REGISTRY_PRIORITY = [
     "inverted_index_salted",
     "market_share",
     "text_reject_reasons",
+    "retention_cohorts",
 ]
 
 

@@ -715,3 +715,57 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mkt_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts: the month-grid activity matrix.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "retention_cohorts",
+    """
+    WITH firsts AS (
+        SELECT o_custkey,
+               MIN(date_trunc('month', o_orderdate)) AS cohort
+        FROM orders GROUP BY 1
+    ),
+    activity AS (
+        SELECT DISTINCT o_custkey,
+               date_trunc('month', o_orderdate) AS m
+        FROM orders
+    )
+    SELECT CAST(f.cohort AS DATE) AS cohort,
+           (EXTRACT(year FROM a.m) * 12 + EXTRACT(month FROM a.m))
+           - (EXTRACT(year FROM f.cohort) * 12 + EXTRACT(month FROM f.cohort))
+               AS months_since,
+           COUNT(*) AS n_active
+    FROM activity a JOIN firsts f USING (o_custkey)
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: customers grouped by first-activity month,
+    counted in each subsequent month they stayed active — the
+    repeat-attendance / patient-return analysis over the reference's
+    visit data, and the canonical activity-grid aggregation.
+
+    Scale shape: both legs collapse the fact table first (per-customer
+    min month; distinct customer×month), then join on customer — the
+    joined frame is |customers|×|active months|, far smaller than the
+    fact.  Month arithmetic is integer (year*12+month), identical in
+    both engines — no date-diff convention drift."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("m")
+    )
+    firsts = orders.groupBy("o_custkey").agg(F.min("m").alias("cohort"))
+    activity = orders.distinct()
+    midx = lambda c: F.year(c) * 12 + F.month(c)
+    return (
+        activity.join(firsts, "o_custkey")
+        .groupBy(
+            F.col("cohort").cast("date").alias("cohort"),
+            (midx(F.col("m")) - midx(F.col("cohort"))).alias("months_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
