@@ -59,13 +59,20 @@ def asof_join(
     payload_cols: list[str],
     tiebreak_col: str | None = None,
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Keyed as-of join: latest right row with ``right.ts <= left.ts``.
+    """Keyed as-of join: the nearest right row at-or-before each left row
+    (``direction="backward"``, the default: latest ``right.ts <=
+    left.ts``) or at-or-after it (``direction="forward"``: earliest
+    ``right.ts >= left.ts``).
 
     Returns every left row (left outer semantics) plus ``payload_cols``
     from the matched right row renamed with ``suffix`` (null when no right
-    row precedes), plus ``<ts_col><suffix>`` — the matched right timestamp.
+    row qualifies), plus ``<ts_col><suffix>`` — the matched right
+    timestamp.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     if tiebreak_col is not None:
         pick = Window.partitionBy(*on, ts_col).orderBy(F.col(tiebreak_col).desc())
         right = (
@@ -93,10 +100,15 @@ def asof_join(
           for c in carried],
     )
     # Right rows sort before left rows at an equal timestamp => a right row
-    # at exactly left.ts is visible to that left row (<= semantics).
+    # at exactly left.ts is visible to that left row (<=, resp. >=,
+    # semantics).  Forward is the time-mirrored scan: descending order,
+    # same running last-non-null.
+    ts_order = (
+        F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
+    )
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = r_tagged.unionByName(l_tagged).select(

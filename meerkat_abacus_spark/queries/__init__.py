@@ -163,6 +163,7 @@ _REGISTRY_PRIORITY = [
     "market_share",
     "text_reject_reasons",
     "retention_cohorts",
+    "asof_join_forward",
 ]
 
 

@@ -855,3 +855,49 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_session_window_over_files(
         spark, src, ckpt, queryName=f"sesswin_{_scratch_tag(sf_dir)}"
     )
+
+
+@_register(
+    "asof_join_forward",
+    """
+    WITH l AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), r AS (
+        SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ), r1 AS (
+        SELECT user_id, ts, value FROM r WHERE rn = 1
+    )
+    SELECT l.event_id, l.user_id, l.ts,
+           r1.ts AS purchase_ts,
+           ROUND(r1.value, 2) AS purchase_value
+    FROM l ASOF LEFT JOIN r1
+      ON l.user_id = r1.user_id AND l.ts <= r1.ts
+    """,
+)
+def asof_join_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each click joined to the EARLIEST same-user purchase
+    at-or-after it (operators/temporal.py direction='forward') — the
+    time-to-conversion lookup, mirrored from the backward scan.  Oracle is
+    DuckDB's native ASOF with the inequality flipped."""
+    from meerkat_abacus_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, purchases,
+        on=["user_id"], ts_col="ts", payload_cols=["value"],
+        tiebreak_col="event_id", direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("ts_r").alias("purchase_ts"),
+        F.round("value_r", 2).alias("purchase_value"),
+    )

@@ -104,3 +104,36 @@ def test_range_join_equijoin_plan(spark):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, (
         "bucketed range join must compile to an equi-join, got:\n" + plan
     )
+
+
+def test_asof_join_direction_validation_and_forward(spark):
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from meerkat_abacus_spark.operators.temporal import asof_join
+
+    mk = lambda ts: datetime.fromisoformat(ts)
+    left = spark.createDataFrame(
+        [(1, 10, mk("2024-01-01 10:00:00"))],
+        schema="event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (2, 10, mk("2024-01-01 09:00:00"), 1.0),   # before: backward match
+            (3, 10, mk("2024-01-01 11:00:00"), 2.0),   # after: forward match
+        ],
+        schema="event_id long, user_id long, ts timestamp, value double",
+    )
+    back = asof_join(
+        left, right, on=["user_id"], ts_col="ts", payload_cols=["value"]
+    ).collect()[0]
+    fwd = asof_join(
+        left, right, on=["user_id"], ts_col="ts", payload_cols=["value"],
+        direction="forward",
+    ).collect()[0]
+    assert back.value_r == 1.0 and fwd.value_r == 2.0
+
+    with _pytest.raises(ValueError):
+        asof_join(left, right, on=["user_id"], ts_col="ts",
+                  payload_cols=["value"], direction="nearest")
