@@ -164,6 +164,8 @@ _REGISTRY_PRIORITY = [
     "text_reject_reasons",
     "retention_cohorts",
     "asof_join_forward",
+    "sample_n_per_group",
+    "events_debounce",
 ]
 
 

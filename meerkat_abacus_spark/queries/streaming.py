@@ -901,3 +901,42 @@ def asof_join_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_r").alias("purchase_ts"),
         F.round("value_r", 2).alias("purchase_value"),
     )
+
+
+@_register(
+    "events_debounce",
+    """
+    WITH d AS (
+        SELECT user_id, event_type, ts, value,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_kept,
+           ROUND(SUM(value), 2) AS total_value
+    FROM d
+    WHERE gap_us IS NULL OR gap_us > 5000000
+    GROUP BY 1
+    """,
+)
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce: drop events arriving within 5 s of the same user's
+    previous event (double-submits, retry storms, sensor chatter) — the
+    batch LAG-filter counterpart of the streaming dedup, keyed on time
+    proximity rather than identity.
+
+    Scale shape: one window per user (same Exchange a groupBy would pay),
+    then a partial-aggregated count — no self-join."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    return (
+        events.withColumn("gap_us", gap)
+        .filter(F.col("gap_us").isNull() | (F.col("gap_us") > 5_000_000))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -1041,3 +1041,53 @@ def text_reject_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy(route.alias("route"), F.col("lang")).agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group subsample: fixed-n eval slices per source.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "sample_n_per_group",
+    f"""
+    WITH ranked AS (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY md5('grp:' || CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rn
+        FROM documents
+    )
+    SELECT source, COUNT(*) AS n_sampled,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+               AS sample_hash
+    FROM ranked WHERE rn <= 5
+    GROUP BY 1
+    """,
+)
+def sample_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-n-per-group deterministic subsample (5 docs per source,
+    ranked by a salted md5 of the id): the fixed-size eval-slice draw —
+    reproducible across engines and runs, unlike rand()-based sampling.
+    Content-addressed output so the oracle certifies the exact member
+    set, not just counts.
+
+    Scale shape: one window per group over (source) — and since only
+    rank <= 5 survives, a production variant pre-filters with a cheap
+    per-partition top-n before the shuffle; here groups are small enough
+    that the plain window is the honest plan."""
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id")
+    key = F.md5(F.concat(F.lit("grp:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(key, F.col("doc_id"))
+    sampled = docs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 5
+    )
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.md5(
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",")
+        ).alias("sample_hash"),
+    )
