@@ -786,8 +786,11 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality with ties to the lowest doc id.
 
     Scale shape: components and per-doc quality are both linear passes;
-    the selection is one groupBy over (component) rows — the per-component
-    max broadcasts back (aggregated frame is tiny relative to the corpus).
+    the selection is one groupBy over (component) rows; the per-component
+    max re-joins on component — co-partitioned with the scored frame's
+    own shuffle, and deliberately NOT broadcast-hinted: the cluster count
+    grows with the corpus, so at scale this is a shuffle join and AQE may
+    still upgrade it when the duplicate population is small.
     Quality ranks on the ROUNDED score so the cross-engine argmax cannot
     flip on last-ulp float noise."""
     corpus = _doc_corpus3(spark, sf_dir)
@@ -810,7 +813,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("quality").alias("best_quality")
     )
     return (
-        scored.join(F.broadcast(best), "component")
+        scored.join(best, "component")
         .groupBy("component", "best_quality")
         .agg(
             F.count(F.lit(1)).alias("cluster_size"),

@@ -779,8 +779,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind corpus mixing decisions (which sources contribute what).
 
     Scale shape: one explode feeds BOTH aggregates (term frequency per
-    source, document frequency global); the df table is vocabulary-sized,
-    so the tf←df join broadcasts; ranking is a per-source window over the
+    source, document frequency global); the tf←df join runs on token —
+    the same key both aggregates already shuffled on, so it co-partitions,
+    and it is deliberately NOT broadcast-hinted (a 100 TB corpus has a
+    vocabulary far past broadcast size; AQE upgrades it only when the
+    measured df side is small).  Ranking is a per-source window over the
     aggregated (source × token) frame, not the token stream.  The idf is
     rounded to 6dp BEFORE the multiply so the cross-engine ranking cannot
     flip on last-ulp ln() noise (libm vs JVM)."""
@@ -797,7 +800,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("dfq")
     )
     tf = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tfq"))
-    scored = tf.join(F.broadcast(dfreq), "token").select(
+    scored = tf.join(dfreq, "token").select(
         "source",
         "token",
         F.round(
