@@ -6,12 +6,19 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is executed to completion (count() forces the full plan; results
 are small aggregates so no collect overhead distorts timing).
 
-Timing policy: best of two runs per query.  The first execution pays
-whole-stage-codegen compilation and JIT; the min measures the steady-state
-data-volume cost — the quantity that scales with SF and that the
-rehearsal tools also time (warm) — and is robust to background load on a
-shared test box (observed: identical code swinging 29 -> 61 s suite-total
-under contention).
+Timing policy: best of $SPARK_GRAFT_BENCH_RUNS (default 3) runs per query.
+The first execution pays whole-stage-codegen compilation and JIT; the min
+measures the steady-state data-volume cost — the quantity that scales with
+SF and that the rehearsal tools also time (warm) — and is robust to
+background load on a shared test box (observed: identical code swinging
+29 -> 61 s suite-total under contention).
+
+Contention sentinel: a fixed-work JVM calibration job (sum over a constant
+range — no I/O, no shuffle) is timed before and after the suite and
+reported as ``calibration``.  Identical hardware at quiesce gives a stable
+number; a box under load inflates it, so a reader can tell a measurement
+artifact from a code regression without re-running (the r5 committed bench
+read +7% purely from contention).
 """
 
 from __future__ import annotations
@@ -50,9 +57,20 @@ HEADLINE = [
 ]
 
 
+def _calibrate(spark) -> float:
+    """Fixed-work CPU sentinel: one codegen-only job over a constant range.
+    Seconds on idle hardware are stable run-to-run; contention inflates it."""
+    t0 = time.time()
+    spark.range(0, 200_000_000, 1, 32).selectExpr(
+        "sum(id * 2654435761 % 1000003) AS s"
+    ).collect()
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
     from meerkat_abacus_spark.queries import QUERIES
     from meerkat_abacus_spark.session import get_spark
@@ -60,18 +78,21 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     # warm the JVM + parquet footers so timings measure the queries
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    _calibrate(spark)  # codegen warmup so pre/post measure the same thing
+    cal_pre = _calibrate(spark)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         best = None
-        for _ in range(2):
+        for _ in range(runs):
             t0 = time.time()
             fn(spark, sf_dir).count()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
+    cal_post = _calibrate(spark)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -81,6 +102,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "runs_per_query": runs,
+                "calibration": {"pre": cal_pre, "post": cal_post},
             }
         )
     )

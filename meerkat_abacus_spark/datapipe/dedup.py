@@ -548,27 +548,47 @@ def simhash_wide_pairs(
     )
     fps = staged.select("id", fp.alias("fp"))
 
+    # Fingerprints feed the block join (3 consumers with the guard) plus the
+    # two per-pair re-attach joins; pin them once so the token-hash + 16-way
+    # per-bit aggregation subplan is not recomputed per consumer (same
+    # lineage discipline as minhash_lsh_candidates' staged keys).
+    fps = fps.localCheckpoint(eager=False)
+
     blocks = fps.select(
         "id", F.posexplode("fp").alias("slice_idx", "slice_val")
     )
     if max_bucket_size is None:
         left, right = blocks, blocks
     else:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("slice_idx", "slice_val")
-        block_stats = blocks.select(
-            "id",
-            "slice_idx",
-            "slice_val",
-            F.count(F.lit(1)).over(w).alias("__n"),
-            F.min("id").over(w).alias("__min_id"),
+        # Same guard shape as minhash_lsh_candidates: over-cap slice buckets
+        # are RARE (they require fingerprint collapse, e.g. boilerplate-heavy
+        # copy groups), so compute per-bucket count + min id with a
+        # partial-aggregated groupBy and BROADCAST only the over-cap buckets
+        # back onto the block rows — no full window sort over every
+        # (id, slice) row.  Rows of over-cap buckets survive on the LEFT side
+        # only if they ARE the bucket minimum: an n-row pathological bucket
+        # emits n-1 star edges instead of n(n-1)/2 pairs.
+        over = (
+            blocks.groupBy("slice_idx", "slice_val")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.min("id").alias("__min_id"),
+            )
+            .filter(F.col("__n") > max_bucket_size)
         )
-        left = block_stats.filter(
-            (F.col("__n") <= F.lit(max_bucket_size))
-            | (F.col("id") == F.col("__min_id"))
-        ).select("id", "slice_idx", "slice_val")
-        right = block_stats.select("id", "slice_idx", "slice_val")
+        left = (
+            blocks.join(
+                F.broadcast(over.select("slice_idx", "slice_val", "__min_id")),
+                ["slice_idx", "slice_val"],
+                "left",
+            )
+            .filter(
+                F.col("__min_id").isNull()
+                | (F.col("id") == F.col("__min_id"))
+            )
+            .select("id", "slice_idx", "slice_val")
+        )
+        right = blocks
     id_pairs = (
         left.alias("a")
         .join(
@@ -699,6 +719,7 @@ def connected_components(
     dst: str = "id_b",
     max_iterations: int = 15,
     checkpoint_dir: str | None = None,
+    check_interval: int = 2,
 ) -> DataFrame:
     """Connected components over a near-duplicate candidate graph:
     ``(node, component)`` where component = min node id reachable.
@@ -718,7 +739,18 @@ def connected_components(
     directory, which survives executor loss — the right setting on a real
     cluster where a lost executor would otherwise kill a multi-hour dedup
     job mid-iteration.
+
+    ``check_interval`` batches the convergence probe: the ``__chg`` scan is
+    a tiny job but a SERIAL driver round-trip per pass, and for near-dup
+    graphs (diameter 2-3 after the fused first hop) it dominated measured
+    wall.  Probing every k-th pass risks at most k-1 extra passes after
+    convergence — harmless semantically (min-propagation is idempotent:
+    a converged pass re-emits identical labels) and those passes run over
+    already-converged, checkpoint-pinned labels.  ``check_interval=1``
+    restores the per-pass probe.
     """
+    if check_interval < 1:
+        raise ValueError("check_interval must be >= 1")
     spark = edges.sparkSession
 
     if checkpoint_dir is not None:
@@ -749,7 +781,7 @@ def connected_components(
         F.least(F.col("a"), F.min("b")).alias("component")
     )
     labels = _pin(labels)
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
             .groupBy(sym.a.alias("node"))
@@ -773,9 +805,13 @@ def connected_components(
             )
         )
         updated = _pin(updated)
-        changed = updated.filter(F.col("__chg")).limit(1).count()
         labels = updated.drop("__chg")
-        if changed == 0:
-            break
+        # Probe convergence only on every check_interval-th pass (and the
+        # last) — the probe is serial driver latency, the skipped passes
+        # are idempotent no-ops once converged.
+        if (it + 1) % check_interval == 0 or it == max_iterations - 1:
+            changed = updated.filter(F.col("__chg")).limit(1).count()
+            if changed == 0:
+                break
     sym.unpersist()
     return labels

@@ -300,6 +300,58 @@ def ivf_topk_from_index(
     )
 
 
+def ivf_topk_from_index_join(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Massive-query-batch probe of a persisted IVF index: identical
+    results to :func:`ivf_topk_from_index`, with NO driver collect of the
+    probe list ids — the probed ``(query_id, qv, list_id)`` rows equi-join
+    the partitioned index scan on ``list_id`` directly, and Spark's dynamic
+    partition pruning turns the probe side into a runtime partition filter
+    on the scan (``dynamicpruning`` subquery in ``PartitionFilters``), so
+    only the probed list directories are read — same pruning the isin
+    variant gets from its literal filter, without the ``collect()``.
+
+    The isin path's collect is a driver round-trip whose literal list is
+    bounded by driver memory; this path scales with the join instead.  The
+    probe side is deliberately UNHINTED: when the query batch is small
+    Spark plans a broadcast join and DPP reuses the broadcast as the
+    pruning subquery (the common case, and what the unit test asserts);
+    when the batch is genuinely cluster-sized the join degrades to a
+    shuffle on ``list_id`` — and at that probe cardinality most lists are
+    touched anyway, so pruning would buy little by construction.
+    """
+    ranked = centroid_ranker(centroids, vec_col)
+    probed = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(
+            F.slice(ranked(F.col(vec_col)), 1, n_probe)["cid"]
+        ).alias("list_id"),
+    )
+    lists = spark.read.parquet(index_path)
+    sim = cosine_similarity(F.col("qv"), F.col("cv"))
+    scored = (
+        lists.join(probed, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

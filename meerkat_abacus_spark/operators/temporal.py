@@ -47,6 +47,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = ["asof_join", "range_join_buckets"]
 
@@ -83,21 +84,28 @@ def asof_join(
 
     carried = [ts_col] + payload_cols
     left_cols = [c for c in left.columns]
+    # Carried columns travel as ONE struct so `last(ignorenulls)` picks a
+    # whole right ROW atomically: a matched right row with a legitimately
+    # NULL payload value must still contribute that NULL (paired with its
+    # own ts) rather than stitching the field from an older right row —
+    # matching DuckDB ASOF semantics, which the oracle uses.
+    payload_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in carried]
+    )
     r_tagged = right.select(
         *[F.col(c) for c in on],
         F.col(ts_col),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left_cols if c not in on and c != ts_col],
-        *[F.col(c).alias(f"__p_{c}") for c in carried],
+        F.struct(*[F.col(c).alias(c) for c in carried]).alias("__p"),
     )
     l_tagged = left.select(
         *[F.col(c) for c in on],
         F.col(ts_col),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in left_cols if c not in on and c != ts_col],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}")
-          for c in carried],
+        F.lit(None).cast(payload_type).alias("__p"),
     )
     # Right rows sort before left rows at an equal timestamp => a right row
     # at exactly left.ts is visible to that left row (<=, resp. >=,
@@ -113,16 +121,13 @@ def asof_join(
     )
     merged = r_tagged.unionByName(l_tagged).select(
         "*",
-        *[
-            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__last_{c}")
-            for c in carried
-        ],
+        F.last("__p", ignorenulls=True).over(w).alias("__last"),
     )
     return merged.filter(F.col("__side") == 1).select(
         *on,
         ts_col,
         *[c for c in left_cols if c not in on and c != ts_col],
-        *[F.col(f"__last_{c}").alias(f"{c}{suffix}") for c in carried],
+        *[F.col("__last")[c].alias(f"{c}{suffix}") for c in carried],
     )
 
 

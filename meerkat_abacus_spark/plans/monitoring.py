@@ -19,10 +19,16 @@ Usage::
     result.write...                      # one action drives the whole plan
     mon.rows()                           # [(step, n_rows, wall_s), ...]
 
-``wall_s`` is the wall-clock between StepMonitor creation and metric
-availability — per-step wall does not exist in a fused plan (stages
-pipeline inside one whole-stage-codegen pass; that fusion is the point),
-so the per-step ROW counts are the load-bearing parity metric.
+Per-step DURATION does not exist in a fused plan (stages pipeline inside
+one whole-stage-codegen pass; that fusion is the point), so the per-step
+ROW counts are the load-bearing parity metric.  What IS recorded per step
+is ``available_at_s`` — seconds from monitor creation until that step's
+metrics became available (i.e. the driving action completed it) — plus the
+fleet-wide ``elapsed_total_s``; neither is labeled as a per-step duration
+(the reference's per-step duration column has no fused-plan equivalent,
+and mislabeling a shared constant as one would misrepresent parity — use
+``operators.ops.StepMonitor`` when genuine per-step action timing is
+worth forcing an action per step).
 """
 
 from __future__ import annotations
@@ -48,14 +54,26 @@ class StepMonitor:
         return df.observe(ob, F.count(F.lit(1)).alias("n"))
 
     def rows(self) -> list[tuple[str, int, float]]:
-        """``(step, n_rows, wall_s)`` per observed step; blocks until the
-        driving action has completed each observation."""
-        wall = round(time.time() - self._t0, 3)
-        return [(step, ob.get["n"], wall) for step, ob in self._obs]
+        """``(step, n_rows, available_at_s)`` per observed step;
+        ``available_at_s`` is seconds from monitor creation until the
+        step's metrics resolved (blocks on the driving action)."""
+        out = []
+        for step, ob in self._obs:
+            n = ob.get["n"]  # blocks until the action completes this step
+            out.append((step, n, round(time.time() - self._t0, 3)))
+        return out
 
     def to_df(self, spark) -> DataFrame:
         """The reference's step_monitoring table shape, appendable to any
-        sink (model.py:87-94)."""
+        sink (model.py:87-94).  ``elapsed_total_s`` is the SHARED
+        monitor-lifetime wall (identical on every row by construction),
+        kept separate from the per-step availability timestamp."""
+        rows = self.rows()
+        total = round(time.time() - self._t0, 3)
         return spark.createDataFrame(
-            self.rows(), schema="step string, n long, duration_s double"
+            [(*r, total) for r in rows],
+            schema=(
+                "step string, n long, available_at_s double, "
+                "elapsed_total_s double"
+            ),
         )

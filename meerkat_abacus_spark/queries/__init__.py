@@ -36,103 +36,21 @@ __all__ = [
 
 # ===========================================================================
 # Registry ordering.  The driver's correctness gate snapshots the FIRST 50
-# registry entries, so the order below is curated, not incidental.  Round-5
-# rotation (VERDICT r4 item #1): the 28 queries that had never received a
-# driver-certified CORRECTNESS row (event_sessionize .. decontaminate_overlap,
-# green only via local tools/compare.py sweeps through r4) now occupy the head
-# of the window; the remaining 22 slots keep the scale-watch queries
-# (dedup_minhash_lsh / dedup_clusters / upsert_partition_move /
-# streaming_sessionize / asof_join) plus the composition/equivalence queries
-# under continuous driver observation.  Queries after position 50 all carry
-# driver-certified rows from CORRECTNESS_r01..r04 and stay oracle-verified by
-# tools/compare.py's full-registry sweep (tools/verify_all.py).
+# registry entries, so the order below is curated, not incidental.  Round-6
+# rotation (VERDICT r5 item #1): the 33 queries added in r5
+# (dataset_split .. events_debounce), which had only local tools/compare.py
+# certification, now occupy the head of the window; new r6 queries slot in
+# right after them; the remaining slots keep the scale-watch queries
+# (dedup_minhash_lsh / dedup_clusters / streaming_sessionize / asof_join —
+# asof_join also guards this round's struct-payload rewrite) under
+# continuous driver observation.  Queries after position 50 all carry
+# driver-certified rows from CORRECTNESS_r01..r05 and stay oracle-verified
+# by tools/compare.py's full-registry sweep (tools/verify_all.py).
 # ===========================================================================
 
 _REGISTRY_PRIORITY = [
-    # -- head of window: 28 queries driver-certified for the first time in r5 --
-    "event_sessionize",
-    "skew_salted_agg",
-    "stratified_sample",
-    "quality_topk_per_source",
-    "doc_packing",
-    "text_clean",
-    "text_redact_pii",
-    "text_repetition",
-    "category_pivot",
-    "coding_calc_to_date_dict",
-    "epiweek_dict_config",
-    "links_any_all",
-    "sql_api_cases",
-    "pricing_summary",
-    "shipping_priority",
-    "local_supplier_volume",
-    "ann_lsh_multiprobe",
-    "dedup_embedding_lsh",
-    "dedup_simhash_wide",
-    "dedup_repeated_spans",
-    "streaming_windowed_counts",
-    "qc_clinic_start_filter",
-    "qc_import_rules",
-    "qc_flatten_lists",
-    "locations_is_child",
-    "qc_date_validity",
-    "deadletter_split",
-    "decontaminate_overlap",
-    # -- slots 29-50: scale-watch + composition queries kept under driver watch --
-    "dedup_minhash_lsh",                # scale-watch (LSH discipline)
-    "dedup_clusters",                   # scale-watch (components)
-    "upsert_partition_move",            # K2 partition-boundary watch
-    "streaming_sessionize",             # stateful streaming watch
-    "asof_join",                        # temporal join watch
-    "flagship_cases_region_epiweek",    # A7 + C9 + J5
-    "pipeline_composed",                # C8 + end-to-end composition
-    "incremental_links_equals_batch",   # J2
-    "streaming_equals_batch",           # S4
-    "range_join_windows",               # temporal join
-    "upsert_idempotent",                # K2
-    "alert_double_double",              # A3
-    "alert_threshold_weekly",           # A2
-    "links_ordered",                    # J1 J3
-    "coding_multiple_link",             # C4
-    "ann_ivf_topk",
-    "ann_recall",
-    "dedup_embedding",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_exact",
-    "ann_lsh_topk",
-    # ---- position 51+: driver-certified in r01..r04; compare.py keeps them green ----
-    "qc_filters",                       # F2 F3 F4
-    "fanout_data_types",                # G1
-    "multirow_split",                   # G2
-    "coding_variables",                 # V1 V3 C1
-    "coding_groups_priority",           # C2 C3 C5
-    "coding_sub_match",                 # V2
-    "coding_value_date",                # V6 C10
-    "coding_calc_to_date",              # V5 + calc grammar
-    "epiweek_counts",                   # C9 international
-    "epiweek_strategies",               # C9 week-0/53 strategies
-    "links_self_union",                 # J4
-    "initial_visit_dedup",              # J7
-    "alert_threshold",                  # A1 A4
-    "alert_masters_data",               # J8
-    "send_alerts_topics",               # A5 fan-out
-    "send_alerts_messages",             # A5 template parity
-    "location_rollup",                  # J5
-    "population_rollup",                # A6
-    "point_in_polygon",                 # J6
-    "deterministic_sample",             # F1
-    "ann_brute_topk",
-    "text_stats",
-    "text_langid",
-    "text_quality",
-    "doc_fingerprint",
-    "multimodal_decode",
-    "multimodal_resize",
-    "multimodal_frames",
-    # ---- r5 additions (behind the window; r6 TODO: rotate these into the
-    # first-50 snapshot for driver certification — the 50 rows above all
-    # have driver history after CORRECTNESS_r05) ----
+    # -- head of window: 33 r5-added queries, driver-certified for the
+    #    first time this round --
     "dataset_split",
     "corpus_shuffle",
     "multimodal_embed_neardup",
@@ -166,6 +84,88 @@ _REGISTRY_PRIORITY = [
     "asof_join_forward",
     "sample_n_per_group",
     "events_debounce",
+    # -- r6 additions (new queries land here, inside the window) --
+    # -- remaining slots to 50: scale-watch queries + this round's
+    #    touched-code guards kept under driver observation --
+    "dedup_minhash_lsh",                # scale-watch (LSH discipline)
+    "dedup_clusters",                   # scale-watch (components; r6 probe batching)
+    "dedup_simhash_wide",               # r6 guard rewrite (aggregate+broadcast)
+    "streaming_sessionize",             # stateful streaming watch
+    "asof_join",                        # r6 struct-payload rewrite
+    "flagship_cases_region_epiweek",    # r6 broadcast-hint drop
+    "pipeline_composed",                # C8 + end-to-end composition
+    "incremental_links_equals_batch",   # J2
+    "streaming_equals_batch",           # S4
+    "range_join_windows",               # temporal join
+    "upsert_idempotent",                # K2
+    "upsert_partition_move",            # K2 partition-boundary watch
+    "alert_double_double",              # A3
+    "links_ordered",                    # J1 J3
+    "ann_ivf_topk",
+    "dedup_exact",
+    "ann_lsh_topk",
+    # ---- position 51+: driver-certified in r01..r05; compare.py keeps them green ----
+    "alert_threshold_weekly",           # A2
+    "coding_multiple_link",             # C4
+    "ann_recall",
+    "dedup_embedding",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "event_sessionize",
+    "skew_salted_agg",
+    "stratified_sample",
+    "quality_topk_per_source",
+    "doc_packing",
+    "text_clean",
+    "text_redact_pii",
+    "text_repetition",
+    "category_pivot",
+    "coding_calc_to_date_dict",
+    "epiweek_dict_config",
+    "links_any_all",
+    "sql_api_cases",
+    "pricing_summary",
+    "shipping_priority",
+    "local_supplier_volume",
+    "ann_lsh_multiprobe",
+    "dedup_embedding_lsh",
+    "dedup_repeated_spans",
+    "streaming_windowed_counts",
+    "qc_clinic_start_filter",
+    "qc_import_rules",
+    "qc_flatten_lists",
+    "locations_is_child",
+    "qc_date_validity",
+    "deadletter_split",
+    "decontaminate_overlap",
+    "qc_filters",                       # F2 F3 F4
+    "fanout_data_types",                # G1
+    "multirow_split",                   # G2
+    "coding_variables",                 # V1 V3 C1
+    "coding_groups_priority",           # C2 C3 C5
+    "coding_sub_match",                 # V2
+    "coding_value_date",                # V6 C10
+    "coding_calc_to_date",              # V5 + calc grammar
+    "epiweek_counts",                   # C9 international
+    "epiweek_strategies",               # C9 week-0/53 strategies
+    "links_self_union",                 # J4
+    "initial_visit_dedup",              # J7
+    "alert_threshold",                  # A1 A4
+    "alert_masters_data",               # J8
+    "send_alerts_topics",               # A5 fan-out
+    "send_alerts_messages",             # A5 template parity
+    "location_rollup",                  # J5
+    "population_rollup",                # A6
+    "point_in_polygon",                 # J6
+    "deterministic_sample",             # F1
+    "ann_brute_topk",
+    "text_stats",
+    "text_langid",
+    "text_quality",
+    "doc_fingerprint",
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_frames",
 ]
 
 

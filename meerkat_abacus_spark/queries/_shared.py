@@ -34,12 +34,33 @@ def _register(name: str, oracle: str | None = None):
 
 
 def _scratch_tag(sf_dir: str) -> str:
-    """Stable per-sf-dir scratch-path tag.  md5, NOT python hash(): str hash
-    is salted per process, so hash()-keyed /tmp/msa_* dirs multiply across
-    runs instead of being reused and cleaned by the next run."""
+    """Stable per-DATASET scratch-path tag: md5 of the sf_dir path plus each
+    table file's (name, size, mtime) — regenerating the testdata changes the
+    fingerprint, so scratch derived from an older dataset is never silently
+    reused against a fresh oracle.  md5, NOT python hash(): str hash is
+    salted per process, so hash()-keyed /tmp/msa_* dirs would multiply
+    across runs instead of being reused."""
     import hashlib
+    import os
 
-    return hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    h = hashlib.md5(sf_dir.encode())
+    try:
+        for entry in sorted(os.listdir(sf_dir)):
+            st = os.stat(os.path.join(sf_dir, entry))
+            h.update(f"{entry}:{st.st_size}:{st.st_mtime_ns}".encode())
+    except OSError:
+        pass
+    return h.hexdigest()[:8]
+
+
+def _scratch_ready(path: str) -> bool:
+    """A scratch dataset is reusable only if its write COMPLETED: Spark
+    drops a ``_SUCCESS`` marker at job commit, so a crashed/partial prior
+    write (directory present, marker absent) triggers a rewrite instead of
+    being silently reused."""
+    import os
+
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
 

@@ -359,7 +359,7 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from ._shared import _scratch_tag
+    from ._shared import _scratch_ready, _scratch_tag
 
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -369,7 +369,7 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries_df = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120))
     path = tempfile.gettempdir() + f"/msa_ivfidx_v1_{_scratch_tag(sf_dir)}"
-    if not os.path.exists(path):
+    if not _scratch_ready(path):
         sim.write_ivf_index(
             emb, centroids, path, id_col="vec_id", vec_col="embedding"
         )

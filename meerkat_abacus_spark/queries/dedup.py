@@ -349,7 +349,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash_wide_oracle_sql(
     corpus_sql: str,
     n_slices: int = 4,
-    max_hamming: int = 8,
+    max_hamming: int = 3,
     max_bucket_size: int = 50,
 ) -> str:
     def tok_hash(s: int) -> str:
@@ -420,10 +420,15 @@ def _simhash_wide_oracle_sql(
 def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit sliced SimHash near-dups: per-slice LSH blocking + Hamming
     verify over the planted-near-dup corpus (reference scope: the dedup
-    family SURVEY.md groups under the LLM-pipeline operators)."""
+    family SURVEY.md groups under the LLM-pipeline operators).
+
+    ``max_hamming=3`` is slices-1 — the COMPLETE-blocking regime where
+    pigeonhole guarantees every qualifying pair shares a slice (the
+    library default; thresholds >= bits/16 are a documented recall
+    trade-off and not what the flagship query should showcase)."""
     corpus = _doc_corpus(spark, sf_dir)
     pairs = dd.simhash_wide_pairs(
-        corpus, id_col="doc_id", text_col="text", bits=64, max_hamming=8,
+        corpus, id_col="doc_id", text_col="text", bits=64, max_hamming=3,
         max_bucket_size=50,
     )
     return pairs.select(
@@ -619,11 +624,11 @@ def incremental_dedup_equals_batch(spark: SparkSession, sf_dir: str) -> DataFram
     old = tagged.filter(F.col("__split") == "old").drop("__split")
     new = tagged.filter(F.col("__split") == "new").drop("__split")
 
-    from ._shared import _scratch_tag
+    from ._shared import _scratch_ready, _scratch_tag
 
     base = tempfile.gettempdir() + f"/msa_incdedup_v1_{_scratch_tag(sf_dir)}"
     bands_p, pairs_p = base + "/bands_old", base + "/pairs_old"
-    if not os.path.exists(pairs_p):
+    if not (_scratch_ready(bands_p) and _scratch_ready(pairs_p)):
         # "yesterday's run": persist the band index and its verified pairs
         dd.lsh_band_key_rows(
             old, id_col="doc_id", text_col="text", **cfg

@@ -77,9 +77,12 @@ def flagship_cases_region_epiweek(spark: SparkSession, sf_dir: str) -> DataFrame
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
-    # J5-shaped enrichment: the dimension chain broadcasts.
+    # J5-shaped enrichment: nation/region are bounded dims and carry explicit
+    # broadcast hints; customer GROWS with scale factor, so its join is left
+    # unhinted — size-based AQE broadcasts it at small SF and degrades to a
+    # shuffle join at 100× instead of OOMing on an un-demotable hint.
     enriched = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
@@ -855,7 +858,9 @@ def location_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id") - 1_000_000).alias("custkey"),
         (F.col("region_id") - 1_000).alias("regionkey"),
     )
-    enriched = orders.join(F.broadcast(dim), orders.o_custkey == dim.custkey)
+    # dim derives from customer (SF-growing): no broadcast hint — AQE
+    # promotes the join while the flattened dim is small, shuffles at 100×.
+    enriched = orders.join(dim, orders.o_custkey == dim.custkey)
     region_names = region.select(
         F.col("r_regionkey").alias("regionkey"), F.col("r_name").alias("region")
     )
@@ -1955,8 +1960,9 @@ def alert_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
     epi_year, epi_week = epi_week_columns(F.col("o_orderdate"), "day:0")
+    # customer is SF-growing: no broadcast hint (AQE promotes when small).
     weekly = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .withColumns({"epi_year": epi_year, "epi_week": epi_week})

@@ -369,8 +369,10 @@ def cases_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
+    # customer is SF-growing: no broadcast hint (AQE promotes when small);
+    # nation/region are bounded dims and keep theirs.
     enriched = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
@@ -425,8 +427,9 @@ def epi_curve_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
+    # customer is SF-growing: no broadcast hint (AQE promotes when small).
     daily = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(
@@ -595,19 +598,24 @@ def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: header CSV without embedded newlines stays line-split­table,
     so the read parallelizes like any text source; the all-string schema
     makes the scan a single pass with casts in codegen."""
-    import os
     import tempfile
+
+    from ._shared import _scratch_ready
 
     events = _t(spark, sf_dir, "events").select(
         "event_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
         "user_id",
         "event_type",
-        F.format_number(F.col("value"), 6).alias("value"),
+        # LOSSLESS double serialization (Java Double.toString round-trips
+        # exactly) — format_number's 6-dp HALF_EVEN rounding drifts per row
+        # and can flip the 2-dp ROUND boundary vs the oracle's raw-double
+        # sum at larger scale factors.
+        F.col("value").cast("string").alias("value"),
         "props",
     )
-    path = tempfile.gettempdir() + f"/msa_csv_v1_{_scratch_tag(sf_dir)}"
-    if not os.path.exists(path):
+    path = tempfile.gettempdir() + f"/msa_csv_v2_{_scratch_tag(sf_dir)}"
+    if not _scratch_ready(path):
         events.write.mode("overwrite").option("header", "true").csv(path)
     back = spark.read.schema(
         "event_id string, ts string, user_id string, event_type string, "
@@ -615,7 +623,7 @@ def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).option("header", "true").csv(path)
     typed = back.select(
         "event_type",
-        F.regexp_replace("value", ",", "").cast("double").alias("value"),
+        F.col("value").cast("double").alias("value"),
         F.from_json("props", "k int").alias("p"),
     )
     return typed.groupBy("event_type").agg(

@@ -251,6 +251,7 @@ def compact_parquet(
     rows_per_file: int = 1_000_000,
     sort_by: list[str] | None = None,
     mode: str = "overwrite",
+    input_rows: int | None = None,
 ) -> int:
     """Small-file compaction: rewrite ``df`` into ~``rows_per_file``-sized
     parquet files, optionally range-clustered on ``sort_by``.
@@ -258,16 +259,34 @@ def compact_parquet(
     The maintenance pass every long-lived ingest needs — streaming
     foreachBatch and per-day upserts leave thousands of KB-scale files,
     and at 100 TB the NameNode/file-listing cost plus per-file open
-    overhead dominate scans.  One count fixes the target file count
-    (cheap: parquet row-count metadata only), ``repartitionByRange`` on
-    the sort key makes file min/max ranges disjoint so downstream
-    predicate pushdown prunes whole files, and ``maxRecordsPerFile``
-    hard-caps stragglers from a skewed range.  Returns the file count
-    target.
+    overhead dominate scans.  One count fixes the target file count,
+    ``repartitionByRange`` on the sort key makes file min/max ranges
+    disjoint so downstream predicate pushdown prunes whole files, and
+    ``maxRecordsPerFile`` hard-caps stragglers from a skewed range.
+    Returns the file count target.
+
+    The count is metadata-cheap ONLY for a bare parquet scan — the common
+    compaction input.  For a non-leaf plan (filters, joins, unions) the
+    count+write pair would execute the upstream plan twice, so the plan is
+    pinned DISK_ONLY across the pair; callers that already know the
+    cardinality pass ``input_rows`` and skip the count entirely.
     """
     import math
 
-    n = df.count()
+    from pyspark import StorageLevel
+
+    pinned = False
+    if input_rows is not None:
+        n = input_rows
+    else:
+        try:
+            is_leaf = df._jdf.queryExecution().optimizedPlan().children().isEmpty()
+        except Exception:  # introspection is best-effort across Spark versions
+            is_leaf = False
+        if not is_leaf:
+            df = df.persist(StorageLevel.DISK_ONLY)
+            pinned = True
+        n = df.count()
     n_files = max(1, math.ceil(n / rows_per_file))
     if sort_by:
         out = df.repartitionByRange(n_files, *[F.col(c) for c in sort_by])
@@ -277,4 +296,6 @@ def compact_parquet(
     out.write.option("maxRecordsPerFile", rows_per_file).mode(mode).parquet(
         path
     )
+    if pinned:
+        df.unpersist()
     return n_files

@@ -116,5 +116,5 @@ def test_step_monitor_counts_rows_in_one_action(spark):
     rows = {step: n for step, n, _ in mon.rows()}
     assert rows == {"source": 1000, "filter": 500}
     tbl = mon.to_df(spark)
-    assert tbl.columns == ["step", "n", "duration_s"]
+    assert tbl.columns == ["step", "n", "available_at_s", "elapsed_total_s"]
     assert tbl.count() == 2

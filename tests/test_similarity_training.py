@@ -154,6 +154,40 @@ def test_persisted_ivf_index_prunes_partitions_and_matches_memory(spark, tmp_pat
     assert mem == idx
 
 
+def test_ivf_index_join_probe_dpp_matches_isin(spark, tmp_path):
+    """ivf_topk_from_index_join (the massive-query-batch path) must
+    (a) prune the partitioned index scan at RUNTIME via dynamic partition
+    pruning — no driver collect of probe list ids — and (b) return exactly
+    what the isin-literal probe returns."""
+    from meerkat_abacus_spark.datapipe.similarity import (
+        ivf_topk_from_index,
+        ivf_topk_from_index_join,
+        train_centroids,
+        write_ivf_index,
+    )
+
+    corpus = _clustered_corpus(spark)
+    queries = corpus.filter(F.col("vec_id").isin([0, 45, 90]))
+    cents = train_centroids(corpus, k=3, iters=5)
+    path = str(tmp_path / "ivf_join")
+    write_ivf_index(corpus, cents, path)
+
+    joined = ivf_topk_from_index_join(
+        spark, path, queries, cents, k=3, n_probe=1
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan
+
+    isin = ivf_topk_from_index(spark, path, queries, cents, k=3, n_probe=1)
+
+    def _key(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"]) for r in df.collect()
+        )
+
+    assert _key(joined) == _key(isin)
+
+
 def test_join_assignment_matches_ranker(spark):
     """assign_lists_by_join (large-k path) must agree with the inlined
     centroid_ranker projection on every vector, ties included."""

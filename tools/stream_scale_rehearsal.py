@@ -198,6 +198,60 @@ def run_dedup_once(spark, label: str, n_copies: int, src: str) -> dict:
     }
 
 
+def run_ijoin_once(spark, label: str, n_copies: int, src: str) -> dict:
+    """Stream-stream interval join at ``n_copies``x users (r5 verdict #8 —
+    the one stateful path without committed state evidence).  Both sides
+    buffer rows in the state store until the OTHER side's watermark passes
+    the end of their match window, so the expected shape is: peak state
+    tracks in-flight volume, ``numRowsRemoved`` shows watermark-driven
+    eviction actually firing, and disjoint user copies make the joined
+    output exactly ``n_copies``x the 1x run."""
+    from meerkat_abacus_spark.streaming.join_stream import interval_join_stream
+
+    base = tempfile.gettempdir() + f"/msa_ijoin_scale_{n_copies}x"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    build_user_copies(spark, src, base + "/src", n_copies)
+
+    t0 = time.time()
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base + "/src/slice=*")
+    )
+    out = interval_join_stream(
+        stream.filter(F.col("event_id") % 2 == 0),
+        stream.filter(F.col("event_id") % 2 == 1),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(f"ijoin_{label}")
+        .outputMode("append")
+        .option("checkpointLocation", base + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = round(time.time() - t0, 2)
+    progresses = [p["stateOperators"][0] for p in q.recentProgress
+                  if p.get("stateOperators")]
+    joined = spark.table(f"ijoin_{label}").count()
+    shutil.rmtree(base, ignore_errors=True)
+    return {
+        "sec": wall,
+        "joined_rows": joined,
+        "state_rows_peak": max(
+            (p["numRowsTotal"] for p in progresses), default=None
+        ),
+        "final_state_rows": (
+            progresses[-1]["numRowsTotal"] if progresses else None
+        ),
+        "state_rows_removed": sum(
+            p.get("numRowsRemoved") or 0 for p in progresses
+        ),
+    }
+
+
 def main() -> None:
     from meerkat_abacus_spark.session import get_spark
 
@@ -209,6 +263,8 @@ def main() -> None:
     ten_evict = run_once(spark, "ten_evict", 10, src, evict=True)
     d_one = run_dedup_once(spark, "one", 1, src)
     d_ten = run_dedup_once(spark, "ten", 10, src)
+    ij_one = run_ijoin_once(spark, "one", 1, src)
+    ij_ten = run_ijoin_once(spark, "ten", 10, src)
     report = {
         "1x_users": one,
         "10x_users": ten,
@@ -226,6 +282,15 @@ def main() -> None:
         "dedup_wall_ratio_10x": (
             round(d_ten["sec"] / d_one["sec"], 2) if d_one["sec"] else None
         ),
+        "ijoin_1x": ij_one,
+        "ijoin_10x": ij_ten,
+        "ijoin_wall_ratio_10x": (
+            round(ij_ten["sec"] / ij_one["sec"], 2) if ij_one["sec"] else None
+        ),
+        "ijoin_joined_exactly_10x": (
+            ij_ten["joined_rows"] == 10 * ij_one["joined_rows"]
+        ),
+        "ijoin_eviction_fired": (ij_ten["state_rows_removed"] or 0) > 0,
     }
     print(json.dumps(report))
 
