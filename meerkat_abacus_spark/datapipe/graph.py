@@ -1,0 +1,96 @@
+"""Link-graph propagation: fixed-iteration PageRank over an edge DataFrame.
+
+The training-data-pipeline use case: score documents/pages by reference
+structure (quality weighting for crawl corpora, seed expansion, spam
+demotion) — the same iterated sparse matrix-vector product behind every
+"importance" signal.  The reference engine has no graph operator; this is
+a scale-path extra in the same family as dedup's connected components
+(``datapipe/dedup.py``), and it reuses that operator's Spark discipline:
+
+- **per iteration, the edge list is touched exactly once**: one equi-join
+  of edges→ranks on the source node, one hash aggregation of contributions
+  by destination.  Both shuffle on node id; with edges pre-partitioned by
+  ``src`` the join side is exchange-free after the first iteration.
+- **map-side partial aggregation** collapses per-partition contributions
+  before the shuffle, so per-iteration shuffle volume is O(distinct dst
+  per partition), not O(edges).
+- **lineage is pinned per iteration** (``localCheckpoint``; reliable
+  ``checkpoint`` on clusters via ``checkpoint_dir``) — without it each
+  pass replays every previous pass and the plan goes quadratic, the same
+  failure mode connected components guards against.
+- **the driver sees one scalar** (the node count), never rows.
+
+Semantics: the standard damped update
+``r' = (1-d)/N + d * Σ_{(s→t) ∈ E} r(s)/outdeg(s)`` with NO dangling-mass
+redistribution (nodes without out-edges leak their damped mass, as in the
+original formulation); fixed ``iterations``, no convergence test — rank
+queries want a deterministic, engine-reproducible result, and the oracle
+unrolls the same iterations in SQL.
+
+``per_iter_round`` optionally rounds ranks to that many decimals after
+each iteration: double summation order differs across engines (and across
+partitionings), and rounding well below the precision anyone reads (e.g.
+9dp) stops the noise compounding through iterations — the trick that
+makes cross-engine hash comparison of an iterative float algorithm stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+    per_iter_round: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Fixed-iteration PageRank: returns ``(node, rank)`` for every node
+    appearing as a source or destination in ``edges``."""
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _pin(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+
+    edges = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # One shuffle up front; every iteration reuses the pinned (src, dst,
+    # outdeg) rows and the pinned node set.
+    edges_deg = _pin(edges.join(outdeg, "src"))
+    nodes = _pin(nodes)
+    n = nodes.count()  # the single driver scalar
+
+    ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("rank"))
+    base = F.lit((1.0 - damping) / float(n))
+    for _ in range(iterations):
+        contribs = (
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        rank_expr = base + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+        if per_iter_round is not None:
+            rank_expr = F.round(rank_expr, per_iter_round)
+        ranks = _pin(
+            nodes.join(contribs, "node", "left").select(
+                "node", rank_expr.alias("rank")
+            )
+        )
+    return ranks

@@ -18,6 +18,7 @@ from __future__ import annotations
 from ._shared import ORACLES, QUERIES, QueryFn, _doc_corpus, _scratch_tag, _t
 from . import ann as _ann            # noqa: F401  (registration side-effect)
 from . import dedup as _dedup        # noqa: F401
+from . import graph as _graph        # noqa: F401
 from . import multimodal as _mm      # noqa: F401
 from . import streaming as _str      # noqa: F401
 from . import surveillance as _sur   # noqa: F401
@@ -84,7 +85,14 @@ _REGISTRY_PRIORITY = [
     "asof_join_forward",
     "sample_n_per_group",
     "events_debounce",
-    # -- r6 additions (new queries land here, inside the window) --
+    # -- r6 additions: first driver certification this round --
+    "pagerank_docs",                    # fixed-iteration graph propagation
+    "bigram_topk",                      # corpus n-gram table
+    "mixture_report",                   # per-(source,lang) composition
+    "weighted_sample",                  # exponential-race weighted draw
+    "cube_report",                      # full grouping-set lattice
+    "returned_item_revenue",            # TPC-H Q10 shape
+    "unpivot_report",                   # native melt
     # -- remaining slots to 50: scale-watch queries + this round's
     #    touched-code guards kept under driver observation --
     "dedup_minhash_lsh",                # scale-watch (LSH discipline)
@@ -97,6 +105,7 @@ _REGISTRY_PRIORITY = [
     "incremental_links_equals_batch",   # J2
     "streaming_equals_batch",           # S4
     "range_join_windows",               # temporal join
+    # ---- position 51+: driver-certified in r01..r05; compare.py keeps them green ----
     "upsert_idempotent",                # K2
     "upsert_partition_move",            # K2 partition-boundary watch
     "alert_double_double",              # A3
@@ -104,7 +113,6 @@ _REGISTRY_PRIORITY = [
     "ann_ivf_topk",
     "dedup_exact",
     "ann_lsh_topk",
-    # ---- position 51+: driver-certified in r01..r05; compare.py keeps them green ----
     "alert_threshold_weekly",           # A2
     "coding_multiple_link",             # C4
     "ann_recall",

@@ -1094,3 +1094,153 @@ def sample_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.sort_array(F.collect_list("doc_id")), ",")
         ).alias("sample_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus bigram frequencies: the n-gram table tokenizer/LM prep starts from.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "bigram_topk",
+    """
+    WITH tok AS (
+        SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ),
+    bg AS (
+        SELECT UNNEST(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1]))
+            AS bigram
+        FROM tok
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bg GROUP BY 1
+    ORDER BY n DESC, bigram LIMIT 50
+    """,
+)
+def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus bigrams — the adjacent-pair frequency table behind
+    tokenizer training, collocation mining and boilerplate detection
+    (vocab_topk's unigram sibling).
+
+    Scale shape: bigram construction is a pure projection (transform over
+    the token array, no self-join); the count is one hash-partitioned
+    groupBy with map-side partial agg, and the top-k is
+    TakeOrderedAndProject — per-partition heads, never a global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    docs = docs.select(toks.alias("toks"))
+    bigrams = F.transform(
+        F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+        lambda x, i: F.concat_ws(
+            " ", x, F.element_at(F.col("toks"), i + F.lit(2))
+        ),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-mixture report: the per-(source, lang) composition table every
+# data-mixing decision reads.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "mixture_report",
+    """
+    WITH per AS (
+        SELECT source, lang, COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+                   AS total_tokens
+        FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(n_docs) AS t FROM per)
+    SELECT source, lang, n_docs, total_tokens,
+           ROUND(n_docs * 1.0 / (SELECT t FROM tot), 4) AS doc_share
+    FROM per
+    """,
+)
+def mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, language) corpus composition: document count, token
+    count, and each cell's share of the corpus — the mixing table a
+    pretraining pipeline rebalances against.
+
+    Scale shape: one partial-aggregated groupBy collapses the corpus to
+    |sources| x |langs| rows; the share denominator is a broadcast of ONE
+    row (crossJoin of the re-aggregated total), not a single-partition
+    window over the fact."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("bigint")
+        .alias("total_tokens"),
+    )
+    tot = per.agg(F.sum("n_docs").alias("__t"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("n_docs") / F.col("__t"), 4).alias("doc_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling: exponential-race keys (A-ExpJ style),
+# reproducible across engines and corpus growth.
+# ---------------------------------------------------------------------------
+
+_U8_SQL = "(" + " + ".join(
+    f"(strpos('0123456789abcdef', "
+    f"substr(md5(CAST(doc_id AS VARCHAR)), {p + 1}, 1)) - 1) * {16 ** (7 - p)}"
+    for p in range(8)
+) + ")"
+
+
+@_register(
+    "weighted_sample",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               ROUND(-ln(({_U8_SQL} + 0.5) / 4294967296.0)
+                     / (n_chars / 100.0), 9) AS skey
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars, ROUND(skey, 4) AS skey
+    FROM keyed ORDER BY skey, doc_id LIMIT 100
+    """,
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100-document sample weighted by length (weight = n_chars/100) via
+    the exponential race: each doc draws a deterministic uniform u from
+    md5(doc_id) and competes with key -ln(u)/w; the k smallest keys win —
+    exactly weighted sampling without replacement (Efraimidis-Spirakis
+    A-ExpJ), but with a content-addressed PRNG so the draw is reproducible
+    across engines, runs and corpus growth (a doc's key never changes when
+    other docs arrive — same anti-contamination property as
+    dataset_split's md5 buckets).
+
+    Scale shape: key construction is a pure projection; selection is
+    TakeOrderedAndProject (per-partition top-k, no global sort).  Keys are
+    rounded to 9dp BEFORE ranking in both engines so last-ulp ln()
+    differences cannot reorder the boundary; doc_id breaks residual ties."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    x = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("double")
+    u = (x + F.lit(0.5)) / F.lit(4294967296.0)
+    w = F.col("n_chars") / F.lit(100.0)
+    skey = F.round(-F.log(u) / w, 9)
+    return (
+        docs.select("doc_id", "source", "n_chars", skey.alias("skey"))
+        .orderBy("skey", "doc_id")
+        .limit(100)
+        .select("doc_id", "source", "n_chars", F.round("skey", 4).alias("skey"))
+    )

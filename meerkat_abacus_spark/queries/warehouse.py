@@ -777,3 +777,175 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE report: all 2^k grouping-set margins in one pass (rollup's sibling —
+# cases_rollup covers the hierarchical subtotals, this the full lattice).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "cube_report",
+    """
+    SELECT r.r_name AS region, o.o_orderpriority AS priority,
+           GROUPING_ID(r.r_name, o.o_orderpriority) AS lvl,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_value
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY CUBE(r.r_name, o.o_orderpriority)
+    """,
+)
+def cube_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region x order-priority CUBE: per-cell counts, both one-dimension
+    margins, and the grand total in ONE pass — the full grouping-set
+    lattice a dashboard's drill-anywhere view reads.
+
+    Scale shape: Catalyst plans cube as Expand (4 rows per input, one per
+    grouping set) into a single partial->final hash aggregate — one
+    shuffle for all 2^k margins, vs 4 jobs re-scanning the fact.  The
+    grouping-id bitmask (lvl) disambiguates margin rows from genuine NULL
+    keys; customer is SF-growing so its join is unhinted (AQE decides)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    enriched = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        enriched.cube(
+            F.col("r_name").alias("region"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.grouping_id().alias("lvl"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+        .select("region", "priority", "lvl", "n_orders", "total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10-shaped returned-item revenue: top customers by refund exposure.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "returned_item_revenue",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1996-04-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c.c_custkey LIMIT 20
+    """,
+)
+def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by revenue on returned items in one quarter
+    (TPC-H Q10 shape) — the refund-exposure report.
+
+    Scale shape: the date filter pushes into the orders scan and the
+    returnflag filter into the lineitem scan BEFORE the fact-fact join;
+    both fact joins are unhinted (AQE: broadcast while the filtered
+    quarter is small, shuffle at 100x); nation broadcasts; the top-20 is
+    TakeOrderedAndProject on the aggregated rows.
+
+    Revenue sums in DECIMAL, not double: this query hit a real case of a
+    per-customer sum landing EXACTLY on a 2-dp half boundary, where float
+    summation-order noise flips the rounded cent between engines — exact
+    decimal arithmetic removes the noise instead of hoping rounding hides
+    it (the right call for money columns at any scale)."""
+    lineitem = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    joined = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy(
+            "c_custkey", "c_name", F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (melt): wide aggregate -> long (measure, value) rows — the export
+# reshaping the reference's per-level report tables imply (SURVEY §2.7).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "unpivot_report",
+    """
+    WITH agg AS (
+        SELECT l_returnflag,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price,
+               ROUND(SUM(l_discount), 2) AS sum_disc
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS total FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc', sum_disc FROM agg
+    """,
+)
+def unpivot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-returnflag totals melted to long (measure, total) rows via
+    the native unpivot operator — the tidy-format reshape feeding exports
+    and charting, without a per-measure re-scan.
+
+    Scale shape: the fact collapses in ONE partial-aggregated groupBy
+    (3 rows out); unpivot is then a projection-time Expand over those
+    rows — the oracle's UNION-ALL-of-selects form would re-read the
+    aggregate 3 times without a CTE, which is exactly what unpivot
+    avoids at scale."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    agg = lineitem.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "sum_disc"],
+        "measure",
+        "total",
+    )
