@@ -382,6 +382,42 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("ann_ivf_dpp", _ORACLES["ann_ivf_topk"])
+def ann_ivf_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ivf_topk_from_index_join — the massive-query-batch probe: the probe
+    rows equi-join the partitioned index on list_id and DYNAMIC partition
+    pruning turns the probe side into a runtime partition filter on the
+    scan, with no driver collect of probe ids (the isin variant's driver
+    round-trip is bounded by driver memory; this path scales with the
+    join).  Same fixture centroids/probes and same oracle as ann_ivf_topk,
+    so the hash compare certifies the DPP path returns exactly the
+    in-memory answer; tests/test_similarity_training.py asserts the
+    dynamicpruning subquery is actually in the plan."""
+    import tempfile
+
+    from ._shared import _scratch_ready, _scratch_tag
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries_df = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120))
+    path = tempfile.gettempdir() + f"/msa_ivfidx_v1_{_scratch_tag(sf_dir)}"
+    if not _scratch_ready(path):
+        sim.write_ivf_index(
+            emb, centroids, path, id_col="vec_id", vec_col="embedding"
+        )
+    out = sim.ivf_topk_from_index_join(
+        spark, path, queries_df, centroids,
+        id_col="vec_id", vec_col="embedding", k=3, n_probe=2,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 3).alias("cosine"), "rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # int8 quantized embeddings: the storage/shuffle lever.  array<tinyint> is 8×
 # smaller than array<double> on disk and in every Exchange; cosine is

@@ -949,3 +949,51 @@ def unpivot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "total",
     )
+
+
+# ---------------------------------------------------------------------------
+# ORC source round-trip: the third serialization leg of S1 (CSV and JSONL
+# round-trips cover the text formats; ORC is the columnar alternative a
+# Hive-era lake hands this engine).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "orc_source_roundtrip",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+               AS sum_k
+    FROM events GROUP BY 1
+    """,
+)
+def orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events as ORC, read back, aggregate: must hash-equal the
+    parquet aggregate, proving the columnar round-trip preserves
+    timestamps, doubles and embedded JSON exactly (no string casts needed
+    — ORC is typed, unlike the CSV leg's all-string contract).
+
+    Scale shape: ORC scans split on stripes like parquet row groups, the
+    read carries the same column pruning and predicate pushdown, and the
+    aggregate is the identical partial->final hash agg — the oracle runs
+    on the original parquet, so the hash match certifies the format hop
+    end to end."""
+    import tempfile
+
+    from ._shared import _scratch_ready, _scratch_tag
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    path = tempfile.gettempdir() + f"/msa_orc_v1_{_scratch_tag(sf_dir)}"
+    if not _scratch_ready(path):
+        events.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.sum(F.get_json_object("props", "$.k").cast("int"))
+        .cast("bigint")
+        .alias("sum_k"),
+    )

@@ -246,3 +246,49 @@ def test_interval_join_matches_across_batch_boundary(spark, tmp_path):
         for r in joined.select("left_id", "right_id").collect()
     )
     assert pairs == [(2, 3)], pairs
+
+
+def test_tws_variant_matches_primary_sessionizer(spark, tmp_path):
+    """transformWithStateInPandas sessionizer (successor state API) must
+    emit exactly the applyInPandasWithState sessions.  Skipped where the
+    container ships PySpark without protobuf — the state-server protocol
+    needs it (the same gate keeps streaming_sessionize_tws out of the
+    query registry there)."""
+    import pytest
+
+    from meerkat_abacus_spark.queries.streaming import _tws_available
+
+    if not _tws_available():
+        pytest.skip("google.protobuf absent: transformWithState cannot run")
+
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from meerkat_abacus_spark.streaming.stateful import (
+        run_sessionize_over_files,
+        run_sessionize_tws_over_files,
+    )
+
+    events = spark.range(200).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 7).alias("user_id"),
+        F.timestamp_micros(
+            (F.col("id") * 600_000_000 + (F.col("id") % 3) * 2_000_000_000)
+        ).alias("ts"),
+    )
+    src = str(tmp_path / "src")
+    for k in (0, 1):
+        sl = events.filter((F.col("event_id") % 2) == k).coalesce(1)
+        sl.write.parquet(f"{src}/slice={k}")
+        _time.sleep(0.05)
+
+    a = run_sessionize_over_files(
+        spark, src + "/slice=*", str(tmp_path / "ck_a"), queryName="tws_a"
+    )
+    b = run_sessionize_tws_over_files(
+        spark, src + "/slice=*", str(tmp_path / "ck_b"), queryName="tws_b"
+    )
+    rows_a = sorted(tuple(r) for r in a.collect())
+    rows_b = sorted(tuple(r) for r in b.collect())
+    assert rows_a == rows_b
