@@ -781,6 +781,7 @@ def connected_components(
         F.least(F.col("a"), F.min("b")).alias("component")
     )
     labels = _pin(labels)
+    changed = 0
     for it in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
@@ -813,5 +814,122 @@ def connected_components(
             changed = updated.filter(F.col("__chg")).limit(1).count()
             if changed == 0:
                 break
+    if changed != 0:
+        # Labels propagate ONE hop per pass, so a component whose diameter
+        # exceeds max_iterations exits this loop with silently-wrong labels
+        # (caught by the star-contraction equivalence test on a 40-node
+        # path).  Near-dup graphs are diameter ≤ 3 by construction; for
+        # unknown/high-diameter graphs use connected_components_star,
+        # which converges in O(log n) rounds.
+        import warnings
+
+        warnings.warn(
+            "connected_components hit max_iterations before convergence; "
+            "labels may be incomplete — raise max_iterations or use "
+            "connected_components_star",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     sym.unpersist()
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
+    check_interval: int = 2,
+) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — same ``(node, component=min reachable id)``
+    contract as :func:`connected_components`, different scaling curve.
+
+    Per round, every node points its neighbourhood at the neighbourhood
+    minimum:
+
+    - large-star: for each node u, emit ``(v, min(Γ(u) ∪ {u}))`` for every
+      STRICTLY LARGER neighbour v — hooks big nodes onto small ones;
+    - small-star: with edges oriented big→small, emit ``(u, m)`` and
+      ``(v, m)`` for m = min neighbourhood — flattens partial chains.
+
+    Both steps emit edges oriented (larger → smaller), preserve
+    connectivity, and never demote a component's global minimum, so the
+    fixed point is a star forest rooted at each component's min id
+    (the paper's Theorem 1-3).  Convergence is O(log n) rounds w.h.p.
+    versus O(diameter) for label propagation — but the operational win at
+    scale is that the edge set CONTRACTS as stars collapse, so successive
+    rounds shuffle strictly less data, where label propagation re-joins
+    the full edge set every pass.  Per round: two partial-agg groupBys,
+    two key-local joins, one distinct.
+
+    Convergence test: a star forest has no 2-chain (no node is both an
+    edge's small end and another's big end), so ``exists(e1.v == e2.u)``
+    is the fixed-point probe — batched every ``check_interval`` rounds
+    like the label-propagation probe (extra converged rounds are no-ops:
+    star steps are idempotent on a star forest).
+    """
+    if check_interval < 1:
+        raise ValueError("check_interval must be >= 1")
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _pin(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint()
+        return df.localCheckpoint()
+
+    # Orient (bigger → smaller); self-loops contribute nothing.
+    e = _pin(
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        ).filter(F.col("u") != F.col("v"))
+    )
+
+    for it in range(max_iterations):
+        # ---- large-star over the symmetric neighbourhood view ----
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        lmin = sym.groupBy("u").agg(
+            F.least(F.col("u"), F.min("v")).alias("m")
+        )
+        large = (
+            sym.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # ---- small-star (edges already big → small) ----
+        smin = large.groupBy("u").agg(F.min("v").alias("m"))
+        e = _pin(
+            large.join(smin, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(smin.select("u", F.col("m").alias("v")))
+            .distinct()
+        )
+        if (it + 1) % check_interval == 0 or it == max_iterations - 1:
+            chained = (
+                e.select("v")
+                .join(e.select(F.col("u").alias("v")), "v", "left_semi")
+                .limit(1)
+                .count()
+            )
+            if chained == 0:
+                break
+
+    # Star forest → labels: every big end maps to its root; roots (and
+    # only roots) never appear as a big end and map to themselves.
+    leaves = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = (
+        e.select(F.col("v").alias("node"))
+        .distinct()
+        .join(e.select(F.col("u").alias("node")), "node", "left_anti")
+        .select("node", F.col("node").alias("component"))
+    )
+    return leaves.unionByName(roots)

@@ -40,18 +40,110 @@ def quantize_int8(vec: Column) -> Column:
     )
 
 
-def sign_lsh_bucket(vec: Column, dims: int = 8) -> Column:
-    """Bucket key = concatenated sign bits of the first ``dims`` coordinates.
+def coordinate_sign_bucket(vec: Column, nbits: int = 8) -> Column:
+    """BLOCKING key for near-identical vectors: concatenated sign bits of
+    the first ``nbits`` coordinates.
 
-    Deterministic and reproducible in plain SQL (the oracle recomputes it);
-    swap in md5-derived pseudo-random hyperplanes for production skew
-    resistance without changing the plan shape.
-    """
+    This is deliberately NOT the ANN index (see :func:`sign_lsh_bucket`):
+    at the dedup operating point (cosine ≥ 0.99) candidate pairs are
+    near-identical, so their raw coordinate signs agree with probability
+    ~1 per bit and the block almost never splits a true pair — whereas at
+    ANN operating points (cosine ~0.3) coordinate signs are no better
+    than random hyperplanes and recall needs multiprobe.  Used by
+    dedup_embedding_lsh and multimodal_embed_neardup as the pairwise-term
+    bound."""
     bits = [
         F.when(F.element_at(vec, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for i in range(dims)
+        for i in range(nbits)
     ]
     return F.concat(*bits)
+
+
+LSH_SEED = "msa-signlsh"
+
+
+def lsh_hyperplanes(
+    dim: int, nbits: int = 8, seed: str = LSH_SEED
+) -> list[list[float]]:
+    """md5-derived pseudo-random Gaussian hyperplanes (r6 verdict ask #4).
+
+    Component (j, d) is a Box-Muller normal draw from two uniforms carved
+    out of ``md5(f"{seed}:{j}:{d}")`` — deterministic across runs, engines
+    and machines, with no RNG state to ship.  Rounded to 6dp so the
+    literals are short; the rounded decimal parses to the IDENTICAL double
+    in Spark and DuckDB (both are correctly-rounded decimal→binary), so
+    the sign of each projection is engine-portable by construction.
+    Gaussian (not ±1) components make the projection directions
+    spherically symmetric — the standard SimHash/sign-LSH construction."""
+    import hashlib
+    import math
+
+    planes: list[list[float]] = []
+    for j in range(nbits):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{j}:{d}".encode()).hexdigest()
+            u1 = (int(h[:8], 16) + 0.5) / 2**32
+            u2 = (int(h[8:16], 16) + 0.5) / 2**32
+            row.append(
+                round(
+                    math.sqrt(-2.0 * math.log(u1))
+                    * math.cos(2.0 * math.pi * u2),
+                    6,
+                )
+            )
+        planes.append(row)
+    return planes
+
+
+def _plane_dot(vec: Column, plane: list[float]) -> Column:
+    """``aggregate(zip_with(v, w, *), 0.0, +)`` — folds strictly left to
+    right, which is the SAME evaluation order as the oracle SQL's
+    left-associated chain ``v[1]*w1 + v[2]*w2 + ...`` (the initial
+    ``0.0 + t1`` is exact in IEEE754), so both engines produce the
+    bit-identical double and the projection SIGN can never flip across
+    engines at the bucket boundary.  One compact expression per bit
+    (the hyperplane rides as a single array literal) instead of a
+    ``dim``-term add chain — keeps Catalyst analysis time flat in dim."""
+    w = F.array(*[F.lit(x) for x in plane])
+    prods = F.zip_with(vec, w, lambda a, b: a.cast("double") * b)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def projection_dots(
+    vec: Column, dim: int, nbits: int = 8, seed: str = LSH_SEED
+) -> Column:
+    """``array<double>`` of the ``nbits`` hyperplane projections — project
+    this ONCE per DataFrame (``withColumn``) and derive bucket/probe keys
+    from it, so the dot products are computed once however many probe
+    keys consume them."""
+    return F.array(
+        *[_plane_dot(vec, p) for p in lsh_hyperplanes(dim, nbits, seed)]
+    )
+
+
+def _bits_from_dots(dots: Column, nbits: int) -> list[Column]:
+    return [
+        F.when(F.element_at(dots, j + 1) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for j in range(nbits)
+    ]
+
+
+def sign_lsh_bucket(
+    vec: Column, dim: int, nbits: int = 8, seed: str = LSH_SEED
+) -> Column:
+    """ANN bucket key: concatenated sign bits of ``nbits`` md5-derived
+    random hyperplane projections over all ``dim`` coordinates.
+
+    Pure Column expressions — stays in whole-stage codegen; the
+    hyperplane constants are compile-time array literals, so the corpus
+    is never joined against a hyperplane table.
+    """
+    return F.concat(
+        *_bits_from_dots(projection_dots(vec, dim, nbits, seed), nbits)
+    )
 
 
 def brute_force_topk(
@@ -87,89 +179,100 @@ def brute_force_topk(
     )
 
 
-def multiprobe_buckets(vec: Column, dims: int = 8, probes: int = 1) -> Column:
-    """Array of bucket keys: the home bucket plus ``probes-1`` single-bit
-    flips, flipping the LOWEST-magnitude coordinates first.
+def multiprobe_buckets(
+    vec: Column,
+    dim: int,
+    nbits: int = 8,
+    radius: int = 2,
+    seed: str = LSH_SEED,
+) -> Column:
+    """Array of probe bucket keys: every bucket within Hamming distance
+    ``radius`` of the home bucket (home + single flips + double flips at
+    the default radius 2).
 
-    Classic multi-probe LSH: a vector whose coordinate sits near the
-    hyperplane is the one most likely to land on the wrong side, so probing
-    the bucket with that bit flipped recovers most of the lost recall while
-    touching ``probes`` buckets instead of 2^dims.  The plan stays a bucket
-    equi-join — probing only fans out the (small) query side.
+    Multi-probe is what makes a SINGLE sign-LSH table usable as an index:
+    a true neighbour at cosine ~0.35 agrees with the query on each
+    hyperplane with p ≈ 0.61, so the all-bits home bucket alone captures
+    p^8 ≈ 2% of them, while the Hamming-≤2 ball captures ~35% (measured by
+    the ann_recall query: recall@3 ≥ 0.3 on the demo corpus, r6 verdict
+    ask #4) at a candidate cost of ~37/256 of the bucket space — still a
+    ~7× scan reduction, growing with nbits.  The plan stays a bucket
+    equi-join: only the (small) query side fans out into its probe keys;
+    the corpus keeps exactly one home bucket per vector.
     """
-    bits = [
-        F.when(F.element_at(vec, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for i in range(dims)
-    ]
-    home = F.concat(*bits)
-    if probes <= 1:
-        return F.array(home)
-    # order coordinates by |value| ascending: nearest-to-hyperplane first
-    mags = F.array_sort(
-        F.array(
-            *[
-                F.struct(
-                    F.abs(F.element_at(vec, i + 1)).alias("mag"),
-                    F.lit(i).alias("idx"),
-                )
-                for i in range(dims)
-            ]
-        )
+    return _probe_keys_from_dots(
+        projection_dots(vec, dim, nbits, seed), nbits, radius
     )
 
-    def flipped(pos: Column) -> Column:
-        # flip the bit at 0-based position `pos` of the home key
-        return F.concat(
-            home.substr(F.lit(1), pos),
-            F.when(home.substr(pos + 1, F.lit(1)) == "1", F.lit("0")).otherwise(
-                F.lit("1")
-            ),
-            home.substr(pos + 2, F.lit(dims)),
-        )
 
-    probe_keys = [
-        flipped(F.element_at(mags, p + 1)["idx"]) for p in range(probes - 1)
+def _probe_keys_from_dots(dots: Column, nbits: int, radius: int) -> Column:
+    import itertools
+
+    bits = _bits_from_dots(dots, nbits)
+
+    def flip(b: Column) -> Column:
+        return F.when(b == "1", F.lit("0")).otherwise(F.lit("1"))
+
+    masks: list[tuple[int, ...]] = [()]
+    for r in range(1, radius + 1):
+        masks += list(itertools.combinations(range(nbits), r))
+    keys = [
+        F.concat(*[flip(bits[j]) if j in m else bits[j] for j in range(nbits)])
+        for m in masks
     ]
-    return F.array_distinct(F.array(home, *probe_keys))
+    return F.array(*keys)
 
 
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
+    dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
-    bucket_dims: int = 8,
-    n_probe: int = 1,
+    nbits: int = 8,
+    radius: int = 2,
 ) -> DataFrame:
-    """ANN top-k: candidates limited to the query's sign-LSH bucket(s).
+    """ANN top-k: candidates limited to the query's sign-LSH bucket(s),
+    hyperplane-hashed (:func:`sign_lsh_bucket`) with Hamming-``radius``
+    multiprobe (:func:`multiprobe_buckets`; default radius 2 is the
+    measured recall ≥ 0.3 operating point on the demo corpus).
 
-    ``n_probe > 1`` enables multi-probe: the query side explodes into the
-    home bucket plus the nearest bit-flip buckets (see multiprobe_buckets),
-    recovering recall lost to hyperplane-adjacent coordinates.  The corpus
-    side never fans out — at 100 TB the corpus stays hash-partitioned by its
-    single home bucket and each query probe touches one partition.
+    ``radius=0`` probes only the home bucket — the raw index, kept for
+    recall measurement.  The corpus side never fans out — at 100 TB the
+    corpus stays hash-partitioned by its single home bucket and each
+    query probe touches one partition per probe key.
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        sign_lsh_bucket(F.col(vec_col), bucket_dims).alias("bucket"),
-    )
-    if n_probe <= 1:
-        # fast path: the home bucket is a plain column — no probe array,
-        # no Generate node on the broadcast side
-        bucket = sign_lsh_bucket(F.col(vec_col), bucket_dims).alias("bucket")
-    else:
-        bucket = F.explode(
-            multiprobe_buckets(F.col(vec_col), bucket_dims, n_probe)
-        ).alias("bucket")
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qv"),
-            bucket,
+    # Stage the nbits hyperplane projections as ONE array column per side,
+    # then derive bucket/probe keys from it: the dot products are computed
+    # once per row regardless of how many probe keys consume them (the
+    # staged projection is non-cheap, so CollapseProject keeps it separate
+    # rather than re-inlining it into every key expression).
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        )
+        .withColumn("_dots", projection_dots(F.col("cv"), dim, nbits))
+        .select(
+            "neighbor_id",
+            "cv",
+            F.concat(*_bits_from_dots(F.col("_dots"), nbits)).alias("bucket"),
         )
     )
+    staged = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("_dots", projection_dots(F.col("qv"), dim, nbits))
+    if radius <= 0:
+        # fast path: the home bucket is a plain column — no probe array,
+        # no Generate node on the broadcast side
+        bucket = F.concat(*_bits_from_dots(F.col("_dots"), nbits)).alias(
+            "bucket"
+        )
+    else:
+        bucket = F.explode(
+            _probe_keys_from_dots(F.col("_dots"), nbits, radius)
+        ).alias("bucket")
+    q = F.broadcast(staged.select("query_id", "qv", bucket))
     sim = cosine_similarity(F.col("qv"), F.col("cv"))
     scored = (
         q.join(c, "bucket")

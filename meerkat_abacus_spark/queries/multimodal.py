@@ -148,7 +148,7 @@ def multimodal_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     emb = embed_media(attach_binary_payload(docs, text_col="text"))
     corpus = emb.withColumn(
-        "bucket", sim.sign_lsh_bucket(F.col("embedding"), 8)
+        "bucket", sim.coordinate_sign_bucket(F.col("embedding"), 8)
     )
     pairs = dd.embedding_near_dup_pairs(
         corpus, id_col="doc_id", vec_col="embedding", block_col="bucket",

@@ -940,70 +940,3 @@ def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
-
-
-def _tws_available() -> bool:
-    """transformWithStateInPandas drives its state server over protobuf;
-    this container ships PySpark without the protobuf wheel, so the
-    successor-API sessionizer is import-gated (the brief's rule for
-    missing optional deps) instead of registered: a registry entry would
-    fail the driver gate in any environment with the same image.  The
-    implementation itself lives in streaming/stateful.py and is exercised
-    by tests/test_stateful_sessionize.py::test_tws_variant_matches_batch
-    wherever protobuf IS present."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-        return True
-    except ImportError:
-        return False
-
-
-def streaming_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SAME gap-sessionizer on Spark 4's transformWithStateInPandas
-    (StatefulProcessor) API — streaming/stateful.py keeps both
-    implementations; certifying each against the identical batch oracle
-    pins the operator's semantics independently of which state API runs
-    it (applyInPandasWithState is the primary; this is the successor API
-    where composite state, TTL and timers live)."""
-    import glob
-    import os
-    import shutil
-    import tempfile
-
-    from meerkat_abacus_spark.streaming.stateful import (
-        run_sessionize_tws_over_files,
-    )
-
-    base = tempfile.gettempdir() + f"/msa_sess_tws_{_scratch_tag(sf_dir)}"
-    src, ckpt = base + "/src", base + "/ckpt"
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(src)
-
-    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    bounds = events.selectExpr(
-        "percentile_approx(ts, array(0.25, 0.5, 0.75), 10000) q"
-    ).collect()[0]["q"]
-    lo = [None] + list(bounds)
-    hi = list(bounds) + [None]
-    for k, (a, b) in enumerate(zip(lo, hi)):
-        sl = events
-        if a is not None:
-            sl = sl.filter(F.col("ts") > F.lit(a))
-        if b is not None:
-            sl = sl.filter(F.col("ts") <= F.lit(b))
-        tmp = f"{base}/tmp{k}"
-        sl.coalesce(1).write.parquet(tmp)
-        part = glob.glob(f"{tmp}/part-*.parquet")[0]
-        dest = f"{src}/slice{k}.parquet"
-        shutil.move(part, dest)
-        shutil.rmtree(tmp)
-        os.utime(dest, (1_700_000_000 + k, 1_700_000_000 + k))
-
-    name = f"sess_tws_{_scratch_tag(sf_dir)}"
-    return run_sessionize_tws_over_files(spark, src, ckpt, queryName=name)
-
-
-if _tws_available():  # pragma: no cover - depends on container deps
-    _register("streaming_sessionize_tws", ORACLES["streaming_sessionize"])(
-        streaming_sessionize_tws
-    )

@@ -138,8 +138,12 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.to_date("o_orderdate") < F.lit("1997-01-01"))
         )
         .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        # supplier GROWS with scale factor (10k·SF rows): no broadcast hint —
+        # an explicit F.broadcast is not demotable by AQE and becomes an
+        # executor-OOM risk at 100×; AQE promotes the join to broadcast on
+        # its own whenever the measured side is under the threshold.
         .join(
-            F.broadcast(supplier),
+            supplier,
             (lineitem.l_suppkey == supplier.s_suppkey)
             & (customer.c_nationkey == supplier.s_nationkey),
         )
@@ -671,12 +675,14 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     that both pass through nation) that exercises join reordering,
     broadcast selection, and conditional aggregation in one plan.
 
-    Scale shape: true dimensions (filtered part, supplier, both nation
-    legs, region) broadcast explicitly; lineitem⋈orders and ⋈customer are
-    fact-to-fact and stay shuffle joins on their keys — broadcasting
-    orders would be a 100 TB-side OOM, so the hint is deliberately
-    absent and AQE is free to upgrade them only when a filtered side
-    measures small.  The ratio divides the two ROUNDED sums so the
+    Scale shape: fixed-cardinality dimensions (both nation legs, region)
+    broadcast explicitly; part and supplier GROW with scale factor
+    (200k·SF / 10k·SF rows), so their joins carry NO hint — an explicit
+    F.broadcast is not demotable by AQE, which at 100× turns it into an
+    executor-OOM risk, whereas unhinted AQE still promotes them to
+    broadcast whenever the measured (filtered) side is small.
+    lineitem⋈orders and ⋈customer are fact-to-fact and stay shuffle
+    joins on their keys.  The ratio divides the two ROUNDED sums so the
     cross-engine hash cannot flip on summation order."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
@@ -691,8 +697,8 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flat = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(n1), customer.c_nationkey == F.col("n1.n_nationkey"))
         .join(F.broadcast(region), F.col("n1.n_regionkey") == region.r_regionkey)

@@ -86,9 +86,14 @@ def _session_func(gap_us: int, evict: bool = False):
             seq, start_us, last_us, n = 0, None, None, 0
 
         touched: dict[int, tuple[int, int, int]] = {}
-        for pdf in pdf_iter:
-            if pdf.empty:
-                continue
+        # A hot key whose micro-batch exceeds the Arrow batch size arrives
+        # as MULTIPLE pandas chunks in arbitrary inter-chunk order, so the
+        # "within a batch the operator sorts" contract requires collecting
+        # every chunk for the key FIRST and sorting once — sorting each
+        # chunk independently would interleave sessions for hot keys.
+        frames = [pdf for pdf in pdf_iter if not pdf.empty]
+        if frames:
+            pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
             pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
             # datetime64[ns] -> integer microseconds
             ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
@@ -186,108 +191,6 @@ def run_sessionize_over_files(
         .parquet(source_dir)
     )
     emissions = sessionize_stream(stream, gap_seconds=gap_seconds)
-    q = (
-        emissions.writeStream.format("memory")
-        .queryName(queryName)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return latest_sessions(spark.table(queryName))
-
-
-# ---------------------------------------------------------------------------
-# transformWithState variant: the same sessionizer on Spark 4's successor
-# API (StatefulProcessor).  applyInPandasWithState remains the primary
-# implementation; this variant exists because the new API is where
-# composite state (ListState/MapState), state TTL and timers live going
-# forward, and because certifying BOTH implementations against the same
-# batch oracle pins the operator's semantics independently of the API.
-# ---------------------------------------------------------------------------
-
-
-def _make_tws_processor(gap_us: int):
-    """Build the StatefulProcessor subclass lazily: the class body imports
-    nothing executor-side beyond pandas, and the closure carries only the
-    gap scalar (picklable)."""
-    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
-
-    class _SessionProcessor(StatefulProcessor):
-        def init(self, handle) -> None:
-            self._state = handle.getValueState("session", STATE_SCHEMA)
-
-        def handleInputRows(self, key, rows, timerValues):
-            (user_id,) = key
-            got = self._state.get()
-            if got is not None:
-                seq, start_us, last_us, n = got
-            else:
-                seq, start_us, last_us, n = 0, None, None, 0
-
-            touched: dict[int, tuple[int, int, int]] = {}
-            for pdf in rows:
-                if pdf.empty:
-                    continue
-                pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-                ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
-                for t in ts_us:
-                    if last_us is None or t - last_us > gap_us:
-                        seq, start_us, n = seq + 1, int(t), 0
-                    last_us = int(t)
-                    n += 1
-                    touched[seq] = (start_us, last_us, n)
-
-            self._state.update((seq, start_us, last_us, n))
-            if touched:
-                yield pd.DataFrame(
-                    {
-                        "user_id": [user_id] * len(touched),
-                        "session_seq": list(touched),
-                        "n_events": [v[2] for v in touched.values()],
-                        "duration_s": [
-                            v[1] // 1_000_000 - v[0] // 1_000_000
-                            for v in touched.values()
-                        ],
-                    }
-                )
-
-        def close(self) -> None:
-            pass
-
-    return _SessionProcessor()
-
-
-def sessionize_stream_tws(
-    events_stream: DataFrame, gap_seconds: int = 1800
-) -> DataFrame:
-    """``transformWithStateInPandas`` form of :func:`sessionize_stream`
-    (non-evicting mode; same update-mode emission protocol, same
-    ``latest_sessions`` collapse)."""
-    return events_stream.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=_make_tws_processor(gap_seconds * 1_000_000),
-        outputStructType=OUTPUT_SCHEMA,
-        outputMode="Update",
-        timeMode="None",
-    )
-
-
-def run_sessionize_tws_over_files(
-    spark: SparkSession,
-    source_dir: str,
-    checkpoint_dir: str,
-    gap_seconds: int = 1800,
-    queryName: str = "tws_sessions",
-) -> DataFrame:
-    """Drive :func:`sessionize_stream_tws` over time-sliced parquet files —
-    the same harness contract as :func:`run_sessionize_over_files`."""
-    stream = (
-        spark.readStream.schema("event_id long, user_id long, ts timestamp")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(source_dir)
-    )
-    emissions = sessionize_stream_tws(stream, gap_seconds=gap_seconds)
     q = (
         emissions.writeStream.format("memory")
         .queryName(queryName)

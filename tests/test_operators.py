@@ -597,6 +597,52 @@ def test_datapipe_operators_accept_empty_input(spark):
         spark.createDataFrame([], schema="id_a long, id_b long")
     ).count() == 0
     assert sim.brute_force_topk(embs, embs).count() == 0
-    assert sim.lsh_topk(embs, embs).count() == 0
+    assert sim.lsh_topk(embs, embs, dim=4).count() == 0
     q = embs.select("vec_id", sim.quantize_int8(F.col("embedding")).alias("q"))
     assert q.count() == 0
+
+
+def test_star_contraction_matches_label_propagation(spark):
+    """Alternating large/small-star must produce the identical
+    (node → min reachable id) labelling as label propagation on graphs
+    with long chains, cliques, isolated edges and merged clusters."""
+    import random
+
+    from meerkat_abacus_spark.datapipe.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    edges = []
+    # long path (worst case for propagation), a clique, random noise
+    edges += [(i, i + 1) for i in range(100, 140)]
+    edges += [(a, b) for a in range(200, 210) for b in range(a + 1, 210)]
+    edges += [(rng.randrange(0, 80), rng.randrange(0, 80)) for _ in range(60)]
+    edges = [(min(a, b), max(a, b)) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, schema="id_a long, id_b long")
+
+    # label propagation needs O(diameter) passes on the 40-node path —
+    # give it enough; star contraction converges in O(log n) on defaults
+    # (that gap is exactly why star is the high-diameter-safe choice).
+    lab = {
+        (r.node, r.component)
+        for r in connected_components(df, max_iterations=60).collect()
+    }
+    star = {
+        (r.node, r.component)
+        for r in connected_components_star(df).collect()
+    }
+    assert star == lab
+
+
+def test_star_contraction_empty_and_single_edge(spark):
+    from meerkat_abacus_spark.datapipe.dedup import connected_components_star
+
+    empty = spark.createDataFrame([], schema="id_a long, id_b long")
+    assert connected_components_star(empty).count() == 0
+    one = spark.createDataFrame([(5, 2)], schema="id_a long, id_b long")
+    got = {
+        (r.node, r.component) for r in connected_components_star(one).collect()
+    }
+    assert got == {(2, 2), (5, 2)}

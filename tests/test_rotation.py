@@ -1,0 +1,72 @@
+"""Rotation-policy invariants (VERDICT r6 ask #8): the driver window is
+generated from certification data, the committed snapshot matches
+regeneration from the repo-root artifacts, and the policy guarantees
+bounded evidence staleness."""
+
+import importlib.util
+import os
+
+from meerkat_abacus_spark.queries import QUERIES, ORACLES, _REGISTRY_PRIORITY
+from meerkat_abacus_spark.queries import _rotation
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _gen_rotation_module():
+    spec = importlib.util.spec_from_file_location(
+        "gen_rotation", os.path.join(ROOT, "tools", "gen_rotation.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_snapshot_matches_regeneration():
+    """cert_history.json must equal what tools/gen_rotation.py computes
+    from the CORRECTNESS_r*.json artifacts — a stale committed snapshot
+    would silently skew the window."""
+    import glob
+
+    if not glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")):
+        import pytest
+
+        pytest.skip("no driver artifacts in this checkout")
+    assert _rotation.load_history() == _gen_rotation_module().compute_history()
+
+
+def test_registry_order_is_policy_output():
+    hist = _rotation.load_history()["last_certified"]
+    expect = _rotation.build_priority(sorted(QUERIES), hist)
+    assert list(QUERIES) == expect
+    assert list(ORACLES) == [n for n in expect if n in ORACLES]
+    assert _REGISTRY_PRIORITY == expect
+
+
+def test_max_staleness_invariant():
+    """After the current round (as_of + 1) certifies the window, every
+    registered query must have been driver-certified within the last
+    MAX_STALENESS rounds."""
+    hist = _rotation.load_history()
+    this_round = hist["as_of_round"] + 1
+    last = dict(hist["last_certified"])
+    window = set(list(QUERIES)[: _rotation.WINDOW])
+    for name in window:
+        last[name] = this_round
+    floor = this_round - _rotation.MAX_STALENESS + 1
+    stale = {n: r for n, r in last.items() if n in QUERIES and r < floor}
+    assert not stale, f"queries left stale beyond {_rotation.MAX_STALENESS} rounds: {stale}"
+
+
+def test_watch_queries_inside_window():
+    window = set(list(QUERIES)[: _rotation.WINDOW])
+    missing = [n for n in _rotation.WATCH if n in QUERIES and n not in window]
+    assert not missing, missing
+
+
+def test_new_queries_lead_window():
+    """Never-certified queries (this round's additions) must occupy the
+    head of the window so they get first-time driver certification."""
+    hist = _rotation.load_history()["last_certified"]
+    fresh = [n for n in QUERIES if n not in hist]
+    head = list(QUERIES)[: len(fresh)] if fresh else []
+    assert sorted(head) == sorted(fresh)

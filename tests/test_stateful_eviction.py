@@ -248,47 +248,52 @@ def test_interval_join_matches_across_batch_boundary(spark, tmp_path):
     assert pairs == [(2, 3)], pairs
 
 
-def test_tws_variant_matches_primary_sessionizer(spark, tmp_path):
-    """transformWithStateInPandas sessionizer (successor state API) must
-    emit exactly the applyInPandasWithState sessions.  Skipped where the
-    container ships PySpark without protobuf — the state-server protocol
-    needs it (the same gate keeps streaming_sessionize_tws out of the
-    query registry there)."""
-    import pytest
-
-    from meerkat_abacus_spark.queries.streaming import _tws_available
-
-    if not _tws_available():
-        pytest.skip("google.protobuf absent: transformWithState cannot run")
-
-    import time as _time
-
-    from pyspark.sql import functions as F
-
+def test_hot_key_spanning_many_arrow_chunks(spark, tmp_path):
+    """A key whose micro-batch exceeds the Arrow batch size reaches the
+    stateful function as MULTIPLE pandas chunks in arbitrary inter-chunk
+    order; the operator must concatenate them and sort ONCE before the
+    gap scan (sorting each chunk independently would fabricate or merge
+    sessions).  Forces 8-row chunks over a 240-event hot key laid down in
+    descending time order so chunk-local sorting cannot accidentally be
+    globally sorted."""
     from meerkat_abacus_spark.streaming.stateful import (
         run_sessionize_over_files,
-        run_sessionize_tws_over_files,
     )
 
-    events = spark.range(200).select(
-        F.col("id").alias("event_id"),
-        (F.col("id") % 7).alias("user_id"),
-        F.timestamp_micros(
-            (F.col("id") * 600_000_000 + (F.col("id") % 3) * 2_000_000_000)
-        ).alias("ts"),
-    )
+    n, gap_s = 240, 1800
+    # One user; events every 600 s, so every 4th pair (2400 s) breaks a
+    # session: sessions of 4 events each (session length 3*600 < gap).
+    rows = [
+        (
+            i,
+            7,
+            # 600 s within a session, +gap-busting jump every 4 events
+            (i * 600 + (i // 4) * 3600) * 1_000_000,
+        )
+        for i in range(n)
+    ]
     src = str(tmp_path / "src")
-    for k in (0, 1):
-        sl = events.filter((F.col("event_id") % 2) == k).coalesce(1)
-        sl.write.parquet(f"{src}/slice={k}")
-        _time.sleep(0.05)
+    df = spark.createDataFrame(
+        rows, schema="event_id long, user_id long, us long"
+    ).select(
+        "event_id", "user_id", F.timestamp_micros("us").alias("ts")
+    )
+    # descending order inside the single file = worst-case chunk order
+    df.orderBy(F.desc("ts")).coalesce(1).write.parquet(src + "/slice=0")
 
-    a = run_sessionize_over_files(
-        spark, src + "/slice=*", str(tmp_path / "ck_a"), queryName="tws_a"
-    )
-    b = run_sessionize_tws_over_files(
-        spark, src + "/slice=*", str(tmp_path / "ck_b"), queryName="tws_b"
-    )
-    rows_a = sorted(tuple(r) for r in a.collect())
-    rows_b = sorted(tuple(r) for r in b.collect())
-    assert rows_a == rows_b
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+    try:
+        out = run_sessionize_over_files(
+            spark,
+            src + "/slice=*",
+            str(tmp_path / "ck_hot"),
+            gap_seconds=gap_s,
+            queryName="hotkey_sessions",
+        ).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    got = {r.session_seq: (r.n_events, r.duration_s) for r in out}
+    assert len(got) == n // 4, len(got)
+    assert all(v == (4, 1800) for v in got.values()), sorted(got.items())[:5]

@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Regenerate meerkat_abacus_spark/queries/cert_history.json from the
+driver's CORRECTNESS_r*.json artifacts at the repo root.
+
+A query's entry is the LAST round whose artifact shows it fully green
+(rows + schema + hash where present).  Run after each round's artifacts
+land; tests/test_rotation.py asserts the committed snapshot matches this
+regeneration, so a stale snapshot fails CI instead of silently skewing
+the window.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(
+    ROOT, "meerkat_abacus_spark", "queries", "cert_history.json"
+)
+
+
+def compute_history(root: str = ROOT) -> dict:
+    last: dict[str, int] = {}
+    as_of = 0
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        as_of = max(as_of, rnd)
+        with open(path) as f:
+            data = json.load(f)
+        for name, row in data.items():
+            ok = (
+                row.get("rows_match")
+                and row.get("schema_match", True)
+                and row.get("hash_match", True)
+                and row.get("err") in (None, "")
+            )
+            if ok:
+                last[name] = max(last.get(name, 0), rnd)
+    return {
+        "as_of_round": as_of,
+        "last_certified": dict(sorted(last.items())),
+    }
+
+
+def main() -> None:
+    hist = compute_history()
+    with open(OUT, "w") as f:
+        json.dump(hist, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(
+        f"wrote {OUT}: as_of_round={hist['as_of_round']}, "
+        f"{len(hist['last_certified'])} queries"
+    )
+
+
+if __name__ == "__main__":
+    main()
