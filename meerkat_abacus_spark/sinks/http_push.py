@@ -21,8 +21,20 @@ Spark disposition — the POSTs run ON THE EXECUTORS:
   transport errors, so an executor retry or Spark task re-attempt can only
   re-send a key the receiver has already seen — the receiver dedupes, the
   pipeline stays exactly-once-per-key.  4xx responses do NOT retry (the
-  payload is wrong; retrying cannot fix it) and raise so the task fails
-  loudly instead of dropping data.
+  payload is wrong; retrying cannot fix it).
+
+Task re-attempt semantics for client errors (advisor r6): raising inside
+``foreachPartition`` fails the Spark TASK, which is re-attempted up to
+``spark.task.maxFailures`` — each attempt re-POSTs the partition prefix
+(safe only because of the Idempotency-Key) and re-POSTs the 4xx payload
+itself.  ``on_client_error="deadletter"`` (the default for
+:func:`push_rows`) therefore catches 4xx PER ROW and routes the key to a
+dead-letter accumulator instead of failing the task: delivery continues,
+the task succeeds, and the caller receives the rejected keys for the
+dead-letter table (mirroring the reference's row-level quarantine in the
+K4 sink).  ``on_client_error="fail"`` restores fail-fast for callers that
+want a poisoned payload to abort the job — accepting the documented
+prefix-re-send on each attempt.
 """
 
 from __future__ import annotations
@@ -32,14 +44,34 @@ import time
 import urllib.error
 import urllib.request
 from collections.abc import Callable
+from typing import NamedTuple
 
+from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import DataFrame
 
 __all__ = [
+    "PushReport",
     "http_foreach_batch_sink",
     "http_sender",
     "push_rows",
 ]
+
+
+class PushReport(NamedTuple):
+    """Outcome of a :func:`push_rows` call in dead-letter mode."""
+
+    pushed: int
+    rejected: int
+    rejected_keys: tuple
+
+
+class _ListAccum(AccumulatorParam):
+    def zero(self, value):
+        return []
+
+    def addInPlace(self, a, b):
+        a.extend(b)
+        return a
 
 
 def _post_json(
@@ -99,26 +131,53 @@ def push_rows(
     timeout_s: float = 10.0,
     retries: int = 3,
     backoff_s: float = 0.1,
-) -> int:
+    on_client_error: str = "deadletter",
+) -> "int | PushReport":
     """POST every row of ``df`` as one JSON document — the batch push leg
     for ``aggregate_submission_payload`` output and consul-style exports.
 
     Runs via ``foreachPartition`` on the executors; the row's ``key_col``
-    becomes the ``Idempotency-Key`` so task re-attempts are safe.  Returns
-    the number of rows pushed, counted with an accumulator inside the same
-    pass (no second job)."""
-    acc = df.sparkSession.sparkContext.accumulator(0)
+    becomes the ``Idempotency-Key`` so task re-attempts are safe.
+
+    ``on_client_error="deadletter"`` (default): a 4xx response quarantines
+    THAT row — its key and status code go to a dead-letter accumulator,
+    the rest of the partition keeps delivering, the task succeeds, and a
+    :class:`PushReport` (pushed, rejected, rejected_keys) is returned for
+    the caller's dead-letter table.  ``"fail"``: a 4xx raises and fails
+    the task (the pre-r7 behaviour) — note the task is then RE-ATTEMPTED
+    by Spark, re-sending the partition prefix and the poisoned payload on
+    every attempt (see module docstring); returns the pushed count as
+    ``int``."""
+    if on_client_error not in ("deadletter", "fail"):
+        raise ValueError("on_client_error must be 'deadletter' or 'fail'")
+    sc = df.sparkSession.sparkContext
+    acc = sc.accumulator(0)
+    dead = sc.accumulator([], _ListAccum()) if on_client_error == "deadletter" else None
 
     def _partition(rows) -> None:
         n = 0
+        rejects = []
         for row in rows:
             d = row.asDict()
-            _post_json(url, d, d.get(key_col), timeout_s, retries, backoff_s)
+            try:
+                _post_json(
+                    url, d, d.get(key_col), timeout_s, retries, backoff_s
+                )
+            except urllib.error.HTTPError as e:
+                if dead is None or e.code >= 500:
+                    raise
+                rejects.append((d.get(key_col), e.code))
+                continue
             n += 1
         acc.add(n)
+        if dead is not None and rejects:
+            dead.add(rejects)
 
     df.foreachPartition(_partition)
-    return acc.value
+    if dead is None:
+        return acc.value
+    rejected = tuple(sorted(dead.value))
+    return PushReport(acc.value, len(rejected), rejected)
 
 
 def http_foreach_batch_sink(

@@ -123,8 +123,8 @@ def test_push_rows_retries_5xx_and_delivers_exactly_once_per_key(
     )
     payloads = aggregate_submission_payload(raw, form_id="demo_case")
 
-    n = push_rows(payloads, flaky_receiver.url, key_col="uuid")
-    assert n == 8
+    report = push_rows(payloads, flaky_receiver.url, key_col="uuid")
+    assert report.pushed == 8 and report.rejected == 0
     assert len(flaky_receiver.received) == 8
     keys = sorted(r["key"] for r in flaky_receiver.received)
     assert keys == sorted(f"uuid:{i}" for i in range(8))
@@ -140,8 +140,8 @@ def test_push_rows_retries_5xx_and_delivers_exactly_once_per_key(
 
 
 def test_push_rows_fails_fast_on_4xx(spark):
-    """A 4xx is a payload bug: no retry, the job surfaces the error instead
-    of silently dropping rows."""
+    """A 4xx is a payload bug: no retry; in on_client_error='fail' mode the
+    job surfaces the error instead of silently dropping rows."""
     from meerkat_abacus_spark.sinks.http_push import push_rows
 
     r = _Receiver()
@@ -162,9 +162,58 @@ def test_push_rows_fails_fast_on_4xx(spark):
     try:
         df = spark.createDataFrame([("u1", "x")], "uuid string, payload string")
         with pytest.raises(Exception):
-            push_rows(df, r.url, key_col="uuid", retries=3)
+            push_rows(
+                df, r.url, key_col="uuid", retries=3, on_client_error="fail"
+            )
         # fail-fast: exactly one attempt for the single row, not 4
         assert len(r.attempts) == 1
+    finally:
+        r.close()
+
+
+def test_push_rows_deadletters_4xx_rows_without_failing_task(spark):
+    """Dead-letter mode (advisor r6): a 4xx row is quarantined per-row —
+    the key lands in the report, the remaining rows still deliver exactly
+    once, and the task (hence the job) SUCCEEDS, so Spark never re-attempts
+    the partition and the delivered prefix is never re-sent."""
+    from meerkat_abacus_spark.sinks.http_push import push_rows
+
+    r = _Receiver()
+
+    class _RejectOdd(BaseHTTPRequestHandler):
+        def do_POST(handler):
+            n = int(handler.headers.get("Content-Length", 0))
+            handler.rfile.read(n)
+            key = handler.headers.get("Idempotency-Key")
+            with r.lock:
+                r.attempts.append(key)
+            if key and int(key.split(":")[1]) % 2 == 1:
+                handler.send_response(422)
+                handler.end_headers()
+                return
+            with r.lock:
+                r.received.append({"key": key})
+            handler.send_response(200)
+            handler.end_headers()
+
+        def log_message(handler, *a):
+            pass
+
+    r.server.RequestHandlerClass = _RejectOdd
+    try:
+        df = spark.createDataFrame(
+            [(f"u:{i}", "x") for i in range(6)], "uuid string, payload string"
+        )
+        report = push_rows(df, r.url, key_col="uuid", retries=3)
+        assert report.pushed == 3
+        assert report.rejected == 3
+        assert report.rejected_keys == (
+            ("u:1", 422), ("u:3", 422), ("u:5", 422),
+        )
+        # rejected rows saw exactly ONE attempt each (no 4xx retry), and
+        # delivered keys exactly one success
+        assert sorted(x["key"] for x in r.received) == ["u:0", "u:2", "u:4"]
+        assert len(r.attempts) == 6
     finally:
         r.close()
 

@@ -329,3 +329,32 @@ def test_quantize_int8_property_bounds_and_cosine(spark):
         assert err < 0.02, (i, j, err)
         checked += 1
     assert checked > 20
+
+
+def test_train_centroids_high_dimensional(spark):
+    """dim=256 (r6 verdict ask #6): the vector-valued aggregation buffer
+    must keep the update to one column regardless of dimensionality —
+    the old one-avg-per-dimension form produced 256 agg columns here.
+    Three orthogonal-direction clusters in 256-D must be recovered."""
+    per_cluster, dim = 30, 256
+    rows = []
+    vid = 0
+    for ci in range(3):
+        for _ in range(per_cluster):
+            v = [0.0] * dim
+            # dominant axis per cluster + small deterministic noise
+            v[ci * 80] = 1.0
+            for i in range(dim):
+                v[i] += ((vid * 13 + i * 7) % 5 - 2) * 0.01
+            rows.append((vid, v))
+            vid += 1
+    corpus = spark.createDataFrame(
+        rows, schema="vec_id int, embedding array<double>"
+    )
+    cents = train_centroids(corpus, k=3, iters=5).collect()
+    assert len(cents) == 3
+    got = [list(r["embedding"]) for r in cents]
+    for ci in range(3):
+        d = [0.0] * dim
+        d[ci * 80] = 1.0
+        assert max(_cos(d, g) for g in got) > 0.95
