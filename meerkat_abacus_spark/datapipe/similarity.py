@@ -7,10 +7,19 @@ Two tiers:
   and the per-query top-k is a groupBy window.  Fine for ≤ millions of
   corpus rows × few queries.
 - sign-LSH bucketed ANN — the scale path.  Each vector gets a bucket key
-  from the sign pattern of a fixed set of coordinates (a deterministic,
-  engine-portable stand-in for random hyperplanes); search touches only the
-  query's bucket.  On a 1000-executor cluster the corpus is hash-partitioned
-  by bucket, so a query probes one partition instead of 100 TB.
+  from the sign pattern of md5-derived Gaussian random hyperplane
+  projections (engine-portable: the hyperplanes are compile-time literals
+  and the dot products fold in the same order in Spark and the SQL
+  oracle); search probes the query's Hamming-radius ball of buckets
+  (multiprobe), recovering recall a single 2^nbits-bucket table cannot
+  give.  On a 1000-executor cluster the corpus is hash-partitioned by its
+  single home bucket, so a query probe touches per-key partitions instead
+  of 100 TB.
+
+Plus the compression tier: per-vector int8 quantization (8× smaller) and
+product quantization with ADC scoring (64× smaller at the default
+geometry), both with MEASURED quality (recall vs brute-force truth), not
+asserted.
 """
 
 from __future__ import annotations
@@ -668,4 +677,120 @@ def assign_lists_by_join(
     return (
         scored.groupBy("id")
         .agg(F.max_by(F.col("__cid"), pref).alias("list_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) with asymmetric distance computation (ADC):
+# the embedding-compression scale path.  dim-D vectors become m small codes
+# (here 8 codes over 64 dims = 8 bytes/vector vs 512 for float64 — a 64×
+# smaller scan/shuffle footprint); queries stay full-precision and score
+# against per-subspace codebook entries (ADC), so ranking quality degrades
+# only by per-subspace quantization error.
+# ---------------------------------------------------------------------------
+
+
+def pq_subdist(vec: Column, offset: int, code_vec: list[float]) -> Column:
+    """Squared L2 between ``vec[offset+1 .. offset+len]`` and a literal
+    codeword, as a LEFT-ASSOCIATED add chain of exact ops — the same
+    evaluation order the generated oracle SQL uses, so both engines
+    produce bit-identical doubles and every argmin / rank comparison is
+    deterministic cross-engine (no rounding guard needed)."""
+    def term(d: int) -> Column:
+        x = F.element_at(vec, offset + d + 1).cast("double") - F.lit(
+            code_vec[d]
+        )
+        return x * x
+
+    expr = term(0)
+    for d in range(1, len(code_vec)):
+        expr = expr + term(d)
+    return expr
+
+
+def pq_encode(
+    vec: Column, codebooks: list[list[list[float]]]
+) -> list[Column]:
+    """Per-subspace code columns: ``code_s = argmin_c L2²(sub_s, cb[s][c])``
+    with ties to the smaller code id.  The codebooks ride as literals, so
+    encoding is a pure projection in whole-stage codegen — the corpus is
+    never joined to train or encode."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    codes = []
+    for s in range(m):
+        ranked = F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        pq_subdist(vec, s * dsub, cv).alias("d"),
+                        F.lit(c).alias("cid"),
+                    )
+                    for c, cv in enumerate(codebooks[s])
+                ]
+            )
+        )
+        codes.append(ranked[0]["cid"].alias(f"code{s}"))
+    return codes
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """ADC top-k: encode the corpus to PQ codes (pure projection), then
+    score each (query, code-row) pair as the sum of per-subspace squared
+    distances between the full-precision query slice and the corpus row's
+    SELECTED codeword — codebook lookups are ``element_at`` into a nested
+    literal, so scoring is also projection-only; the only join is the
+    broadcast of the (small) query side against the encoded corpus.
+
+    At 100 TB the encoded corpus is the thing that lives in memory/disk
+    (m bytes per vector); re-ranking survivors against full vectors is a
+    follow-up join by id over just k×|queries| rows."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    enc = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        *pq_encode(F.col(vec_col), codebooks),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+    )
+    paired = q.crossJoin(enc).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    # score_s = distance to the selected codeword, dispatched over the
+    # literal codebook by code id (a CASE over ncodes literals per
+    # subspace); total = left-assoc sum over subspaces.
+    def sub_score(s: int) -> Column:
+        code = F.col(f"code{s}")
+        expr = None
+        for c, cv in enumerate(codebooks[s]):
+            d = pq_subdist(F.col("qv"), s * dsub, cv)
+            expr = (
+                F.when(code == c, d)
+                if expr is None
+                else expr.when(code == c, d)
+            )
+        return expr.otherwise(F.lit(None))
+
+    total = sub_score(0)
+    for s in range(1, m):
+        total = total + sub_score(s)
+    scored = paired.select(
+        "query_id", "neighbor_id", total.alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )

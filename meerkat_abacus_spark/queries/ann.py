@@ -549,3 +549,127 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("x"), 4).alias("min_x"),
         F.round(F.max("x"), 4).alias("max_x"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization + ADC: the compression tier beyond int8.  Fixture
+# codebooks = the per-subspace slices of corpus vectors vec_id < 8 (8 codes
+# per subspace, deterministic in both engines — same policy as the IVF
+# fixture centroids); every distance is a left-associated chain of exact
+# ops, so encode argmins and ADC rankings are bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8         # subspaces
+_PQ_DSUB = 8      # dims per subspace (8 × 8 = the 64-dim corpus)
+_PQ_NCODES = 8    # codes per subspace -> 3 bits; 8 codes/vector total
+
+
+def _pq_dist_sql(vec_a: str, vec_b: str, s: int) -> str:
+    """Left-assoc squared-L2 chain over subspace ``s`` — mirrors
+    ``sim.pq_subdist``'s evaluation order exactly."""
+    return "(" + " + ".join(
+        f"({vec_a}[{s * _PQ_DSUB + d + 1}] - {vec_b}[{s * _PQ_DSUB + d + 1}])"
+        f" * ({vec_a}[{s * _PQ_DSUB + d + 1}] - {vec_b}[{s * _PQ_DSUB + d + 1}])"
+        for d in range(_PQ_DSUB)
+    ) + ")"
+
+
+def _pq_oracle_sql() -> str:
+    dists = ",\n               ".join(
+        f"{_pq_dist_sql('a.v', 'c.v', s)} AS d{s}" for s in range(_PQ_M)
+    )
+    # exact argmin with deterministic ties: min distance first, then the
+    # smallest cid among codes achieving it (equality is safe — both
+    # engines compute bit-identical doubles by chain-order construction)
+    minds = ",\n               ".join(
+        f"MIN(d{s}) AS m{s}" for s in range(_PQ_M)
+    )
+    argmins = ",\n               ".join(
+        f"MIN(CASE WHEN p.d{s} = m.m{s} THEN p.cid END) AS code{s}"
+        for s in range(_PQ_M)
+    )
+    luts = ",\n               ".join(
+        f"{_pq_dist_sql('q.qv', 'c.v', s)} AS l{s}" for s in range(_PQ_M)
+    )
+    lut_joins = "\n        ".join(
+        f"JOIN lut t{s} ON t{s}.qid = q.qid AND t{s}.cid = e.code{s}"
+        for s in range(_PQ_M)
+    )
+    adc = " + ".join(f"t{s}.l{s}" for s in range(_PQ_M))
+    return f"""
+    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    codes AS (SELECT vec_id AS cid, v FROM corpus WHERE vec_id < {_PQ_NCODES}),
+    pairs AS (
+        SELECT a.vec_id, c.cid,
+               {dists}
+        FROM corpus a CROSS JOIN codes c
+    ),
+    mins AS (
+        SELECT vec_id,
+               {minds}
+        FROM pairs GROUP BY 1
+    ),
+    enc AS (
+        SELECT p.vec_id,
+               {argmins}
+        FROM pairs p JOIN mins m USING (vec_id) GROUP BY 1
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM corpus
+          WHERE vec_id >= 100 AND vec_id < 120),
+    lut AS (
+        SELECT q.qid, c.cid,
+               {luts}
+        FROM q CROSS JOIN codes c
+    ),
+    scored AS (
+        SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+               ({adc}) AS adc
+        FROM enc e CROSS JOIN q
+        {lut_joins}
+        WHERE e.vec_id <> q.qid
+    )
+    SELECT query_id, neighbor_id, ROUND(adc, 6) AS adc_dist, rank FROM (
+        SELECT query_id, neighbor_id, adc,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY adc ASC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """
+
+
+@_register("ann_pq_adc", _pq_oracle_sql())
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN with asymmetric distance computation: the
+    corpus collapses to {_PQ_M} codes per vector (64 doubles -> 8 small
+    ints, a 64x scan/shuffle footprint cut); full-precision queries score
+    against the selected codewords via nested-literal lookups — encoding
+    AND scoring are pure projections, the only join is the broadcast query
+    side (see sim.pq_adc_topk for the 100 TB shape)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cb_rows = (
+        emb.filter(F.col("vec_id") < _PQ_NCODES).orderBy("vec_id").collect()
+    )
+    codebooks = [
+        [
+            [
+                float(r["embedding"][s * _PQ_DSUB + d])
+                for d in range(_PQ_DSUB)
+            ]
+            for r in cb_rows
+        ]
+        for s in range(_PQ_M)
+    ]
+    queries_df = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 120)
+    )
+    out = sim.pq_adc_topk(
+        emb, queries_df, codebooks, id_col="vec_id", vec_col="embedding", k=3
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("adc_dist", 6).alias("adc_dist"),
+        "rank",
+    )

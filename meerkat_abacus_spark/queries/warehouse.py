@@ -1003,3 +1003,189 @@ def orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r7 additions: TPC-H Q2-shaped argmin join, ROLLUP hierarchy lattice,
+# market-basket pair mining.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "min_cost_supplier",
+    """
+    WITH unit AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS min_unit
+        FROM lineitem GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT l_partkey, MIN(min_unit) AS best_unit FROM unit GROUP BY 1
+    )
+    SELECT p.p_partkey AS partkey, s.s_name AS supplier,
+           n.n_name AS nation, u.min_unit AS unit_cost
+    FROM unit u
+    JOIN best b ON u.l_partkey = b.l_partkey AND u.min_unit = b.best_unit
+    JOIN part p ON p.p_partkey = u.l_partkey
+    JOIN supplier s ON s.s_suppkey = u.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_type = 'MEDIUM' AND r.r_name = 'ASIA'
+    """,
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each MEDIUM part, every ASIA supplier whose
+    best unit price EQUALS the part's global minimum — the correlated-min
+    subquery pattern, decorrelated into aggregate + equi-join (what a
+    Q2-style EXISTS/scalar subquery also plans to after Catalyst's
+    subquery rewrite, written directly).
+
+    Scale shape: both aggregations partial-combine map-side to one row
+    per (part, supplier) / per part before their shuffles; the argmin
+    re-join is co-partitioned on l_partkey with the aggregate that
+    produced it (exchange reuse); part/supplier/nation/region are
+    unhinted — nation/region are fixture-constant (AQE broadcasts them),
+    part and supplier GROW with SF so an explicit non-demotable hint
+    would be an OOM risk at 100×.  The float equality is safe: both
+    sides are MINs over the same exact division results, so the doubles
+    are bit-identical by construction.  Ties (several suppliers at the
+    minimum) emit every winner — deterministic output set, no arbitrary
+    pick.  unit_cost is deliberately NOT engine-rounded: Spark and DuckDB
+    disagree on ROUND for near-midpoint doubles (observed:
+    120.88499999999999 at 2dp), while the raw doubles are bit-identical;
+    the compare harness's uniform normalization handles display."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "MEDIUM")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("min_unit")
+    )
+    best = unit.groupBy("l_partkey").agg(F.min("min_unit").alias("best_unit"))
+    return (
+        unit.join(
+            best,
+            (unit.l_partkey == best.l_partkey)
+            & (unit.min_unit == best.best_unit),
+        )
+        .drop(best.l_partkey)
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
+        .join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("s_name").alias("supplier"),
+            F.col("n_name").alias("nation"),
+            F.col("min_unit").alias("unit_cost"),
+        )
+    )
+
+
+@_register(
+    "rollup_report",
+    """
+    SELECT COALESCE(r.r_name, 'ALL') AS region,
+           COALESCE(n.n_name, 'ALL') AS nation,
+           GROUPING(r.r_name) * 2 + GROUPING(n.n_name) AS gid,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2) AS total_balance
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP (region → nation → grand total) with
+    grouping_id disambiguation — the drill-down lattice complementing
+    cube_report's full lattice: |nations| + |regions| + 1 output rows.
+
+    Scale shape: Spark expands the rollup into one Expand + single
+    aggregate — the fact shuffles once for all three grouping levels,
+    partial aggregation collapses each level map-side; nation/region
+    broadcast by AQE (fixture-constant), customer unhinted (grows with
+    SF)."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = customer.join(
+        nation, customer.c_nationkey == nation.n_nationkey
+    ).join(region, nation.n_regionkey == region.r_regionkey)
+    agg = joined.rollup("r_name", "n_name").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+    )
+    return agg.select(
+        F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+        F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+        "gid",
+        "n_customers",
+        "total_balance",
+    )
+
+
+@_register(
+    "basket_pairs",
+    """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    sized AS (
+        SELECT l_orderkey FROM items GROUP BY 1 HAVING COUNT(*) <= 20
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+        JOIN sized s ON s.l_orderkey = a.l_orderkey
+    )
+    SELECT part_a, part_b, COUNT(*) AS n_orders
+    FROM pairs GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 50
+    """,
+)
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: top-50 part pairs co-occurring in the
+    same order — the frequent-itemset primitive of recommendation /
+    co-click pipelines.
+
+    Scale shape: the pairwise term is BLOCK-BOUNDED exactly like the LSH
+    dedup joins — pairs are generated only inside one order, and the
+    basket-size guard (orders with > 20 distinct parts are dropped, the
+    standard cap in co-occurrence mining) bounds the per-key quadratic
+    term; the self-join is co-partitioned on l_orderkey, the pair count
+    partial-aggregates map-side, and the final top-50 is
+    TakeOrderedAndProject (per-partition heads, no global sort)."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    sized = (
+        items.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= 20)
+        .select(F.col("l_orderkey").alias("__sized_ok"))
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .join(sized, F.col("a.l_orderkey") == F.col("__sized_ok"))
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(50)
+    )
