@@ -840,7 +840,7 @@ def connected_components_star(
     dst: str = "id_b",
     max_iterations: int = 20,
     checkpoint_dir: str | None = None,
-    check_interval: int = 2,
+    check_interval: int = 1,
 ) -> DataFrame:
     """Connected components by alternating LARGE-STAR / SMALL-STAR
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -867,9 +867,13 @@ def connected_components_star(
 
     Convergence test: a star forest has no 2-chain (no node is both an
     edge's small end and another's big end), so ``exists(e1.v == e2.u)``
-    is the fixed-point probe — batched every ``check_interval`` rounds
-    like the label-propagation probe (extra converged rounds are no-ops:
-    star steps are idempotent on a star forest).
+    is the fixed-point probe.  Unlike label propagation (whose per-pass
+    cost is low enough that probing every 2nd pass wins), a star round
+    costs ~4 shuffles while the probe is one tiny semi-join job — so the
+    default probes EVERY round (measured: ci=1 0.76s vs ci=2 1.22s on the
+    sf0.1 dedup graph, which converges in 1 round); ``check_interval>1``
+    remains available for genuinely deep graphs where rounds are cheap
+    relative to their count.
     """
     if check_interval < 1:
         raise ValueError("check_interval must be >= 1")
@@ -898,11 +902,13 @@ def connected_components_star(
         lmin = sym.groupBy("u").agg(
             F.least(F.col("u"), F.min("v")).alias("m")
         )
+        # no distinct here: duplicate (v, m) emissions feed a MIN in the
+        # small-star step and cannot change it — the one distinct per
+        # round happens on the (smaller) small-star output.
         large = (
             sym.join(lmin, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
         )
         # ---- small-star (edges already big → small) ----
         smin = large.groupBy("u").agg(F.min("v").alias("m"))

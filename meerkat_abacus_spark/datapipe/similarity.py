@@ -690,47 +690,43 @@ def assign_lists_by_join(
 # ---------------------------------------------------------------------------
 
 
-def pq_subdist(vec: Column, offset: int, code_vec: list[float]) -> Column:
-    """Squared L2 between ``vec[offset+1 .. offset+len]`` and a literal
-    codeword, as a LEFT-ASSOCIATED add chain of exact ops — the same
-    evaluation order the generated oracle SQL uses, so both engines
-    produce bit-identical doubles and every argmin / rank comparison is
-    deterministic cross-engine (no rounding guard needed)."""
-    def term(d: int) -> Column:
-        x = F.element_at(vec, offset + d + 1).cast("double") - F.lit(
-            code_vec[d]
-        )
-        return x * x
-
-    expr = term(0)
-    for d in range(1, len(code_vec)):
-        expr = expr + term(d)
-    return expr
+def _pq_chain_sql(vec_sql: str, offset: int, code_vec: list[float]) -> str:
+    """Squared L2 between ``element_at(vec, offset+1..offset+len)`` and a
+    literal codeword, as a LEFT-ASSOCIATED add chain — the same evaluation
+    order the generated oracle SQL uses, so both engines produce
+    bit-identical doubles and every argmin / rank comparison is
+    deterministic cross-engine (no rounding guard needed).  Generated as a
+    SQL STRING (one ``F.expr`` per subspace) rather than py4j Column
+    algebra: building thousands of Column nodes costs seconds of driver
+    round-trips; parsing one string does not."""
+    terms = []
+    for d, w in enumerate(code_vec):
+        e = f"(element_at({vec_sql}, {offset + d + 1}) - ({w!r}))"
+        terms.append(f"{e} * {e}")
+    return "(" + " + ".join(terms) + ")"
 
 
 def pq_encode(
-    vec: Column, codebooks: list[list[list[float]]]
+    vec_sql: str, codebooks: list[list[list[float]]]
 ) -> list[Column]:
     """Per-subspace code columns: ``code_s = argmin_c L2²(sub_s, cb[s][c])``
-    with ties to the smaller code id.  The codebooks ride as literals, so
-    encoding is a pure projection in whole-stage codegen — the corpus is
-    never joined to train or encode."""
+    with ties to the smaller code id (array_sort over (dist, cid) structs).
+    The codebooks ride as literals, so encoding is a pure projection in
+    whole-stage codegen — the corpus is never joined to train or encode."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     codes = []
     for s in range(m):
-        ranked = F.array_sort(
-            F.array(
-                *[
-                    F.struct(
-                        pq_subdist(vec, s * dsub, cv).alias("d"),
-                        F.lit(c).alias("cid"),
-                    )
-                    for c, cv in enumerate(codebooks[s])
-                ]
+        structs = ", ".join(
+            f"named_struct('d', {_pq_chain_sql(vec_sql, s * dsub, cv)}, "
+            f"'cid', {c})"
+            for c, cv in enumerate(codebooks[s])
+        )
+        codes.append(
+            F.expr(f"element_at(array_sort(array({structs})), 1).cid").alias(
+                f"code{s}"
             )
         )
-        codes.append(ranked[0]["cid"].alias(f"code{s}"))
     return codes
 
 
@@ -750,13 +746,13 @@ def pq_adc_topk(
     broadcast of the (small) query side against the encoded corpus.
 
     At 100 TB the encoded corpus is the thing that lives in memory/disk
-    (m bytes per vector); re-ranking survivors against full vectors is a
-    follow-up join by id over just k×|queries| rows."""
+    (m small codes per vector); re-ranking survivors against full vectors
+    is a follow-up join by id over just k×|queries| rows."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     enc = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        *pq_encode(F.col(vec_col), codebooks),
+        *pq_encode(vec_col, codebooks),
     )
     q = F.broadcast(
         queries.select(
@@ -766,24 +762,29 @@ def pq_adc_topk(
     paired = q.crossJoin(enc).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    # score_s = distance to the selected codeword, dispatched over the
-    # literal codebook by code id (a CASE over ncodes literals per
-    # subspace); total = left-assoc sum over subspaces.
-    def sub_score(s: int) -> Column:
-        code = F.col(f"code{s}")
-        expr = None
-        for c, cv in enumerate(codebooks[s]):
-            d = pq_subdist(F.col("qv"), s * dsub, cv)
-            expr = (
-                F.when(code == c, d)
-                if expr is None
-                else expr.when(code == c, d)
+    # Stage each subspace's SELECTED codeword as a column (element_at into
+    # the nested codebook literal, indexed by the code id), then one
+    # left-assoc difference chain per subspace — same order as the encode
+    # and oracle chains.
+    for s in range(m):
+        cb_sql = "array(" + ", ".join(
+            "array(" + ", ".join(f"{x!r}D" for x in cv) + ")"
+            for cv in codebooks[s]
+        ) + ")"
+        paired = paired.withColumn(
+            f"__sel{s}", F.expr(f"element_at({cb_sql}, code{s} + 1)")
+        )
+    sub_chains = []
+    for s in range(m):
+        terms = []
+        for d in range(dsub):
+            e = (
+                f"(element_at(qv, {s * dsub + d + 1}) - "
+                f"element_at(__sel{s}, {d + 1}))"
             )
-        return expr.otherwise(F.lit(None))
-
-    total = sub_score(0)
-    for s in range(1, m):
-        total = total + sub_score(s)
+            terms.append(f"{e} * {e}")
+        sub_chains.append("(" + " + ".join(terms) + ")")
+    total = F.expr(" + ".join(sub_chains))
     scored = paired.select(
         "query_id", "neighbor_id", total.alias("adc_dist")
     )

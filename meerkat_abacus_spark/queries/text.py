@@ -1251,3 +1251,146 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("__u div __w").alias("skey"),
     )
     return keyed.orderBy("skey", "doc_id").limit(100)
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval: the inverted-index consumer.  Exactness discipline:
+# the tf saturation part is ONE division of exact integers (k1=6/5 and
+# b=3/4 cross-multiplied through, so tf, dl, N and total_len never touch
+# a float until the final divide), the idf is rounded to 6dp straight off
+# ln() (the repo's tfidf discipline), and per-term scores become BIGINT
+# micro-units BEFORE the per-document sum — integer sums are
+# order-independent, so multi-term accumulation cannot flip the hash.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("vector", "stream", "hash")
+
+
+@_register(
+    "bm25_search",
+    f"""
+    WITH tok AS (
+        SELECT doc_id,
+               UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS token
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n, SUM(dl) AS total FROM dl),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tok
+        WHERE token IN {_BM25_TERMS!r}
+        GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT token, COUNT(*) AS dfq FROM tf GROUP BY 1),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(ROUND(
+                   ROUND(ln(1 + (s.n - d.dfq + 0.5) / (d.dfq + 0.5)), 6)
+                   * (CAST(44 * tf.tf * s.total AS DOUBLE)
+                      / CAST(20 * tf.tf * s.total + 6 * s.total
+                             + 18 * l.dl * s.n AS DOUBLE))
+                   * 1000000, 0) AS BIGINT) AS term_micro
+        FROM tf
+        JOIN dfreq d USING (token)
+        JOIN dl l ON l.doc_id = tf.doc_id
+        CROSS JOIN stats s
+    )
+    SELECT doc_id, CAST(SUM(term_micro) AS BIGINT) AS score_micro
+    FROM scored GROUP BY 1
+    ORDER BY score_micro DESC, doc_id LIMIT 10
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by BM25 (k1=1.2, b=0.75) for a fixed keyword
+    query — the retrieval scorer a decontamination / quality pipeline
+    runs over the inverted index.
+
+    Scale shape: one explode feeds the doc-length and term-frequency
+    aggregates; the query-term filter prunes the tf aggregate to
+    |terms|·|docs| rows BEFORE any join; df and the global (N, total)
+    scalars join back broadcast-small (one row / |terms| rows); the
+    final ranking is TakeOrderedAndProject.  Scoring exactness: tf part
+    = one integer-rational division (k1, b cross-multiplied through),
+    idf rounded 6dp off ln(), per-term scores in BIGINT micro-units so
+    the per-doc sum is order-independent — no float accumulation
+    anywhere."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "token"
+        ),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")
+    )
+    tf = (
+        tok.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfq"))
+    idf6 = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n") - F.col("dfq") + F.lit(0.5))
+            / (F.col("dfq") + F.lit(0.5))
+        ),
+        6,
+    )
+    tfpart = (44 * F.col("tf") * F.col("total")).cast("double") / (
+        20 * F.col("tf") * F.col("total")
+        + 6 * F.col("total")
+        + 18 * F.col("dl") * F.col("n")
+    ).cast("double")
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf6 * tfpart * F.lit(1_000_000.0), 0)
+            .cast("bigint")
+            .alias("term_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("term_micro").cast("bigint").alias("score_micro"))
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+@_register(
+    "value_histogram",
+    """
+    WITH b AS (
+        SELECT event_type,
+               CAST(LEAST(GREATEST(FLOOR(value / 25.0), 0), 19) AS BIGINT)
+                   AS bucket
+        FROM events
+    )
+    SELECT event_type, bucket, COUNT(*) AS n
+    FROM b GROUP BY 1, 2
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram of event values per type (20 bins of width 25,
+    clamped) — the profiling primitive behind quality dashboards and
+    skew diagnosis.  One projection + one partial-aggregated groupBy;
+    the bucket id is floor division of identical doubles, so both
+    engines bin identically."""
+    events = _t(spark, sf_dir, "events")
+    bucket = (
+        F.least(
+            F.greatest(F.floor(F.col("value") / F.lit(25.0)), F.lit(0)),
+            F.lit(19),
+        )
+    ).cast("bigint")
+    return (
+        events.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

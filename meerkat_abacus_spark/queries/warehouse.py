@@ -1062,14 +1062,22 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("min_unit")
     )
-    best = unit.groupBy("l_partkey").agg(F.min("min_unit").alias("best_unit"))
+    # best derives FROM unit: rename its columns so the self-referencing
+    # join cannot resolve both sides to the same attribute (Spark warns
+    # "trivially true equals predicate" and silently drops the key
+    # condition otherwise).
+    best = (
+        unit.groupBy("l_partkey")
+        .agg(F.min("min_unit").alias("best_unit"))
+        .select(F.col("l_partkey").alias("__best_pk"), "best_unit")
+    )
     return (
         unit.join(
             best,
-            (unit.l_partkey == best.l_partkey)
-            & (unit.min_unit == best.best_unit),
+            (unit.l_partkey == F.col("__best_pk"))
+            & (unit.min_unit == F.col("best_unit")),
         )
-        .drop(best.l_partkey)
+        .drop("__best_pk")
         .join(part, F.col("l_partkey") == part.p_partkey)
         .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
         .join(nation, supplier.s_nationkey == nation.n_nationkey)

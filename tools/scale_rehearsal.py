@@ -143,6 +143,71 @@ def time_pipeline(spark, sf_dir: str) -> dict:
     return {"pipeline_composed": {"sec": round(time.time() - t0, 2), "rows": n}}
 
 
+def build_events_100x(spark, src_dir: str, dest_dir: str) -> None:
+    """100x events with disjoint ids/users per copy (r6 verdict ask #7):
+    the composed surveillance pipeline has been rehearsed at 10x but
+    never at 100x — volume AND key cardinality (clinics/users) both
+    scale, mirroring a 100x deployment."""
+    from meerkat_abacus_spark.queries import _t
+
+    events = _t(spark, src_dir, "events")
+    copies = [
+        events.select(
+            (F.col("event_id") + 10_000_000 * k).alias("event_id"),
+            "ts",
+            (F.col("user_id") + 1_000_000 * k).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for k in range(100)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{dest_dir}/events.parquet"
+    )
+
+
+def pipeline_stage_rows(spark, sf_dir: str) -> dict:
+    """Per-stage row counts of the composed surveillance pipeline
+    (QC-shaped input → to_data_type fan-out → coding → date filter →
+    report aggregate) — the cardinality waterfall the 100x leg reports
+    alongside wall time.  Uses the SAME specs/rules as the certified
+    pipeline_composed query."""
+    from meerkat_abacus_spark.operators.to_data_type import DataTypeSpec
+    from meerkat_abacus_spark.plans.pipeline import surveillance_pipeline
+    from meerkat_abacus_spark.queries import _t
+    from meerkat_abacus_spark.queries.surveillance import _PIPE_RULES
+
+    events = _t(spark, sf_dir, "events")
+    specs = [
+        DataTypeSpec(name="Case", type="case", form="events",
+                     db_column="event_type", condition="purchase",
+                     date="ts", var="tot_1", uuid="event_id"),
+        DataTypeSpec(name="Visit", type="visit", form="events",
+                     date="ts", var="vis_1", uuid="event_id"),
+    ]
+    data = surveillance_pipeline(
+        {"events": events}, specs, _PIPE_RULES, links=None, epi_config="day:0"
+    )
+    filtered = data.filter(F.col("epi_year") >= 2023)
+    report = (
+        filtered.select(
+            "type", F.explode(F.map_keys(F.col("variables"))).alias("var_id")
+        )
+        .groupBy("type", "var_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return {
+        "events_rows": events.count(),
+        "coded_rows": data.count(),
+        "date_filtered_rows": filtered.count(),
+        "report_rows": report.count(),
+    }
+
+
 def main() -> None:
     from meerkat_abacus_spark.session import get_spark
 
@@ -163,6 +228,22 @@ def main() -> None:
         a = report["sf0.1"][name]["sec"]
         b = report["sf~1.0"][name]["sec"]
         report[f"{name}_scale_ratio_10x_data"] = round(b / a, 2) if a else None
+
+    # --- 100x surveillance-pipeline leg (r6 verdict ask #7) ---
+    dest100 = tempfile.gettempdir() + "/msa_scale_events100"
+    shutil.rmtree(dest100, ignore_errors=True)
+    build_events_100x(spark, src, dest100)
+    report["pipeline_100x"] = {
+        "sf0.1": {**time_pipeline(spark, src),
+                  "stages": pipeline_stage_rows(spark, src)},
+        "sf~10": {**time_pipeline(spark, dest100),
+                  "stages": pipeline_stage_rows(spark, dest100)},
+    }
+    a = report["pipeline_100x"]["sf0.1"]["pipeline_composed"]["sec"]
+    b = report["pipeline_100x"]["sf~10"]["pipeline_composed"]["sec"]
+    report["pipeline_scale_ratio_100x_data"] = round(b / a, 2) if a else None
+    shutil.rmtree(dest100, ignore_errors=True)
+
     print(json.dumps(report))
     shutil.rmtree(dest, ignore_errors=True)
 
