@@ -179,3 +179,100 @@ def test_approx_count_distinct_within_tolerance(spark):
         F.approx_count_distinct("user_id", 0.02).alias("approx"),
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact <= 0.05, row
+
+
+def test_aqe_splits_skewed_join_partition(spark, tmp_path):
+    """AQE skew-join handling is the runtime half of the skew story
+    (functions/skew.py's salting is the compile-time half): with one key
+    holding ~90% of the fact rows, AQE must mark the sort-merge join
+    skewed and split the oversized partition into parallel subtasks —
+    the lever that keeps one straggler task from serializing a 100 TB
+    join.  Thresholds are lowered so the demo fixture trips them; the
+    assertion is on the EXECUTED plan (AQE decides at runtime)."""
+    fact = spark.range(0, 60_000).select(
+        F.when(F.col("id") < 54_000, F.lit(7)).otherwise(F.col("id") % 100)
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+    )
+    fpath, dpath = str(tmp_path / "fact"), str(tmp_path / "dim")
+    fact.write.parquet(fpath)
+    dim.write.parquet(dpath)
+
+    conf = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        # force the sort-merge path: broadcast would hide the skew split
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        joined = spark.read.parquet(fpath).join(
+            spark.read.parquet(dpath), "k"
+        )
+        # materialize THROUGH this DataFrame so its own queryExecution
+        # finalizes (count() would wrap a new plan and leave this one
+        # unexecuted / isFinalPlan=false)
+        n = len(joined.collect())
+        assert n == 60_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, tmp_path):
+    """Runtime filter evidence: joining a big fact to a selectively
+    filtered build side should inject a bloom filter (or semi-join IN
+    filter) on the fact's join key, so most fact rows drop at the scan
+    instead of shuffling — Spark's runtime companion to static predicate
+    pushdown.  Thresholds lowered so the fixture qualifies; asserted on
+    the optimized plan (might_contain / bloomfilter node)."""
+    fact = spark.range(0, 200_000).select(
+        (F.col("id") % 10_000).alias("k"), F.col("id").alias("v")
+    )
+    build = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("flag")
+    )
+    fpath, bpath = str(tmp_path / "bf_fact"), str(tmp_path / "bf_build")
+    fact.write.parquet(fpath)
+    build.write.parquet(bpath)
+
+    conf = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        f = spark.read.parquet(fpath)
+        b = spark.read.parquet(bpath).filter(F.col("flag") == 0)
+        joined = f.join(b, "k")
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert (
+            "bloomfilter" in plan.lower() or "might_contain" in plan.lower()
+        ), plan[:2000]
+        # keys with flag==0: 0,7,...,9996 -> 1429 keys x 20 fact rows each
+        assert joined.count() == 1429 * 20
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
