@@ -1197,3 +1197,62 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(50)
     )
+
+
+@_register(
+    "order_activity_sets",
+    """
+    WITH y96 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE EXTRACT(year FROM CAST(o_orderdate AS DATE)) = 1996
+    ),
+    y97 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE EXTRACT(year FROM CAST(o_orderdate AS DATE)) = 1997
+    )
+    SELECT 'retained' AS segment, COUNT(*) AS n_customers
+    FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)
+    UNION ALL
+    SELECT 'lapsed', COUNT(*)
+    FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97)
+    UNION ALL
+    SELECT 'new', COUNT(*)
+    FROM (SELECT * FROM y97 EXCEPT SELECT * FROM y96)
+    """,
+)
+def order_activity_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer retention segments via relational set operators: INTERSECT
+    (retained 1996∩1997), EXCEPT (lapsed / newly active) — the set-algebra
+    coverage the reference never had (its only set op is envelope UNION).
+
+    Scale shape: Spark compiles INTERSECT/EXCEPT to distinct + left-semi /
+    left-anti hash joins over the two year slices — both sides collapse to
+    distinct customer keys (partial-agg) before any join, the year
+    predicates push to the orders scan, and each COUNT is a one-row
+    aggregate; no full-width fact ever shuffles."""
+    orders = _t(spark, sf_dir, "orders")
+    y96 = (
+        orders.filter(F.year(F.to_date("o_orderdate")) == 1996)
+        .select("o_custkey")
+        .distinct()
+    )
+    y97 = (
+        orders.filter(F.year(F.to_date("o_orderdate")) == 1997)
+        .select("o_custkey")
+        .distinct()
+    )
+    segs = [
+        ("retained", y96.intersect(y97)),
+        ("lapsed", y96.exceptAll(y97)),
+        ("new", y97.exceptAll(y96)),
+    ]
+    parts = [
+        df.agg(F.count(F.lit(1)).alias("n_customers")).select(
+            F.lit(name).alias("segment"), "n_customers"
+        )
+        for name, df in segs
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
