@@ -532,6 +532,7 @@ def train_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     tol: float = 1e-4,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Scalable Lloyd-style k-means for the IVF index: returns a
     ``(centroid_id, <vec_col>)`` DataFrame consumable by :func:`ivf_topk`.
@@ -602,12 +603,30 @@ def train_centroids(
             ]
         )
 
+    if metric not in ("cosine", "l2"):
+        raise ValueError("metric must be 'cosine' or 'l2'")
+
+    def _affinity(c):
+        # sort key: smaller = nearer.  cosine clusters by DIRECTION (the
+        # IVF recall metric); l2 clusters by POSITION — the quantizer a
+        # PQ codebook needs (ADC approximates squared-L2, so a
+        # direction-only codebook ignores the magnitudes ADC scores).
+        if metric == "cosine":
+            return -cosine_similarity(F.col("v"), c["cv_cent"])
+        return F.aggregate(
+            F.zip_with(
+                F.col("v"), c["cv_cent"], lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
     for _ in range(iters):
         ranked = F.array_sort(
             F.transform(
                 _cent_arr(centroids),
                 lambda c: F.struct(
-                    (-cosine_similarity(F.col("v"), c["cv_cent"])).alias("neg"),
+                    _affinity(c).alias("neg"),
                     c["cid"].alias("cid"),
                 ),
             )
@@ -762,10 +781,18 @@ def pq_adc_topk(
     paired = q.crossJoin(enc).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    # Stage each subspace's SELECTED codeword as a column (element_at into
-    # the nested codebook literal, indexed by the code id), then one
-    # left-assoc difference chain per subspace — same order as the encode
-    # and oracle chains.
+    return _adc_rank(paired, codebooks, k)
+
+
+def _adc_rank(
+    paired: DataFrame, codebooks: list[list[list[float]]], k: int
+) -> DataFrame:
+    """Shared ADC scorer: stage each subspace's SELECTED codeword as a
+    column (element_at into the nested codebook literal, indexed by the
+    code id), then one left-assoc difference chain per subspace — same
+    order as the encode and oracle chains — and rank per query."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
     for s in range(m):
         cb_sql = "array(" + ", ".join(
             "array(" + ", ".join(f"{x!r}D" for x in cv) + ")"
@@ -795,3 +822,46 @@ def pq_adc_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_probe: int = 2,
+) -> DataFrame:
+    """The FAISS-shaped composite index: IVF inverted lists bound WHICH
+    candidates a query touches (n_probe nearest lists), PQ codes bound
+    WHAT each candidate costs to score (m bytes + an ADC table lookup
+    instead of a dim-wide float vector).
+
+    Plan shape: list assignment and PQ encoding are both pure projections
+    over literal tables (one corpus scan, no training join); the probe is
+    a broadcast equi-join on list_id (at scale: the encoded corpus is
+    partitioned by list_id, so the probe partition-prunes exactly like
+    ivf_topk_from_index — except each pruned partition holds m-byte codes
+    rather than full vectors, multiplying how much index fits per
+    executor).  ADC scoring and ranking are shared with pq_adc_topk."""
+    ranked = centroid_ranker(centroids, vec_col)
+    enc = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        ranked(F.col(vec_col))[0]["cid"].alias("list_id"),
+        *pq_encode(vec_col, codebooks),
+    )
+    probed = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(
+            F.slice(ranked(F.col(vec_col)), 1, n_probe)["cid"]
+        ).alias("list_id"),
+    )
+    paired = (
+        F.broadcast(probed)
+        .join(enc, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    return _adc_rank(paired, codebooks, k)

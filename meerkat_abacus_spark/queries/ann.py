@@ -673,3 +673,285 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("adc_dist", 6).alias("adc_dist"),
         "rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ composite (the FAISS IndexIVFPQ shape): inverted lists bound the
+# candidate set, PQ codes bound the per-candidate cost.  Same fixture
+# centroids as ann_ivf_topk, same fixture codebooks as ann_pq_adc.
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_oracle_sql() -> str:
+    dists = ",\n               ".join(
+        f"{_pq_dist_sql('a.v', 'c.v', s)} AS d{s}" for s in range(_PQ_M)
+    )
+    minds = ",\n               ".join(
+        f"MIN(d{s}) AS m{s}" for s in range(_PQ_M)
+    )
+    argmins = ",\n               ".join(
+        f"MIN(CASE WHEN p.d{s} = m.m{s} THEN p.cid END) AS code{s}"
+        for s in range(_PQ_M)
+    )
+    luts = ",\n               ".join(
+        f"{_pq_dist_sql('q.qv', 'c.v', s)} AS l{s}" for s in range(_PQ_M)
+    )
+    lut_joins = "\n        ".join(
+        f"JOIN lut t{s} ON t{s}.qid = q.qid AND t{s}.cid = e.code{s}"
+        for s in range(_PQ_M)
+    )
+    adc = " + ".join(f"t{s}.l{s}" for s in range(_PQ_M))
+    return f"""
+    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+        SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < 16
+    ),
+    assigned AS (
+        SELECT v.vec_id, v.v, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY {_CENT_COS} DESC, c.centroid_id ASC) AS crank
+        FROM corpus v CROSS JOIN cents c
+    ),
+    codes AS (SELECT vec_id AS cid, v FROM corpus WHERE vec_id < {_PQ_NCODES}),
+    pairs AS (
+        SELECT a.vec_id, c.cid,
+               {dists}
+        FROM corpus a CROSS JOIN codes c
+    ),
+    mins AS (
+        SELECT vec_id,
+               {minds}
+        FROM pairs GROUP BY 1
+    ),
+    enc AS (
+        SELECT p.vec_id,
+               {argmins}
+        FROM pairs p JOIN mins m USING (vec_id) GROUP BY 1
+    ),
+    enc2 AS (
+        SELECT e.*, a.centroid_id AS list_id
+        FROM enc e JOIN assigned a ON a.vec_id = e.vec_id AND a.crank = 1
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM corpus
+          WHERE vec_id >= 100 AND vec_id < 120),
+    probes AS (
+        SELECT vec_id AS qid, centroid_id AS list_id
+        FROM assigned WHERE crank <= 2 AND vec_id >= 100 AND vec_id < 120
+    ),
+    lut AS (
+        SELECT q.qid, c.cid,
+               {luts}
+        FROM q CROSS JOIN codes c
+    ),
+    scored AS (
+        SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+               ({adc}) AS adc
+        FROM enc2 e
+        JOIN probes p ON p.list_id = e.list_id
+        JOIN q ON q.qid = p.qid
+        {lut_joins}
+        WHERE e.vec_id <> q.qid
+    )
+    SELECT query_id, neighbor_id, ROUND(adc, 6) AS adc_dist, rank FROM (
+        SELECT query_id, neighbor_id, adc,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY adc ASC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """
+
+
+@_register("ann_ivfpq_topk", _ivfpq_oracle_sql())
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composite probe (sim.ivfpq_topk): the inverted lists bound
+    WHICH candidates are touched (2 of 16 lists), the PQ codes bound WHAT
+    each candidate costs (8 codes vs 64 doubles) — list assignment and
+    encoding are both literal-table projections, the probe is one
+    broadcast equi-join on list_id, ADC scoring shared with ann_pq_adc."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    cb_rows = (
+        emb.filter(F.col("vec_id") < _PQ_NCODES).orderBy("vec_id").collect()
+    )
+    codebooks = [
+        [
+            [
+                float(r["embedding"][s * _PQ_DSUB + d])
+                for d in range(_PQ_DSUB)
+            ]
+            for r in cb_rows
+        ]
+        for s in range(_PQ_M)
+    ]
+    queries_df = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 120)
+    )
+    out = sim.ivfpq_topk(
+        emb, queries_df, centroids, codebooks,
+        id_col="vec_id", vec_col="embedding", k=3, n_probe=2,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("adc_dist", 6).alias("adc_dist"),
+        "rank",
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ recall vs EXACT L2 truth: ADC approximates squared-L2, so its quality
+# is measured against the exact-L2 top-k (measuring it against the cosine
+# truth would conflate metric mismatch with quantization error).  The
+# exact distance is one flat 64-term left-assoc chain in SQL == Spark's
+# aggregate(zip_with(...)) fold, so truth ranking is bit-deterministic.
+# ---------------------------------------------------------------------------
+
+_L2_CHAIN_SQL = "(" + " + ".join(
+    f"(a.v[{i + 1}] - b.v[{i + 1}]) * (a.v[{i + 1}] - b.v[{i + 1}])"
+    for i in range(_DIM)
+) + ")"
+
+
+def _pq_recall_oracle_sql() -> str:
+    dists = ",\n               ".join(
+        f"{_pq_dist_sql('a.v', 'c.v', s)} AS d{s}" for s in range(_PQ_M)
+    )
+    minds = ",\n               ".join(
+        f"MIN(d{s}) AS m{s}" for s in range(_PQ_M)
+    )
+    argmins = ",\n               ".join(
+        f"MIN(CASE WHEN p.d{s} = m.m{s} THEN p.cid END) AS code{s}"
+        for s in range(_PQ_M)
+    )
+    luts = ",\n               ".join(
+        f"{_pq_dist_sql('q.qv', 'c.v', s)} AS l{s}" for s in range(_PQ_M)
+    )
+    lut_joins = "\n        ".join(
+        f"JOIN lut t{s} ON t{s}.qid = q.qid AND t{s}.cid = e.code{s}"
+        for s in range(_PQ_M)
+    )
+    adc = " + ".join(f"t{s}.l{s}" for s in range(_PQ_M))
+    return f"""
+    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                       ORDER BY {_L2_CHAIN_SQL} ASC, b.vec_id ASC) AS rank
+            FROM corpus a JOIN corpus b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id < 20
+        ) WHERE rank <= 3
+    ),
+    codes AS (SELECT vec_id AS cid, v FROM corpus WHERE vec_id < {_PQ_NCODES}),
+    pairs AS (
+        SELECT a.vec_id, c.cid,
+               {dists}
+        FROM corpus a CROSS JOIN codes c
+    ),
+    mins AS (
+        SELECT vec_id,
+               {minds}
+        FROM pairs GROUP BY 1
+    ),
+    enc AS (
+        SELECT p.vec_id,
+               {argmins}
+        FROM pairs p JOIN mins m USING (vec_id) GROUP BY 1
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM corpus WHERE vec_id < 20),
+    lut AS (
+        SELECT q.qid, c.cid,
+               {luts}
+        FROM q CROSS JOIN codes c
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid
+                       ORDER BY ({adc}) ASC, e.vec_id ASC) AS rank
+            FROM enc e CROSS JOIN q
+            {lut_joins}
+            WHERE e.vec_id <> q.qid
+        ) WHERE rank <= 3
+    )
+    SELECT 'pq_adc' AS method,
+           CAST((SELECT COUNT(*) FROM approx JOIN truth
+                 USING (query_id, neighbor_id)) AS BIGINT) AS hits,
+           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS truth_n,
+           ROUND((SELECT COUNT(*) FROM approx JOIN truth
+                  USING (query_id, neighbor_id)) * 1.0
+                 / (SELECT COUNT(*) FROM truth), 4) AS recall
+    """
+
+
+@_register("ann_pq_recall", _pq_recall_oracle_sql())
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured PQ quality: recall@3 of ADC ranking against EXACT
+    squared-L2 ground truth over 20 queries — the compression tier's
+    quality knob, measured like every other index in this family (cosine
+    truth would conflate the L2 metric with quantization error)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qs = emb.filter(F.col("vec_id") < 20)
+    cb_rows = (
+        emb.filter(F.col("vec_id") < _PQ_NCODES).orderBy("vec_id").collect()
+    )
+    codebooks = [
+        [
+            [
+                float(r["embedding"][s * _PQ_DSUB + d])
+                for d in range(_PQ_DSUB)
+            ]
+            for r in cb_rows
+        ]
+        for s in range(_PQ_M)
+    ]
+    l2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    q = F.broadcast(
+        qs.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    from pyspark.sql import Window as W
+
+    truth = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", l2.alias("d"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("d").asc(), F.col("neighbor_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    approx = sim.pq_adc_topk(
+        emb, qs, codebooks, id_col="vec_id", vec_col="embedding", k=3
+    ).select("query_id", "neighbor_id")
+    hits = approx.join(truth, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    truth_n = truth.agg(F.count(F.lit(1)).alias("truth_n"))
+    return (
+        hits.crossJoin(F.broadcast(truth_n)).select(
+            F.lit("pq_adc").alias("method"),
+            F.col("hits").cast("bigint").alias("hits"),
+            F.col("truth_n").cast("bigint").alias("truth_n"),
+            F.round(F.col("hits") / F.col("truth_n"), 4).alias("recall"),
+        )
+    )

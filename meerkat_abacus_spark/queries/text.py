@@ -1394,3 +1394,96 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram language-model scoring: the KenLM-shaped quality filter reduced
+# to its distributable core.  Exactness: each DISTINCT token's -log p is
+# rounded once to 6dp and scaled to BIGINT micro-units; per-document
+# accumulation and the final mean are integer ops, so summation order can
+# never flip the hash (same discipline as bm25_search).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "unigram_logprob_score",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS token
+        FROM documents
+    ),
+    vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+    tot AS (SELECT SUM(cnt) AS total, COUNT(*) AS v FROM vocab),
+    lp AS (
+        SELECT token,
+               CAST(ROUND(ROUND(-ln((cnt + 1.0) / (t.total + t.v)), 6)
+                          * 1000000, 0) AS BIGINT) AS nlp_micro
+        FROM vocab CROSS JOIN tot t
+    ),
+    scored AS (
+        SELECT tok.doc_id, SUM(l.nlp_micro) AS sum_micro,
+               COUNT(*) AS n_tok
+        FROM tok JOIN lp l USING (token)
+        GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(sum_micro // n_tok AS BIGINT) AS avg_nlp_micro
+    FROM scored
+    ORDER BY avg_nlp_micro DESC, doc_id LIMIT 50
+    """,
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 most 'surprising' documents by mean unigram negative log
+    probability (add-one smoothed, corpus-trained) — the reduced form of
+    the perplexity filters pretraining pipelines run (KenLM-style), with
+    the n>1 context window left to a real LM.
+
+    Scale shape: ONE explode feeds both the vocabulary aggregate and the
+    scoring join; -log p is computed per DISTINCT token (vocab-sized, not
+    corpus-sized), rounded 6dp and scaled to BIGINT micro-units exactly
+    once; the token→score join runs on the same key the vocab aggregate
+    shuffled on (co-partitioned), deliberately unhinted (a 100 TB corpus
+    vocabulary outgrows broadcast; AQE promotes when measured small); the
+    per-doc sum and the mean are pure integer arithmetic — no float
+    accumulates anywhere; final top-k is TakeOrderedAndProject."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "token"
+        ),
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("v")
+    )
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.round(
+            F.round(
+                -F.log((F.col("cnt") + F.lit(1.0)) / (F.col("total") + F.col("v"))),
+                6,
+            )
+            * F.lit(1_000_000.0),
+            0,
+        )
+        .cast("bigint")
+        .alias("nlp_micro"),
+    )
+    scored = (
+        tok.join(lp, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("nlp_micro").alias("sum_micro"),
+            F.count(F.lit(1)).alias("n_tok"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.expr("sum_micro div n_tok").cast("bigint").alias("avg_nlp_micro"),
+        )
+        .orderBy(F.col("avg_nlp_micro").desc(), "doc_id")
+        .limit(50)
+    )

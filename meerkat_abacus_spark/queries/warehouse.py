@@ -1256,3 +1256,55 @@ def order_activity_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@_register(
+    "small_quantity_revenue",
+    """
+    WITH pagg AS (
+        SELECT l_partkey, SUM(l_quantity) AS sum_qty, COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1
+    )
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pagg a ON a.l_partkey = l.l_partkey
+    WHERE p.p_type = 'MEDIUM'
+      AND 5 * l.l_quantity * a.cnt < a.sum_qty
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from below-20%-of-average-quantity orders
+    of MEDIUM parts — the correlated AGGREGATE subquery
+    (l_quantity < 0.2 * avg per part), decorrelated into a per-part
+    aggregate + co-partitioned self-join, which is exactly what Catalyst's
+    subquery rewrite produces for the correlated form.
+
+    Scale shape: the per-part average partial-aggregates map-side to one
+    row per part before its shuffle; the re-join runs on l_partkey — the
+    same key the aggregate shuffled on (exchange reuse), deliberately
+    unhinted (part count grows with SF); the final global aggregate is a
+    one-row reduce.  The threshold predicate is EXACT by construction:
+    ``q < 0.2·avg`` is cross-multiplied to ``5·q·cnt < sum`` and
+    l_quantity is integer-valued, so the per-part SUM is an exactly
+    representable integer double — order-independent across engines —
+    where an AVG-of-doubles comparison would retain an ulp-boundary flip
+    risk from summation order."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "MEDIUM")
+    pagg = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(pagg, li.l_partkey == F.col("__pk"))
+        .filter(
+            5 * F.col("l_quantity") * F.col("cnt") < F.col("sum_qty")
+        )
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

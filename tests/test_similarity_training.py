@@ -358,3 +358,73 @@ def test_train_centroids_high_dimensional(spark):
         d = [0.0] * dim
         d[ci * 80] = 1.0
         assert max(_cos(d, g) for g in got) > 0.95
+
+
+def test_pq_trained_codebooks_beat_fixture(spark):
+    """PQ quality knob: per-subspace codebooks TRAINED with the repo's
+    k-means in L2 mode (train_centroids(metric='l2') over each subspace
+    slice) must reduce total quantization DISTORTION (mean min squared
+    distance to the codebook — the objective Lloyd minimizes and the
+    quantity that bounds ADC error) versus the fixture codebooks the
+    oracle-checked ann_pq_adc/ann_pq_recall queries pin (SQL cannot
+    re-train, so the certified queries lower-bound quality with fixtures
+    and this test pins the training win)."""
+    from meerkat_abacus_spark.datapipe.similarity import train_centroids
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    m, dsub, ncodes = 8, 8, 8
+
+    def distortion(codebooks) -> float:
+        total = 0.0
+        for s in range(m):
+            cb = F.array(
+                *[
+                    F.array(*[F.lit(x) for x in cv])
+                    for cv in codebooks[s]
+                ]
+            )
+            sub = F.slice("embedding", s * dsub + 1, dsub)
+            dmin = F.array_min(
+                F.transform(
+                    cb,
+                    lambda c: F.aggregate(
+                        F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0),
+                        lambda acc, t: acc + t,
+                    ),
+                )
+            )
+            total += emb.agg(F.avg(dmin)).first()[0]
+        return total
+
+    fix_rows = emb.filter(F.col("vec_id") < ncodes).orderBy("vec_id").collect()
+    fixture = [
+        [
+            [float(r["embedding"][s * dsub + d]) for d in range(dsub)]
+            for r in fix_rows
+        ]
+        for s in range(m)
+    ]
+    trained = []
+    for s in range(m):
+        sub = emb.select(
+            "vec_id", F.slice("embedding", s * dsub + 1, dsub).alias("embedding")
+        )
+        cents = train_centroids(
+            sub, k=ncodes, iters=4, metric="l2"
+        ).orderBy("centroid_id")
+        trained.append(
+            [[float(x) for x in r["embedding"]] for r in cents.collect()]
+        )
+
+    d_fix = distortion(fixture)
+    d_tr = distortion(trained)
+    # L2-trained codebooks cut distortion decisively (measured ~30% on
+    # this corpus); assert a conservative 10% margin
+    assert d_tr < 0.9 * d_fix, (d_tr, d_fix)
