@@ -1487,3 +1487,73 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("avg_nlp_micro").desc(), "doc_id")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking with overlap: the context-window primitive every
+# embedding / RAG / packing pipeline runs before encoding.  Pure
+# sequence+slice+explode — no UDF, no shuffle until the consumer asks.
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24  # overlap = size - stride = 8 tokens
+
+
+@_register(
+    "doc_chunking",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               UNNEST(generate_series(
+                   1, greatest(len(t) - {_CHUNK_SIZE - _CHUNK_STRIDE}, 1),
+                   {_CHUNK_STRIDE})) AS chunk_start,
+               t
+        FROM tok
+    )
+    SELECT doc_id, chunk_start,
+           len(t[chunk_start : chunk_start + {_CHUNK_SIZE - 1}])
+               AS n_chunk_tokens,
+           md5(array_to_string(t[chunk_start : chunk_start + {_CHUNK_SIZE - 1}],
+               ' ')) AS chunk_hash
+    FROM chunks
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunks ({_CHUNK_SIZE} tokens, stride
+    {_CHUNK_STRIDE}, 8-token overlap) — the pre-encoding chunker of
+    embedding/RAG pipelines, content-addressed (md5 of the chunk text) so
+    the oracle checks exact chunk boundaries without hauling chunk bodies
+    through the compare.
+
+    Scale shape: tokens are bound ONCE behind a Generate barrier (the
+    module's perf contract), chunk starts are a ``sequence`` + ``explode``
+    — row counts grow ~n/stride per doc with zero shuffle; hashing is
+    md5-portable.  At 100 TB this is a map-only stage that feeds the
+    encoder's ``mapInPandas``."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    staged = docs.select(
+        "doc_id",
+        F.explode(F.array(tx.tokens_col(F.col("text")))).alias("t"),
+    )
+    overlap = _CHUNK_SIZE - _CHUNK_STRIDE
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("t") - F.lit(overlap), F.lit(1)),
+        F.lit(_CHUNK_STRIDE),
+    )
+    chunked = staged.select(
+        "doc_id", F.explode(starts).alias("chunk_start"), "t"
+    )
+    chunk = F.slice(
+        F.col("t"), F.col("chunk_start"), F.lit(_CHUNK_SIZE)
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_start",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
