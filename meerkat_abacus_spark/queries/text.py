@@ -1269,13 +1269,17 @@ _BM25_TERMS = ("vector", "stream", "hash")
 @_register(
     "bm25_search",
     f"""
-    WITH tok AS (
+    WITH dl AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(lower(text)), '\\s+')) AS dl
+        FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n, SUM(dl) AS total FROM dl),
+    tok AS (
         SELECT doc_id,
                UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS token
         FROM documents
     ),
-    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
-    stats AS (SELECT COUNT(*) AS n, SUM(dl) AS total FROM dl),
     tf AS (
         SELECT doc_id, token, COUNT(*) AS tf FROM tok
         WHERE token IN {_BM25_TERMS!r}
@@ -1305,8 +1309,9 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     query — the retrieval scorer a decontamination / quality pipeline
     runs over the inverted index.
 
-    Scale shape: one explode feeds the doc-length and term-frequency
-    aggregates; the query-term filter prunes the tf aggregate to
+    Scale shape: doc length is a projection over the documents scan
+    (no token-stream aggregate for it); the explode feeds only the
+    term-frequency aggregate, and the query-term filter prunes it to
     |terms|·|docs| rows BEFORE any join; df and the global (N, total)
     scalars join back broadcast-small (one row / |terms| rows); the
     final ranking is TakeOrderedAndProject.  Scoring exactness: tf part
@@ -1321,7 +1326,13 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token"
         ),
     )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # doc length is a PROJECTION over the documents scan (size of the
+    # split), not an explode+count branch — one fewer Exchange and one
+    # fewer corpus re-scan than aggregating the token stream for it.
+    dl = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("dl"),
+    )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total")
     )

@@ -1229,7 +1229,12 @@ def order_activity_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-anti hash joins over the two year slices — both sides collapse to
     distinct customer keys (partial-agg) before any join, the year
     predicates push to the orders scan, and each COUNT is a one-row
-    aggregate; no full-width fact ever shuffles."""
+    aggregate; no full-width fact ever shuffles.  Note the plan re-scans
+    orders per set-op branch (Catalyst does not share subtrees): when the
+    SEGMENTS are the goal rather than the set-operator semantics, the
+    one-scan form is a per-custkey flag aggregate
+    (``max(year=1996) AS has96, max(year=1997) AS has97`` → CASE) — this
+    query deliberately pins the operator semantics instead."""
     orders = _t(spark, sf_dir, "orders")
     y96 = (
         orders.filter(F.year(F.to_date("o_orderdate")) == 1996)
