@@ -1313,3 +1313,86 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@_register(
+    "revenue_growth",
+    """
+    WITH monthly AS (
+        SELECT EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS y,
+               EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS m,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT y, m, revenue,
+           ROUND(revenue - LAG(revenue) OVER (ORDER BY y, m), 2) AS delta
+    FROM monthly
+    """,
+)
+def revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue delta: LAG over the PRE-AGGREGATED monthly
+    frame — the trend primitive of every ops dashboard.
+
+    Scale shape: the fact collapses to |months| rows via one
+    partial-aggregated groupBy BEFORE the window; the unpartitioned
+    ORDER BY window then runs over dozens of rows, not the fact (the
+    single-partition window is only safe because the frame is
+    aggregate-sized — the anti-pattern is windowing the raw fact).  The
+    delta subtracts two ALREADY-ROUNDED sums, so the cross-engine hash
+    cannot flip on summation order."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = (
+        orders.select(
+            F.year(F.to_date("o_orderdate")).alias("y"),
+            F.month(F.to_date("o_orderdate")).alias("m"),
+            "o_totalprice",
+        )
+        .groupBy("y", "m")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.orderBy("y", "m")
+    return monthly.select(
+        "y",
+        "m",
+        "revenue",
+        F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias("delta"),
+    )
+
+
+@_register(
+    "customer_value_quartiles",
+    """
+    WITH ranked AS (
+        SELECT n.n_name AS nation, c.c_custkey,
+               NTILE(4) OVER (PARTITION BY n.n_name
+                              ORDER BY c.c_acctbal DESC, c.c_custkey) AS q
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT nation, q, COUNT(*) AS n_customers
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation account-balance quartile assignment (NTILE) collapsed
+    to segment counts — the cohorting primitive behind tiered-service
+    reports.
+
+    Scale shape: one window per nation (the same Exchange a groupBy on
+    nation would pay) with a fully deterministic order (balance DESC,
+    custkey tiebreak — NTILE boundaries are order-sensitive, so an
+    under-specified sort would flip assignments across engines); the
+    aggregate partial-combines to |nations|×4 rows."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    ranked = (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .select(F.col("n_name").alias("nation"), "c_custkey", "c_acctbal")
+        .withColumn("q", F.ntile(4).over(
+            Window.partitionBy("nation").orderBy(
+                F.col("c_acctbal").desc(), F.col("c_custkey")
+            )
+        ))
+    )
+    return ranked.groupBy("nation", "q").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
