@@ -23,15 +23,30 @@ def _gen_rotation_module():
 
 def test_snapshot_matches_regeneration():
     """cert_history.json must equal what tools/gen_rotation.py computes
-    from the CORRECTNESS_r*.json artifacts — a stale committed snapshot
-    would silently skew the window."""
+    from the CORRECTNESS_r*.json artifacts **up to the snapshot's own
+    as_of_round** — a stale committed snapshot would silently skew the
+    window.  Artifacts from NEWER rounds are expected at every round
+    boundary (the driver writes CORRECTNESS_r{N+1}.json after the round-N
+    commit) and are the builder's round-start regeneration trigger, not
+    snapshot skew (VERDICT r7 ask #1) — they only produce a warning here."""
     import glob
+    import warnings
 
     if not glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")):
         import pytest
 
         pytest.skip("no driver artifacts in this checkout")
-    assert _rotation.load_history() == _gen_rotation_module().compute_history()
+    mod = _gen_rotation_module()
+    snap = _rotation.load_history()
+    assert snap == mod.compute_history(max_round=snap["as_of_round"])
+    full = mod.compute_history()
+    if full["as_of_round"] > snap["as_of_round"]:
+        warnings.warn(
+            "newer driver artifacts exist (round "
+            f"{full['as_of_round']} > snapshot {snap['as_of_round']}); "
+            "run `python tools/gen_rotation.py` at round start",
+            UserWarning,
+        )
 
 
 def test_registry_order_is_policy_output():

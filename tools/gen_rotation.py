@@ -22,7 +22,16 @@ OUT = os.path.join(
 )
 
 
-def compute_history(root: str = ROOT) -> dict:
+def compute_history(root: str = ROOT, max_round: int | None = None) -> dict:
+    """Fold the driver artifacts into ``{query: last_green_round}``.
+
+    ``max_round`` restricts the fold to artifacts from rounds <= that
+    bound.  The snapshot test uses it to compare the committed snapshot
+    against regeneration FROM THE SNAPSHOT'S OWN INPUTS: the driver drops
+    ``CORRECTNESS_r{N+1}.json`` after the round-N commit, and a newer
+    artifact is the trigger to re-run this tool at round start, not
+    evidence the committed snapshot was wrong (VERDICT r7 'what's wrong'
+    #1)."""
     last: dict[str, int] = {}
     as_of = 0
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
@@ -30,6 +39,8 @@ def compute_history(root: str = ROOT) -> dict:
         if not m:
             continue
         rnd = int(m.group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         as_of = max(as_of, rnd)
         with open(path) as f:
             data = json.load(f)
