@@ -877,6 +877,8 @@ def connected_components_star(
     """
     if check_interval < 1:
         raise ValueError("check_interval must be >= 1")
+    if max_iterations < 1:
+        raise ValueError("max_iterations must be >= 1")
     spark = edges.sparkSession
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -928,6 +930,22 @@ def connected_components_star(
             )
             if chained == 0:
                 break
+    if chained != 0:
+        # Not a star forest yet: a node can still sit on both ends of
+        # edges (leaf of one star, root of another), so the projection
+        # below would emit it twice with non-minimal components — and a
+        # dedup consumer (dedup_keep_best survivor selection) would drop
+        # the wrong documents.  Mirrors the label-propagation warning
+        # above (advisor r7).
+        import warnings
+
+        warnings.warn(
+            "connected_components_star hit max_iterations before the "
+            "star-forest fixed point; labelling may contain duplicate "
+            "or non-minimal rows — raise max_iterations",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     # Star forest → labels: every big end maps to its root; roots (and
     # only roots) never appear as a big end and map to themselves.

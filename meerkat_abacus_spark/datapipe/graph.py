@@ -92,6 +92,17 @@ def pagerank(
         S = fixed_point_scale
         frac = Fraction(str(damping))
         p, q = frac.numerator, frac.denominator
+        # The damped update computes p * s with s bounded by the total
+        # mass S (contributions are rank div outdeg, summed over a
+        # partition of the edge set, so Σs <= Σrank <= S).  A damping
+        # value that is not a short decimal (e.g. 0.123456789 → p ≈ 1.2e8)
+        # can push p * S past int64, which non-ANSI Spark wraps SILENTLY
+        # into wrong ranks (advisor r7).  Fail loudly instead.
+        if p * S > 2**63 - 1:
+            raise ValueError(
+                f"damping numerator {p} * fixed_point_scale {S} exceeds "
+                "int64; use a shorter-decimal damping or a smaller scale"
+            )
         ranks = nodes.select(
             "node", F.lit(S // n).cast("long").alias("rank")
         )

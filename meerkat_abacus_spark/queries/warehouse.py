@@ -1098,7 +1098,8 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(n.n_name, 'ALL') AS nation,
            GROUPING(r.r_name) * 2 + GROUPING(n.n_name) AS gid,
            COUNT(*) AS n_customers,
-           ROUND(SUM(c.c_acctbal), 2) AS total_balance
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS total_balance
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -1124,7 +1125,13 @@ def rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = joined.rollup("r_name", "n_name").agg(
         F.grouping_id().alias("gid"),
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        # Balance sums in DECIMAL, not double (advisor r8): a half-cent
+        # boundary double-sum can flip the rounded cent with summation
+        # order; the decimal sum is exact and order-independent (the
+        # returned_item_revenue pattern).
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total_balance"),
     )
     return agg.select(
         F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
@@ -1270,7 +1277,8 @@ def order_activity_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_partkey, SUM(l_quantity) AS sum_qty, COUNT(*) AS cnt
         FROM lineitem GROUP BY 1
     )
-    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2)
+                AS DOUBLE) / 7.0 AS avg_yearly,
            COUNT(*) AS n_items
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -1309,7 +1317,17 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             5 * F.col("l_quantity") * F.col("cnt") < F.col("sum_qty")
         )
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            # Sum exactly in DECIMAL, round THERE, then one double
+            # division by 7 (advisor r8): identical decimal sums give
+            # identical division bits in both engines, whereas
+            # ROUND(double_sum / 7.0) stacks order-dependent summation on
+            # a near-midpoint rounding flip.
+            (
+                F.round(
+                    F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2
+                ).cast("double")
+                / 7.0
+            ).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -1321,11 +1339,11 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH monthly AS (
         SELECT EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS y,
                EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS m,
-               ROUND(SUM(o_totalprice), 2) AS revenue
+               ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS rev
         FROM orders GROUP BY 1, 2
     )
-    SELECT y, m, revenue,
-           ROUND(revenue - LAG(revenue) OVER (ORDER BY y, m), 2) AS delta
+    SELECT y, m, CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev - LAG(rev) OVER (ORDER BY y, m) AS DOUBLE) AS delta
     FROM monthly
     """,
 )
@@ -1338,8 +1356,10 @@ def revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY window then runs over dozens of rows, not the fact (the
     single-partition window is only safe because the frame is
     aggregate-sized — the anti-pattern is windowing the raw fact).  The
-    delta subtracts two ALREADY-ROUNDED sums, so the cross-engine hash
-    cannot flip on summation order."""
+    monthly sum runs in DECIMAL (advisor r8: a double sum can flip the
+    rounded cent with summation order) and the delta subtracts the two
+    exact decimals BEFORE the cast to double, so the cross-engine hash
+    cannot flip."""
     orders = _t(spark, sf_dir, "orders")
     monthly = (
         orders.select(
@@ -1348,14 +1368,18 @@ def revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice",
         )
         .groupBy("y", "m")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2
+            ).alias("rev")
+        )
     )
     w = Window.orderBy("y", "m")
     return monthly.select(
         "y",
         "m",
-        "revenue",
-        F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias("delta"),
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("rev") - F.lag("rev").over(w)).cast("double").alias("delta"),
     )
 
 

@@ -147,7 +147,12 @@ def push_rows(
     the task (the pre-r7 behaviour) — note the task is then RE-ATTEMPTED
     by Spark, re-sending the partition prefix and the poisoned payload on
     every attempt (see module docstring); returns the pushed count as
-    ``int``."""
+    ``int``.
+
+    .. note:: BREAKING since r7 — ``"deadletter"`` became the default, so
+       the default-call return type changed from ``int`` to
+       :class:`PushReport`.  Callers comparing the old count should read
+       ``report.pushed`` or pass ``on_client_error="fail"``."""
     if on_client_error not in ("deadletter", "fail"):
         raise ValueError("on_client_error must be 'deadletter' or 'fail'")
     sc = df.sparkSession.sparkContext
@@ -176,7 +181,13 @@ def push_rows(
     df.foreachPartition(_partition)
     if dead is None:
         return acc.value
-    rejected = tuple(sorted(dead.value))
+    # None-safe ordering (advisor r7): a row with a NULL key_col reaches
+    # here as (None, code), and a plain sorted() would raise TypeError on
+    # the driver AFTER every row was delivered — turning a per-row
+    # quarantine into a job failure.  NULL keys sort last.
+    rejected = tuple(
+        sorted(dead.value, key=lambda t: (t[0] is None, t[0] or "", t[1]))
+    )
     return PushReport(acc.value, len(rejected), rejected)
 
 

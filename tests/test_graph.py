@@ -49,3 +49,25 @@ def test_pagerank_per_iter_round_is_stable_across_partitionings(spark):
     ra = {r["node"]: r["rank"] for r in a.collect()}
     rb = {r["node"]: r["rank"] for r in b.collect()}
     assert ra == rb
+
+
+def test_pagerank_fixed_point_rejects_int64_overflow(spark):
+    """A long-decimal damping (huge fraction numerator p) would make
+    p * s silently wrap int64 in non-ANSI Spark (advisor r7) — the guard
+    must raise instead, and short-decimal dampings must stay accepted."""
+    import pytest
+
+    from meerkat_abacus_spark.datapipe.graph import pagerank
+
+    edges = _ring_edges(spark, 4)
+    with pytest.raises(ValueError, match="int64"):
+        pagerank(
+            edges,
+            iterations=1,
+            damping=0.123456789,  # p = 123456789 / 1e9
+            fixed_point_scale=10**12,
+        )
+    ok = pagerank(
+        edges, iterations=2, damping=0.85, fixed_point_scale=10**12
+    ).collect()
+    assert {r["rank"] for r in ok} == {10**12 // 4}

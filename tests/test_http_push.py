@@ -218,6 +218,38 @@ def test_push_rows_deadletters_4xx_rows_without_failing_task(spark):
         r.close()
 
 
+def test_push_rows_deadletters_null_key_rows(spark):
+    """A row whose key_col is NULL must still quarantine cleanly (advisor
+    r7): the (None, code) tuple previously made the driver-side sorted()
+    raise TypeError AFTER delivery completed.  NULL keys sort last."""
+    from meerkat_abacus_spark.sinks.http_push import push_rows
+
+    r = _Receiver()
+
+    class _RejectAll(BaseHTTPRequestHandler):
+        def do_POST(handler):
+            n = int(handler.headers.get("Content-Length", 0))
+            handler.rfile.read(n)
+            handler.send_response(422)
+            handler.end_headers()
+
+        def log_message(handler, *a):
+            pass
+
+    r.server.RequestHandlerClass = _RejectAll
+    try:
+        df = spark.createDataFrame(
+            [("b", "x"), (None, "x"), ("a", "x")],
+            "uuid string, payload string",
+        )
+        report = push_rows(df, r.url, key_col="uuid", retries=3)
+        assert report.pushed == 0
+        assert report.rejected == 3
+        assert report.rejected_keys == (("a", 422), ("b", 422), (None, 422))
+    finally:
+        r.close()
+
+
 def test_http_foreach_batch_sink_streaming_leg(spark, receiver):
     """The foreachBatch adapter pushes a micro-batch like any batch — here
     invoked directly, exactly as writeStream would call it."""

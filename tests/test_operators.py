@@ -636,6 +636,34 @@ def test_star_contraction_matches_label_propagation(spark):
     assert star == lab
 
 
+def test_star_contraction_warns_on_iteration_exhaustion(spark):
+    """Exhausting max_iterations before the star-forest fixed point must
+    WARN (advisor r7): the leaf/root projection can otherwise silently
+    emit duplicate or non-minimal labels that dedup survivor selection
+    would act on."""
+    import warnings
+
+    import pytest
+
+    from meerkat_abacus_spark.datapipe.dedup import connected_components_star
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], schema="id_a long, id_b long"
+    )
+    with pytest.warns(RuntimeWarning, match="star-forest fixed point"):
+        connected_components_star(path, max_iterations=1)
+    # A converged run must stay silent.
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        got = {
+            (r.node, r.component)
+            for r in connected_components_star(path).collect()
+        }
+    assert got == {(i, 0) for i in range(61)}
+    with pytest.raises(ValueError):
+        connected_components_star(path, max_iterations=0)
+
+
 def test_star_contraction_empty_and_single_edge(spark):
     from meerkat_abacus_spark.datapipe.dedup import connected_components_star
 
