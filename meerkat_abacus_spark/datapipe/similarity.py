@@ -337,6 +337,235 @@ def centroid_ranker(centroids: DataFrame, vec_col: str = "embedding"):
     return _ranked
 
 
+def write_lsh_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nbits: int = 8,
+    seed: str = LSH_SEED,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the sign-LSH bucket table, PARTITIONED BY home bucket —
+    the amortization the hyperplane projections need (r7 verdict ask #4):
+    the 8×dim fused-multiply-add projection pass runs ONCE at index-build
+    time instead of once per query batch, and every later probe reads only
+    the ``~(1 + nbits + C(nbits,2))`` probed bucket directories out of
+    ``2^nbits`` — partition pruning at file-listing level, the
+    :func:`write_ivf_index` layout applied to sign-LSH.
+
+    The partition value is the bit string prefixed with ``b``
+    (``b01101001``): a bare ``00101100`` would round-trip through Spark's
+    partition-column type inference as the INTEGER 101100 and silently
+    drop its leading zeros, corrupting the bucket keyspace.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    c = c.withColumn(
+        "pbucket",
+        F.concat(
+            F.lit("b"), sign_lsh_bucket(F.col("cv"), dim, nbits, seed)
+        ),
+    )
+    # One shuffle by bucket before the write → ONE file per bucket
+    # directory instead of one per (task × bucket): with 2^nbits = 256
+    # directories, an unclustered write leaves thousands of tiny files
+    # whose listing+footer reads dominate every later probe.  At cluster
+    # scale the same clustering call takes a partition count
+    # (repartition(n, pbucket)) so a hot bucket can span files while
+    # staying contiguous per directory.
+    c.repartition("pbucket").write.mode(mode).partitionBy("pbucket").parquet(
+        path
+    )
+    # Sidecar keyed BY ID (range-partitioned + sorted, so an id-bounded
+    # probe prunes to one file via row-group stats): the member-query
+    # serving path (:func:`lsh_topk_from_index_by_id`) reads its query
+    # rows here instead of scanning all 2^nbits bucket directories — the
+    # id→bucket map every real vector store keeps beside the
+    # bucket-ordered postings.
+    c.repartitionByRange(8, "neighbor_id").sortWithinPartitions(
+        "neighbor_id"
+    ).write.mode(mode).parquet(path + "_byid")
+    # A rewrite invalidates any cached reader handle for this path.
+    for key in [k for k in _INDEX_READERS if k[1] == path]:
+        _INDEX_READERS.pop(key, None)
+
+
+def lsh_topk_from_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    nbits: int = 8,
+    radius: int = 2,
+    seed: str = LSH_SEED,
+) -> DataFrame:
+    """Probe a persisted sign-LSH index (:func:`write_lsh_index`).
+
+    Identical results to the in-memory :func:`lsh_topk` at the same
+    ``radius`` (the ann_lsh_indexed driver row certifies it by sharing the
+    oracle): the query side computes its projections and Hamming-``radius``
+    probe keys, and the DISTINCT probe keys reach the index scan as a
+    partition filter — bounded by ``min(|queries| × probes, 2^nbits)``
+    literals, ≤ 256 at the default ``nbits=8``, so the driver round-trip
+    is constant-sized (a cluster-scale query batch would join on the
+    partition column and lean on dynamic partition pruning instead, the
+    :func:`ivf_topk_from_index_join` pattern).
+    """
+    staged = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("_dots", projection_dots(F.col("qv"), dim, nbits, seed))
+    if radius <= 0:
+        probed = staged.select(
+            "query_id",
+            "qv",
+            F.concat(
+                F.lit("b"), *_bits_from_dots(F.col("_dots"), nbits)
+            ).alias("pbucket"),
+        )
+    else:
+        # explode first, prefix after — a generator cannot nest inside
+        # another expression
+        probed = staged.select(
+            "query_id",
+            "qv",
+            F.explode(
+                _probe_keys_from_dots(F.col("_dots"), nbits, radius)
+            ).alias("_k"),
+        ).select(
+            "query_id",
+            "qv",
+            F.concat(F.lit("b"), F.col("_k")).alias("pbucket"),
+        )
+    probe_keys = sorted(
+        {r["pbucket"] for r in probed.select("pbucket").distinct().collect()}
+    )
+    lists = spark.read.parquet(index_path).filter(
+        F.col("pbucket").isin(probe_keys)
+    )
+    sim = cosine_similarity(F.col("qv"), F.col("cv"))
+    scored = (
+        F.broadcast(probed)
+        .join(lists, "pbucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hamming_ball(bits: str, radius: int) -> list[str]:
+    """All bit strings within Hamming distance ``radius`` of ``bits`` —
+    home first, then flips in mask order (driver-side mirror of
+    :func:`_probe_keys_from_dots`)."""
+    import itertools
+
+    nbits = len(bits)
+    masks: list[tuple[int, ...]] = [()]
+    for r in range(1, radius + 1):
+        masks += list(itertools.combinations(range(nbits), r))
+    out = []
+    for m in masks:
+        out.append(
+            "".join(
+                ("0" if bits[j] == "1" else "1") if j in m else bits[j]
+                for j in range(nbits)
+            )
+        )
+    return out
+
+
+# Reader handles for persisted LSH indexes, keyed by (appId, path): the
+# index is immutable once written (scratch paths are fingerprint-versioned),
+# but a fresh spark.read.parquet() per probe re-lists all 2^nbits bucket
+# directories and re-infers the schema from footers (~0.5 s/call measured).
+# Caching the DataFrame handle reuses the FileIndex; the explicit schema
+# skips footer inference and pins the partition column to STRING.
+_LSH_INDEX_SCHEMA = "neighbor_id long, cv array<double>, pbucket string"
+_INDEX_READERS: "dict[tuple, tuple]" = {}
+
+
+def _lsh_index_frames(spark, index_path: str):
+    key = (spark.sparkContext.applicationId, index_path)
+    got = _INDEX_READERS.get(key)
+    if got is None:
+        idx = spark.read.schema(_LSH_INDEX_SCHEMA).parquet(index_path)
+        byid = spark.read.schema(_LSH_INDEX_SCHEMA).parquet(
+            index_path + "_byid"
+        )
+        while len(_INDEX_READERS) >= 16:
+            _INDEX_READERS.pop(next(iter(_INDEX_READERS)))
+        got = (idx, byid)
+        _INDEX_READERS[key] = got
+    return got
+
+
+def lsh_topk_from_index_by_id(
+    spark,
+    index_path: str,
+    query_ids: list,
+    k: int = 3,
+    nbits: int = 8,
+    radius: int = 2,
+) -> DataFrame:
+    """Probe a persisted sign-LSH index for IN-CORPUS queries, addressed
+    by id: the query's home bucket is READ BACK from the index instead of
+    re-projected, so the serving path never touches the hyperplane
+    literals at all — this is what makes the persisted index an
+    amortization rather than a cache (r7 verdict ask #4: the 8×dim
+    projection expressions cost ~1.8 s of Catalyst analysis PER CALL when
+    rebuilt inline; a stored-hash lookup is how a real vector store serves
+    members).
+
+    One small collect fetches the query rows (ids, vectors, home
+    buckets); the Hamming-``radius`` probe keys expand DRIVER-SIDE from
+    the stored bucket strings (``|queries| × probes`` keys, bounded by
+    2^nbits distinct), reach the scan as a partition filter, and one
+    pruned bucket equi-join scores the candidates.  Out-of-corpus query
+    vectors take :func:`lsh_topk_from_index`, which projects them.
+    """
+    idx, byid = _lsh_index_frames(spark, index_path)
+    qrows = byid.filter(F.col("neighbor_id").isin(list(query_ids))).select(
+        F.col("neighbor_id").alias("query_id"),
+        "cv",
+        F.col("pbucket").cast("string").alias("home"),
+    ).collect()
+    probed_rows = [
+        (r["query_id"], list(r["cv"]), "b" + key)
+        for r in qrows
+        for key in _hamming_ball(r["home"][1:], radius)
+    ]
+    probe_keys = sorted({p for _, _, p in probed_rows})
+    probed = spark.createDataFrame(
+        probed_rows, schema="query_id long, qv array<double>, pbucket string"
+    )
+    lists = idx.filter(F.col("pbucket").isin(probe_keys))
+    sim = cosine_similarity(F.col("qv"), F.col("cv"))
+    scored = (
+        F.broadcast(probed)
+        .join(lists, "pbucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def write_ivf_index(
     corpus: DataFrame,
     centroids: DataFrame,
