@@ -1,0 +1,76 @@
+"""Plan invariants over the bench headline queries (r7 verdict ask #5):
+the scale contracts — no unjustified cartesian / nested-loop joins, no
+unpruned wide-table scans — are ASSERTED here, not just documented in
+PLANS.md (tools/explain.py runs the same checks over its full query list
+at regeneration, so the two can't drift)."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+SF_DIR = "/root/testdata/sf0.001"
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load(modname: str, relpath: str):
+    spec = importlib.util.spec_from_file_location(
+        modname, os.path.join(ROOT, relpath)
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_headline_plans_hold_scale_invariants(spark):
+    import pytest
+
+    if not os.path.isdir(SF_DIR):
+        pytest.skip("driver testdata not present")
+    bench = _load("bench_mod", "bench.py")
+    explain = _load("explain_mod", os.path.join("tools", "explain.py"))
+    from meerkat_abacus_spark.queries import QUERIES
+
+    widths = explain._table_widths(SF_DIR)
+    assert widths.get("lineitem", 0) >= 5  # the checker has real widths
+    problems: list[str] = []
+    for name in bench.HEADLINE:
+        plan = (
+            QUERIES[name](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        problems += explain.check_plan(name, plan, widths)
+    assert not problems, "\n".join(problems)
+
+
+def test_check_plan_flags_violations():
+    """The checker itself must catch a cartesian join, an off-whitelist
+    nested loop, and a full-width wide scan — and count nested-generic
+    schemas correctly."""
+    explain = _load("explain_mod2", os.path.join("tools", "explain.py"))
+    widths = {"events": 6}
+    cart = explain.check_plan("q", "+- CartesianProduct", widths)
+    assert any("CartesianProduct" in p for p in cart)
+    bnlj = explain.check_plan("q", "+- BroadcastNestedLoopJoin", widths)
+    assert any("whitelist" in p for p in bnlj)
+    ok_bnlj = explain.check_plan(
+        "ann_brute_topk", "+- BroadcastNestedLoopJoin", widths
+    )
+    assert ok_bnlj == []
+    full = (
+        "+- FileScan parquet [a,b,c,d,e,f] Batched: true, Location: "
+        "InMemoryFileIndex(1 paths)[file:/x/events.parquet], ReadSchema: "
+        "struct<event_id:bigint,ts:timestamp,user_id:bigint,"
+        "event_type:string,value:double,props:map<string,string>>"
+    )
+    flagged = explain.check_plan("q", full, widths)
+    assert any("all 6 columns" in p for p in flagged), flagged
+    pruned = full.replace(
+        "struct<event_id:bigint,ts:timestamp,user_id:bigint,"
+        "event_type:string,value:double,props:map<string,string>>",
+        "struct<event_id:bigint,props:map<string,string>>",
+    )
+    assert explain.check_plan("q", pruned, widths) == []

@@ -91,6 +91,103 @@ INTERESTING = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Plan invariants (r7 verdict ask #5): assert the scale contracts instead of
+# only documenting them.  A query plan FAILS if it contains a cartesian /
+# nested-loop join that is not on the justified whitelist, or a FileScan
+# that reads EVERY column of a wide table (pruning never reached the scan).
+# tests/test_plan_invariants.py runs these over the bench headline set per
+# pytest run; main() below runs them over the full INTERESTING list at
+# PLANS.md regeneration, so documented evidence can never drift from the
+# asserted invariants.
+# ---------------------------------------------------------------------------
+
+# Every entry is a BROADCAST nested-loop with a deliberately tiny build side
+# — the one shape where a nested loop is the *right* plan.  Anything not
+# listed fails the check.
+BNLJ_WHITELIST: dict[str, str] = {
+    "ann_brute_topk": "broadcast 5-query side x corpus IS the brute-force scan",
+    "ann_recall": "broadcast 1-row truth-count joined onto per-method hits",
+    "ann_quantized_recall": "broadcast 1-row truth-count per method",
+    "ann_pq_recall": "broadcast 1-row truth-count per method",
+    "ann_pq_adc": "broadcast 256-row codebook against residual rows",
+    "bm25_search": "broadcast 1-row corpus stats (N, avgdl) onto term scores",
+    "unigram_logprob_score": "broadcast 1-row vocab mass onto token scores",
+    "mixture_report": "broadcast 1-row corpus total onto per-source counts",
+    "quality_percentile_filter": "broadcast 1-row percentile cut onto docs",
+    "locations_is_child": "broadcast ~10-row location hierarchy closure",
+    "point_in_polygon": "broadcast polygon ring table against points",
+}
+
+# (query, table) pairs allowed to read the table's full column set.
+FULL_SCAN_WHITELIST: set = set()
+
+_WIDE = 5  # tables this wide must show pruned scans
+
+
+def _table_widths(sf_dir: str) -> dict[str, int]:
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    widths = {}
+    for p in _glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p)[: -len(".parquet")]
+        try:
+            widths[name] = len(pq.read_schema(p).names)
+        except OSError:
+            continue
+    return widths
+
+
+def check_plan(
+    name: str, plan: str, table_widths: dict[str, int]
+) -> list[str]:
+    """Invariant violations for one executed-plan string (empty = clean)."""
+    problems = []
+    if "CartesianProduct" in plan:
+        problems.append(f"{name}: CartesianProduct in plan")
+    if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_WHITELIST:
+        problems.append(
+            f"{name}: BroadcastNestedLoopJoin not on the justified whitelist"
+        )
+    for m in re.finditer(r"ReadSchema: struct<", plan):
+        # top-level field count of the (possibly nested) struct — commas
+        # inside map<...>/array<...>/struct<...> don't separate fields
+        depth, ncols = 1, 0
+        saw_any = False
+        for ch in plan[m.end():]:
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+                if depth == 0:
+                    break
+            elif ch == "," and depth == 1:
+                ncols += 1
+            elif not ch.isspace():
+                saw_any = True
+        if saw_any:
+            ncols += 1
+        # pair the ReadSchema with the table its scan reads via the
+        # Location on the same FileScan line
+        line_start = plan.rfind("\n", 0, m.start()) + 1
+        line = plan[line_start : m.start()]
+        loc = re.search(r"/(\w+)\.parquet", line)
+        if not loc:
+            continue  # scratch/index scans — not a base table
+        table = loc.group(1)
+        width = table_widths.get(table)
+        if width is None or width < _WIDE:
+            continue
+        if ncols >= width and (name, table) not in FULL_SCAN_WHITELIST:
+            problems.append(
+                f"{name}: FileScan on {table} reads all {width} columns "
+                "(no pruning reached the scan)"
+            )
+    return problems
+
+
 def summarize(plan: str) -> tuple[list[str], dict[str, int]]:
     lines = []
     stats = {"BroadcastHashJoin": 0, "Exchange": 0, "SortMergeJoin": 0,
@@ -138,9 +235,12 @@ def main() -> None:
         "FileScans list only the projected columns (pruning reached the scan).",
         "",
     ]
+    widths = _table_widths(sf_dir)
+    problems: list[str] = []
     for name in INTERESTING:
         df = QUERIES[name](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
+        problems += check_plan(name, plan, widths)
         lines, stats = summarize(plan)
         out.append(f"## {name}")
         out.append(
@@ -154,6 +254,12 @@ def main() -> None:
         out.extend(lines[:25])
         out.append("```")
         out.append("")
+    if problems:
+        # Invariant drift fails the REGENERATION, so PLANS.md can never
+        # document a plan that violates the asserted contracts.
+        for p in problems:
+            print("PLAN INVARIANT VIOLATION:", p)
+        raise SystemExit(1)
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
         fh.write("\n".join(out))
