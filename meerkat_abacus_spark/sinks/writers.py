@@ -78,6 +78,7 @@ def upsert_by_key(
     partition_by: list[str] | None = None,
     staging_dir: str | None = None,
     detect_partition_moves: bool = True,
+    partition_literal_limit: int = 128,
 ):
     """K2 — idempotent delete+insert keyed on ``keys`` (uuid, type).
 
@@ -146,21 +147,52 @@ def upsert_by_key(
             part_tuples |= {tuple(r[c] for c in partition_by) for r in moved}
         if not part_tuples:
             return  # empty batch
-        part_cond = reduce(
-            lambda a, b: a | b,
-            [
-                reduce(
-                    lambda a, b: a & b,
-                    [
-                        F.col(c).eqNullSafe(F.lit(v))
-                        for c, v in zip(partition_by, values)
-                    ],
-                )
-                for values in part_tuples
-            ],
-            F.lit(False),
-        )
-        affected = existing.filter(part_cond)
+        if len(part_tuples) <= partition_literal_limit:
+            # Literal OR-chain: statically prunes the existing-side scan at
+            # the file index, the cheapest possible shape for the common
+            # batch-bounded partition set.
+            part_cond = reduce(
+                lambda a, b: a | b,
+                [
+                    reduce(
+                        lambda a, b: a & b,
+                        [
+                            F.col(c).eqNullSafe(F.lit(v))
+                            for c, v in zip(partition_by, values)
+                        ],
+                    )
+                    for values in part_tuples
+                ],
+                F.lit(False),
+            )
+            affected = existing.filter(part_cond)
+        else:
+            # Backfill-sized partition sets (r7 verdict ask #6): thousands
+            # of OR'd literal conjunctions degrade Catalyst analysis
+            # superlinearly.  Above the limit, broadcast-semi-join the
+            # affected partition tuples onto the existing side instead —
+            # bounded analysis cost, and the join condition stays
+            # null-safe like the literal chain (left_semi equality would
+            # silently drop null partition values).
+            parts_df = spark.createDataFrame(
+                sorted(
+                    part_tuples,
+                    key=lambda t: tuple(
+                        ("", "") if v is None else ("v", str(v)) for v in t
+                    ),
+                ),
+                schema=df.select(*partition_by).schema,
+            )
+            cond = reduce(
+                lambda a, b: a & b,
+                [
+                    existing[c].eqNullSafe(parts_df[c])
+                    for c in partition_by
+                ],
+            )
+            affected = existing.join(
+                F.broadcast(parts_df), cond, "left_semi"
+            )
         survivors = affected.join(incoming_keys, on=keys, how="left_anti")
         merged = survivors.unionByName(df, allowMissingColumns=True)
         # Staging is written UNPARTITIONED so the read-back keeps the exact

@@ -327,3 +327,66 @@ def test_streaming_threshold_alerts_equals_batch(spark, tmp_path):
         (r["clinic"], r["count"]): r["uuids"] for r in batch.collect()
     }
     assert got == expected and got == {(1, 4): ["e0", "e1", "e2", "e3"]}
+
+
+def test_upsert_many_partitions_uses_join_fallback(spark, tmp_path):
+    """Backfill shape (r7 verdict ask #6): ~5 000 affected partitions must
+    not build a 5 000-term literal OR-chain (Catalyst analysis degrades
+    superlinearly) — above partition_literal_limit the affected-partition
+    filter becomes a broadcast semi-join, and the merge still replaces
+    exactly the incoming keys."""
+    import time
+
+    path = str(tmp_path / "wide_table")
+    n = 5000
+    base = spark.createDataFrame(
+        [(f"u{i}", "case", i, 1) for i in range(n)],
+        ["uuid", "type", "pkey", "version"],
+    ).repartition(8)
+    upsert_by_key(
+        spark, base, path, keys=["uuid", "type"], partition_by=["pkey"]
+    )
+
+    batch = spark.createDataFrame(
+        [(f"u{i}", "case", i, 2) for i in range(n)],
+        ["uuid", "type", "pkey", "version"],
+    ).repartition(8)
+    t0 = time.time()
+    upsert_by_key(
+        spark, batch, path, keys=["uuid", "type"], partition_by=["pkey"]
+    )
+    elapsed = time.time() - t0
+    # bounded: the join path finishes in normal job time; the literal
+    # OR-chain at this cardinality is minutes of driver-side analysis
+    assert elapsed < 120, f"upsert took {elapsed:.0f}s"
+
+    got = spark.read.parquet(path)
+    assert got.count() == n
+    assert got.filter(F.col("version") != 2).count() == 0
+
+
+def test_upsert_join_fallback_null_partition_value(spark, tmp_path):
+    """The semi-join fallback must keep the literal chain's NULL-safe
+    semantics: a null partition value in the batch still matches its
+    existing partition."""
+    path = str(tmp_path / "null_part")
+    base = spark.createDataFrame(
+        [("u1", "case", None, 1), ("u2", "case", "A", 1)],
+        "uuid string, type string, pkey string, version int",
+    )
+    upsert_by_key(
+        spark, base, path, keys=["uuid", "type"], partition_by=["pkey"]
+    )
+    batch = spark.createDataFrame(
+        [("u1", "case", None, 2)],
+        "uuid string, type string, pkey string, version int",
+    )
+    upsert_by_key(
+        spark, batch, path, keys=["uuid", "type"], partition_by=["pkey"],
+        partition_literal_limit=0,  # force the join path
+    )
+    got = {
+        (r["uuid"], r["pkey"]): r["version"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {("u1", None): 2, ("u2", "A"): 1}
