@@ -455,6 +455,64 @@ def ann_ivf_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("incremental_ann_equals_batch", _ORACLES["ann_ivf_topk"])
+def incremental_ann_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance (r7 verdict ask #7): 80% of the
+    corpus is 'yesterday's' persisted index; the 20% delta is APPENDED to
+    the inverted-list partitions — assigned by the SAME centroids, no
+    retraining, each appended file landing inside its list directory —
+    and the probe runs over index+delta.  Oracle = the single-pass batch
+    answer over the full corpus (the ann_ivf_topk SQL), so hash equality
+    IS the proof that append-without-retrain loses and duplicates
+    nothing — the K2 upsert idempotency story applied to the vector
+    index (reference parity: write_to_db.py:40-49's
+    delete-then-insert-by-key contract).
+
+    A _DELTA_APPENDED marker gates reuse: a crash between the base write
+    and the append leaves _SUCCESS present but the index incomplete, so
+    readiness is the marker, not _SUCCESS."""
+    import os
+    import shutil
+    import tempfile
+
+    from meerkat_abacus_spark.datapipe.curation import split_assignment
+
+    from ._shared import _scratch_tag
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries_df = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120))
+    tagged = emb.withColumn(
+        "__split",
+        split_assignment(F.col("vec_id"), {"old": 0.8, "new": 0.2}, salt="annin"),
+    )
+    old = tagged.filter(F.col("__split") == "old").drop("__split")
+    delta = tagged.filter(F.col("__split") == "new").drop("__split")
+    path = tempfile.gettempdir() + f"/msa_ivfinc_v1_{_scratch_tag(sf_dir)}"
+    marker = os.path.join(path, "_DELTA_APPENDED")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        sim.write_ivf_index(
+            old, centroids, path, id_col="vec_id", vec_col="embedding"
+        )
+        sim.write_ivf_index(
+            delta, centroids, path, id_col="vec_id", vec_col="embedding",
+            mode="append",
+        )
+        open(marker, "w").close()
+    out = sim.ivf_topk_from_index(
+        spark, path, queries_df, centroids,
+        id_col="vec_id", vec_col="embedding", k=3, n_probe=2,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 3).alias("cosine"), "rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # int8 quantized embeddings: the storage/shuffle lever.  array<tinyint> is 8×
 # smaller than array<double> on disk and in every Exchange; cosine is
