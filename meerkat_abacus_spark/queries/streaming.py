@@ -395,42 +395,19 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     The final session table must hash-equal the pure-batch oracle — the
     strongest statement that the stateful operator neither drops, splits,
     nor double-counts sessions at micro-batch seams."""
-    import glob
-    import os
-    import shutil
     import tempfile
 
     from meerkat_abacus_spark.streaming.stateful import (
         run_sessionize_over_files,
     )
 
-    base = tempfile.gettempdir() + f"/msa_sess_{_scratch_tag(sf_dir)}"
-    src, ckpt = base + "/src", base + "/ckpt"
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(src)
+    from ._replay import stage_replay_files, time_quartile_slices
 
     events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    # Four global time slices -> each user's events arrive in time order
-    # across micro-batches (the operator's documented ordering contract).
-    bounds = events.selectExpr(
-        "percentile_approx(ts, array(0.25, 0.5, 0.75), 10000) q"
-    ).collect()[0]["q"]
-    lo = [None] + list(bounds)
-    hi = list(bounds) + [None]
-    for k, (a, b) in enumerate(zip(lo, hi)):
-        sl = events
-        if a is not None:
-            sl = sl.filter(F.col("ts") > F.lit(a))
-        if b is not None:
-            sl = sl.filter(F.col("ts") <= F.lit(b))
-        tmp = f"{base}/tmp{k}"
-        sl.coalesce(1).write.parquet(tmp)
-        part = glob.glob(f"{tmp}/part-*.parquet")[0]
-        dest = f"{src}/slice{k}.parquet"
-        shutil.move(part, dest)
-        shutil.rmtree(tmp)
-        os.utime(dest, (1_700_000_000 + k, 1_700_000_000 + k))
-
+    src, ckpt = stage_replay_files(
+        tempfile.gettempdir() + f"/msa_sess_{_scratch_tag(sf_dir)}",
+        time_quartile_slices(events),
+    )
     name = f"sess_{_scratch_tag(sf_dir)}"
     return run_sessionize_over_files(spark, src, ckpt, queryName=name)
 
@@ -486,19 +463,13 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     append-mode result hash-equals a batch oracle that includes exactly
     the within-delay copies and excludes the beyond-delay ones —
     watermark semantics proven, not assumed."""
-    import glob
-    import os
-    import shutil
     import tempfile
 
     from meerkat_abacus_spark.streaming.windowed import (
         run_windowed_counts_over_files,
     )
 
-    base = tempfile.gettempdir() + f"/msa_wincnt_{_scratch_tag(sf_dir)}"
-    src, ckpt = base + "/src", base + "/ckpt"
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(src)
+    from ._replay import stage_replay_files
 
     events = _t(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
@@ -518,20 +489,14 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.unix_micros("ts") <= mid)
     ).withColumn("event_id", F.col("event_id") + 20_000_000)
 
-    slices = [
-        events.filter(F.unix_micros("ts") <= mid),
-        events.filter(F.unix_micros("ts") > mid),
-        too_late.unionByName(ok_late),
-    ]
-    for k, sl in enumerate(slices):
-        tmp = f"{base}/tmp{k}"
-        sl.coalesce(1).write.parquet(tmp)
-        part = glob.glob(f"{tmp}/part-*.parquet")[0]
-        dest = f"{src}/slice{k}.parquet"
-        shutil.move(part, dest)
-        shutil.rmtree(tmp)
-        os.utime(dest, (1_700_000_000 + k, 1_700_000_000 + k))
-
+    src, ckpt = stage_replay_files(
+        tempfile.gettempdir() + f"/msa_wincnt_{_scratch_tag(sf_dir)}",
+        [
+            events.filter(F.unix_micros("ts") <= mid),
+            events.filter(F.unix_micros("ts") > mid),
+            too_late.unionByName(ok_late),
+        ],
+    )
     return run_windowed_counts_over_files(
         spark, src, ckpt, queryName=f"wincnt_{_scratch_tag(sf_dir)}"
     )
@@ -567,19 +532,13 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain batch aggregate of the original events: exactly-once emission
     through replay noise with O(watermark window) state, proven not
     assumed."""
-    import glob
-    import os
-    import shutil
     import tempfile
 
     from meerkat_abacus_spark.streaming.dedup_stream import (
         run_dedup_over_files,
     )
 
-    base = tempfile.gettempdir() + f"/msa_sdedup_{_scratch_tag(sf_dir)}"
-    src, ckpt = base + "/src", base + "/ckpt"
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(src)
+    from ._replay import stage_replay_files
 
     events = _t(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
@@ -597,20 +556,14 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     late_replay = events.filter(F.unix_micros("ts") < mn + 86_400_000_000)
 
-    slices = [
-        events.filter(F.unix_micros("ts") <= mid),
-        events.filter(F.unix_micros("ts") > mid).unionByName(dup_replay),
-        late_replay,
-    ]
-    for k, sl in enumerate(slices):
-        tmp = f"{base}/tmp{k}"
-        sl.coalesce(1).write.parquet(tmp)
-        part = glob.glob(f"{tmp}/part-*.parquet")[0]
-        dest = f"{src}/slice{k}.parquet"
-        shutil.move(part, dest)
-        shutil.rmtree(tmp)
-        os.utime(dest, (1_700_000_000 + k, 1_700_000_000 + k))
-
+    src, ckpt = stage_replay_files(
+        tempfile.gettempdir() + f"/msa_sdedup_{_scratch_tag(sf_dir)}",
+        [
+            events.filter(F.unix_micros("ts") <= mid),
+            events.filter(F.unix_micros("ts") > mid).unionByName(dup_replay),
+            late_replay,
+        ],
+    )
     emitted = run_dedup_over_files(
         spark, src, ckpt, queryName=f"sdedup_{_scratch_tag(sf_dir)}"
     )
@@ -645,42 +598,21 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     row once the opposite watermark passes its match window — bounded
     state — without dropping any straddling pair.  The joined output,
     bucketed per user group, hash-equals the batch interval join."""
-    import glob
-    import os
-    import shutil
     import tempfile
 
     from meerkat_abacus_spark.streaming.join_stream import (
         run_interval_join_over_files,
     )
 
-    base = tempfile.gettempdir() + f"/msa_ijoin_{_scratch_tag(sf_dir)}"
-    src, ckpt = base + "/src", base + "/ckpt"
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(src)
+    from ._replay import stage_replay_files, time_quartile_slices
 
     events = _t(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
-    bounds = events.selectExpr(
-        "percentile_approx(ts, array(0.25, 0.5, 0.75), 10000) q"
-    ).collect()[0]["q"]
-    lo = [None] + list(bounds)
-    hi = list(bounds) + [None]
-    for k, (a, b) in enumerate(zip(lo, hi)):
-        sl = events
-        if a is not None:
-            sl = sl.filter(F.col("ts") > F.lit(a))
-        if b is not None:
-            sl = sl.filter(F.col("ts") <= F.lit(b))
-        tmp = f"{base}/tmp{k}"
-        sl.coalesce(1).write.parquet(tmp)
-        part = glob.glob(f"{tmp}/part-*.parquet")[0]
-        dest = f"{src}/slice{k}.parquet"
-        shutil.move(part, dest)
-        shutil.rmtree(tmp)
-        os.utime(dest, (1_700_000_000 + k, 1_700_000_000 + k))
-
+    src, ckpt = stage_replay_files(
+        tempfile.gettempdir() + f"/msa_ijoin_{_scratch_tag(sf_dir)}",
+        time_quartile_slices(events),
+    )
     joined = run_interval_join_over_files(
         spark, src, ckpt, queryName=f"ijoin_{_scratch_tag(sf_dir)}"
     )
@@ -816,42 +748,21 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-open merge rule (an event exactly 30 min after its predecessor
     opens a new session) and withholds trailing sessions the final
     watermark has not passed, exactly as the stream does."""
-    import glob
-    import os
-    import shutil
     import tempfile
 
     from meerkat_abacus_spark.streaming.windowed import (
         run_session_window_over_files,
     )
 
-    base = tempfile.gettempdir() + f"/msa_sesswin_{_scratch_tag(sf_dir)}"
-    src, ckpt = base + "/src", base + "/ckpt"
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(src)
+    from ._replay import stage_replay_files, time_quartile_slices
 
     events = _t(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
-    bounds = events.selectExpr(
-        "percentile_approx(ts, array(0.25, 0.5, 0.75), 10000) q"
-    ).collect()[0]["q"]
-    lo = [None] + list(bounds)
-    hi = list(bounds) + [None]
-    for k, (a, b) in enumerate(zip(lo, hi)):
-        sl = events
-        if a is not None:
-            sl = sl.filter(F.col("ts") > F.lit(a))
-        if b is not None:
-            sl = sl.filter(F.col("ts") <= F.lit(b))
-        tmp = f"{base}/tmp{k}"
-        sl.coalesce(1).write.parquet(tmp)
-        part = glob.glob(f"{tmp}/part-*.parquet")[0]
-        dest = f"{src}/slice{k}.parquet"
-        shutil.move(part, dest)
-        shutil.rmtree(tmp)
-        os.utime(dest, (1_700_000_000 + k, 1_700_000_000 + k))
-
+    src, ckpt = stage_replay_files(
+        tempfile.gettempdir() + f"/msa_sesswin_{_scratch_tag(sf_dir)}",
+        time_quartile_slices(events),
+    )
     return run_session_window_over_files(
         spark, src, ckpt, queryName=f"sesswin_{_scratch_tag(sf_dir)}"
     )
