@@ -72,7 +72,76 @@ def time_queries(spark, sf_dir: str) -> dict:
         out[name] = {"sec": round(time.time() - t0, 2), "rows": n}
     out["ivf_train"] = time_index_build(spark, sf_dir)
     out["ivf_probe_indexed"] = time_indexed_probe(spark, sf_dir)
+    out["ivf_delta_append"] = time_ivf_delta_append(spark, sf_dir)
+    out["lsh_index"] = time_lsh_index(spark, sf_dir)
     return out
+
+
+def time_ivf_delta_append(spark, sf_dir: str) -> dict:
+    """Incremental index maintenance cost (r7 verdict ask #7): appending a
+    20% delta into the inverted-list partitions (same centroids, no
+    retraining) vs rebuilding the whole index.  The append assigns and
+    writes ONLY the delta — its cost should track delta size, so
+    append/rebuild should sit near the 0.2 delta fraction and stay there
+    as the corpus grows."""
+    import tempfile
+
+    from meerkat_abacus_spark.datapipe.similarity import (
+        train_centroids,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    cents = train_centroids(emb, k=16, iters=2)
+    base = tempfile.gettempdir() + "/msa_ivf_inc"
+    shutil.rmtree(base, ignore_errors=True)
+    write_ivf_index(old, cents, base)
+    t0 = time.time()
+    write_ivf_index(delta, cents, base, mode="append")
+    append_sec = round(time.time() - t0, 2)
+    t0 = time.time()
+    write_ivf_index(emb, cents, base + "_full")
+    rebuild_sec = round(time.time() - t0, 2)
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(base + "_full", ignore_errors=True)
+    return {
+        "append_sec": append_sec,
+        "rebuild_sec": rebuild_sec,
+        "append_over_rebuild": round(append_sec / rebuild_sec, 2)
+        if rebuild_sec
+        else None,
+    }
+
+
+def time_lsh_index(spark, sf_dir: str) -> dict:
+    """Persisted sign-LSH index (r7 verdict ask #4): one-time bucket-table
+    build cost, then the warm stored-bucket probe (radius-2 multiprobe for
+    20 member queries).  Probe cost should track the probed-bucket slice,
+    not the corpus."""
+    import tempfile
+
+    from meerkat_abacus_spark.datapipe.similarity import (
+        lsh_topk_from_index_by_id,
+        write_lsh_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = tempfile.gettempdir() + "/msa_lsh_scale_idx"
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path + "_byid", ignore_errors=True)
+    t0 = time.time()
+    write_lsh_index(emb, path, dim=64, nbits=8)
+    build_sec = round(time.time() - t0, 2)
+    ids = [r["vec_id"] for r in emb.select("vec_id").limit(20).collect()]
+    lsh_topk_from_index_by_id(spark, path, ids, k=3, radius=2).count()
+    t0 = time.time()
+    n = lsh_topk_from_index_by_id(spark, path, ids, k=3, radius=2).count()
+    probe_sec = round(time.time() - t0, 2)
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path + "_byid", ignore_errors=True)
+    return {"build_sec": build_sec, "probe_sec": probe_sec, "rows": n}
 
 
 def time_indexed_probe(spark, sf_dir: str) -> dict:
@@ -149,6 +218,13 @@ def main() -> None:
         a = report["sf0.1"][name]["sec"]
         b = report["100x"][name]["sec"]
         report[f"{name}_scale_ratio_100x_data"] = round(b / a, 2) if a else None
+    for leg, key in (("ivf_delta_append", "append_sec"),
+                     ("lsh_index", "probe_sec")):
+        a = report["sf0.1"][leg][key]
+        b = report["100x"][leg][key]
+        report[f"{leg}_{key}_ratio_100x_data"] = (
+            round(b / a, 2) if a else None
+        )
     print(json.dumps(report))
     shutil.rmtree(dest, ignore_errors=True)
 

@@ -88,6 +88,10 @@ INTERESTING = (
     "cube_report",
     "returned_item_revenue",
     "unpivot_report",
+    # r8 additions
+    "ann_lsh_indexed",
+    "ann_lsh_topk",
+    "incremental_ann_equals_batch",
 )
 
 
@@ -209,6 +213,10 @@ def summarize(plan: str) -> tuple[list[str], dict[str, int]]:
             m = re.match(r"FileScan parquet \[([^\]]*)\]", node)
             if m:
                 lines.append(f"  scan columns: [{m.group(1)[:90]}]")
+            # surface non-empty partition pruning (index probes)
+            pf = re.search(r"PartitionFilters: \[([^\]]+)\]", node)
+            if pf and pf.group(1).strip():
+                lines.append(f"  partition filters: [{pf.group(1)[:90]}]")
             continue
         if any(
             node.startswith(p)

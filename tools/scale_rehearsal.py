@@ -208,6 +208,66 @@ def pipeline_stage_rows(spark, sf_dir: str) -> dict:
     }
 
 
+def candidate_waterfall(spark, sf_dir: str) -> dict:
+    """Candidate-pair counts per stage of the dedup_clusters leg (r7
+    verdict ask #3): the 3-gen corpus → staged hash rows → band rows →
+    over-cap buckets → raw band-collision pairs → unique pairs → verified
+    (jaccard >= 0.4) pairs → components.  Same construction as the shipped
+    query (shared MINHASH_CFG + datapipe functions), so the reported
+    growth IS the shipped operator's growth."""
+    from meerkat_abacus_spark.datapipe import dedup as dd
+    from meerkat_abacus_spark.queries import MINHASH_CFG
+    from meerkat_abacus_spark.queries._shared import _doc_corpus3
+
+    cfg = MINHASH_CFG
+    corpus = _doc_corpus3(spark, sf_dir)
+    hs = dd.staged_shingle_hash_rows(
+        corpus, "doc_id", "text", cfg["shingle_k"]
+    ).localCheckpoint(eager=False)
+    keys = dd.lsh_band_key_rows(
+        corpus, "doc_id", "text", cfg["shingle_k"], cfg["num_hashes"],
+        cfg["bands"], cfg["rows_per_band"], staged=hs,
+    ).localCheckpoint(eager=False)
+    over = (
+        keys.groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("id").alias("m"))
+        .filter(F.col("n") > cfg["max_bucket_size"])
+    )
+    left = (
+        keys.join(
+            F.broadcast(over.select("band_key", F.col("m").alias("__min_id"))),
+            "band_key", "left",
+        )
+        .filter(
+            F.col("__min_id").isNull() | (F.col("id") == F.col("__min_id"))
+        )
+        .select("id", "band_key")
+    )
+    raw = (
+        left.alias("a")
+        .join(
+            keys.alias("b"),
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    uniq = raw.dropDuplicates(["id_a", "id_b"]).localCheckpoint(eager=False)
+    verified = dd.attach_jaccard(uniq, hs).filter(
+        F.col("jaccard") >= 0.4
+    ).localCheckpoint(eager=False)
+    comps = dd.connected_components_star(verified)
+    return {
+        "docs": corpus.count(),
+        "band_rows": keys.count(),
+        "overcap_buckets": over.count(),
+        "raw_band_pairs": raw.count(),
+        "unique_pairs": uniq.count(),
+        "verified_pairs": verified.count(),
+        "component_nodes": comps.count(),
+    }
+
+
 def main() -> None:
     from meerkat_abacus_spark.session import get_spark
 
@@ -228,6 +288,12 @@ def main() -> None:
         a = report["sf0.1"][name]["sec"]
         b = report["sf~1.0"][name]["sec"]
         report[f"{name}_scale_ratio_10x_data"] = round(b / a, 2) if a else None
+
+    # --- dedup_clusters candidate-pair waterfall (r7 verdict ask #3) ---
+    report["clusters_waterfall"] = {
+        "sf0.1": candidate_waterfall(spark, src),
+        "sf~1.0": candidate_waterfall(spark, dest),
+    }
 
     # --- 100x surveillance-pipeline leg (r6 verdict ask #7) ---
     dest100 = tempfile.gettempdir() + "/msa_scale_events100"
