@@ -6,12 +6,16 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is executed to completion (count() forces the full plan; results
 are small aggregates so no collect overhead distorts timing).
 
-Timing policy: best of $SPARK_GRAFT_BENCH_RUNS (default 3) runs per query.
-The first execution pays whole-stage-codegen compilation and JIT; the min
-measures the steady-state data-volume cost — the quantity that scales with
-SF and that the rehearsal tools also time (warm) — and is robust to
-background load on a shared test box (observed: identical code swinging
-29 -> 61 s suite-total under contention).
+Timing policy (r9, VERDICT r8 ask #4): $SPARK_GRAFT_BENCH_RUNS (default 3)
+runs per query, reported as a COLD/WARM split — ``cold`` is run 1 (pays
+whole-stage-codegen compilation, JIT, and any amortized build the query
+serves from: the shared MinHash candidates frame, the persisted LSH/IVF
+indexes), ``warm`` is the min of the remaining runs (steady-state
+data-volume cost, robust to background load; observed: identical code
+swinging 29 -> 61 s suite-total under contention).  Both totals are
+reported so amortized caches are visible in the artifact itself instead
+of only in the SCALE_* rehearsal files.  ``value`` stays the warm suite
+total — comparable to r8's min-of-3 headline number.
 
 Contention sentinel: a fixed-work JVM calibration job (sum over a constant
 range — no I/O, no shuffle) is timed before and after the suite and
@@ -81,24 +85,32 @@ def main() -> None:
     _calibrate(spark)  # codegen warmup so pre/post measure the same thing
     cal_pre = _calibrate(spark)
 
-    timings: dict[str, float] = {}
+    timings: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        best = None
-        for _ in range(runs):
+        cold = None
+        warm = None
+        for i in range(runs):
             t0 = time.time()
             fn(spark, sf_dir).count()
             dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            if i == 0:
+                cold = dt
+            else:
+                warm = dt if warm is None else min(warm, dt)
+        if warm is None:  # runs == 1
+            warm = cold
+        timings[name] = {"cold": round(cold, 3), "warm": round(warm, 3)}
 
     cal_post = _calibrate(spark)
-    total = round(sum(timings.values()), 3)
+    total_warm = round(sum(t["warm"] for t in timings.values()), 3)
+    total_cold = round(sum(t["cold"] for t in timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_suite_total",
-                "value": total,
+                "value": total_warm,
+                "value_cold": total_cold,
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
@@ -107,6 +119,16 @@ def main() -> None:
             }
         )
     )
+    sys.stdout.flush()
+
+    # Clean teardown (VERDICT r8 "what's wrong" #2): unpersist the shared
+    # candidates cache and stop the session so no executor-side storage
+    # outlives the context — the r8 artifact tail's "Failed to update
+    # accumulator" ERROR spam came from exactly that.
+    from meerkat_abacus_spark.queries.dedup import clear_candidate_cache
+
+    clear_candidate_cache()
+    spark.stop()
 
 
 if __name__ == "__main__":

@@ -315,7 +315,16 @@ def minhash_lsh_candidates(
     # loss mid-query fails the job instead of recomputing — on a real
     # cluster the clusters pass already takes a reliable ``checkpoint_dir``
     # for exactly this reason.
-    keys = keys.localCheckpoint(eager=False)
+    # EAGER (r9): keys is consumed by two CONCURRENT jobs — the
+    # broadcast-exchange future computing ``over`` and the main pair join.
+    # A lazily-materialized checkpoint makes those jobs share an in-flight
+    # stage; whichever job finishes first unregisters its SQL-metric
+    # accumulators and the shared stage's late task completions spam
+    # "Failed to update accumulator" at ERROR (the r8 bench-tail noise).
+    # Materializing in its own job first costs ~0.5 s cold at sf0.01 but
+    # removes the cross-job stage sharing entirely.  sh_docs above stays
+    # lazy: all its consumers live inside single jobs.
+    keys = keys.localCheckpoint(eager=True)
     if max_bucket_size is None:
         left, right = keys, keys
     else:
@@ -588,8 +597,11 @@ def simhash_wide_pairs(
     # Fingerprints feed the block join (3 consumers with the guard) plus the
     # two per-pair re-attach joins; pin them once so the token-hash + 16-way
     # per-bit aggregation subplan is not recomputed per consumer (same
-    # lineage discipline as minhash_lsh_candidates' staged keys).
-    fps = fps.localCheckpoint(eager=False)
+    # lineage discipline as minhash_lsh_candidates' staged keys).  Eager for
+    # the same reason as the minhash keys checkpoint: the broadcast-exchange
+    # future for the bucket guard would otherwise share an in-flight stage
+    # with the main join job (late-accumulator ERROR spam).
+    fps = fps.localCheckpoint(eager=True)
 
     blocks = fps.select(
         "id", F.posexplode("fp").alias("slice_idx", "slice_val")
