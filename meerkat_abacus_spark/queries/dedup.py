@@ -917,3 +917,67 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "component", "cluster_size", "survivor_id", "best_quality"
         )
     )
+
+
+# --- Cross-document span-level dedup removal (VERDICT r8 "next round" #2) --
+
+_SPAN_K = 8
+
+_SPAN_REMOVAL_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '')
+                   AS ts
+        FROM documents
+    ),
+    occ AS (
+        SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+               md5(array_to_string(ts[u.i:u.i+{_SPAN_K - 1}], ' ')) AS g
+        FROM toks, unnest(range(1, len(ts) - {_SPAN_K} + 2)) AS u(i)
+    ),
+    own AS (
+        SELECT g, MIN(doc_id) AS owner
+        FROM occ GROUP BY g HAVING MAX(doc_id) > MIN(doc_id)
+    ),
+    dup AS (
+        SELECT occ.doc_id, occ.pos
+        FROM occ JOIN own ON occ.g = own.g AND occ.doc_id > own.owner
+    ),
+    cov AS (
+        SELECT DISTINCT doc_id, pos + d.d AS cpos
+        FROM dup, unnest(range(0, {_SPAN_K})) AS d(d)
+    ),
+    covagg AS (
+        SELECT doc_id, list_sort(list(cpos)) AS covered
+        FROM cov GROUP BY doc_id
+    ),
+    joined AS (
+        SELECT t.doc_id, t.ts, COALESCE(c.covered, []) AS covered
+        FROM toks t LEFT JOIN covagg c ON t.doc_id = c.doc_id
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(
+               list_filter(ts, (tok, i) -> NOT list_contains(covered, i - 1)),
+               ' '), '') AS clean_text,
+           CAST(len(ts) AS BIGINT) AS n_tokens,
+           CAST(len(covered) AS BIGINT) AS n_removed_tokens,
+           CAST(len(covered) - len(list_intersect(covered,
+                list_transform(covered, p -> p + 1))) AS BIGINT)
+               AS n_spans_removed
+    FROM joined
+"""
+
+
+@_register("dedup_span_removal", _SPAN_REMOVAL_ORACLE)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rewrite the corpus with exact cross-document {_SPAN_K}-token spans
+    excised, keep-first by min doc_id (VERDICT r8 ask #2: the
+    suffix-array-style exact-substring stage a training-data pipeline
+    runs AFTER doc-level dedup).  Candidate generation is a span-md5
+    keyed equi-join — never all-pairs; see dd.span_dedup_removal for the
+    scale contract.  Offset bookkeeping per doc: token count, removed
+    token count, and number of maximal removed runs."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.span_dedup_removal(
+        docs, id_col="doc_id", text_col="text", k=_SPAN_K
+    )

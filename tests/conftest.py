@@ -1,9 +1,36 @@
+import importlib.util
+import os
+import sys
+
 import pytest
 
-from meerkat_abacus_spark.session import get_spark
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _regenerate_rotation_snapshot() -> None:
+    """Round-start automation (VERDICT r8 ask #3): when the driver has
+    dropped a newer CORRECTNESS_r*.json than the committed snapshot
+    covers, regenerate cert_history.json BEFORE any test imports the
+    queries package — the registry ordering is computed at import time
+    from the snapshot, so regenerating here makes the first pytest run on
+    a fresh checkout warning-free with no manual gen_rotation step."""
+    if "meerkat_abacus_spark.queries" in sys.modules:
+        return  # too late to change the import-time ordering
+    spec = importlib.util.spec_from_file_location(
+        "gen_rotation", os.path.join(ROOT, "tools", "gen_rotation.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.regenerate_if_stale()
+
+
+def pytest_configure(config):
+    _regenerate_rotation_snapshot()
 
 
 @pytest.fixture(scope="session")
 def spark():
+    from meerkat_abacus_spark.session import get_spark
+
     s = get_spark(app_name="tests", shuffle_partitions=8)
     yield s

@@ -674,3 +674,61 @@ def test_star_contraction_empty_and_single_edge(spark):
         (r.node, r.component) for r in connected_components_star(one).collect()
     }
     assert got == {(2, 2), (5, 2)}
+
+
+def test_span_dedup_removal_semantics(spark):
+    """Cross-document span removal (r9): keep-first ownership, overlapping
+    windows merging into one maximal span, intra-doc repeats kept, short
+    docs untouched, full duplicates emptied."""
+    from meerkat_abacus_spark.datapipe.dedup import span_dedup_removal
+
+    rows = [
+        # doc 0 owns the span "a b c d"; its own repeat of it is KEPT
+        (0, "a b c d x a b c d"),
+        # doc 1 repeats the owned span once -> 4 tokens removed, 1 span
+        (1, "p q a b c d r s"),
+        # doc 2 contains it twice, adjacent -> overlapping coverage merges
+        (2, "a b c d a b c d tail"),
+        # doc 3: shorter than k -> no grams, untouched
+        (3, "a b c"),
+        # doc 4: exact duplicate of doc 3 -> still untouched (n < k)
+        (4, "a b c"),
+        # doc 5: exact duplicate of doc 1 -> fully covered, emptied
+        (5, "p q a b c d r s"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in span_dedup_removal(df, k=4).collect()
+    }
+    assert got[0]["clean_text"] == "a b c d x a b c d"
+    assert got[0]["n_removed_tokens"] == 0
+    # doc 1: the window "a b c d" is owned by doc 0, so its occurrence in
+    # doc 1 is excised; windows unique to docs 1+5 (e.g. "p q a b") are
+    # owned by doc 1 and stay there, but cost doc 5 everything
+    assert got[1]["clean_text"] == "p q r s"
+    assert got[1]["n_removed_tokens"] == 4
+    assert got[1]["n_spans_removed"] == 1
+    assert got[5]["clean_text"] == ""
+    assert got[5]["n_removed_tokens"] == 8
+    assert got[5]["n_spans_removed"] == 1
+    # doc 2: every 4-window of "a b c d a b c d" includes tokens of the
+    # repeated span; windows like "c d a b" are unique to doc 2 (owned by
+    # it), but "a b c d" at positions 0 and 4 is owned by doc 0 -> both
+    # occurrences covered, coverage 0..7 merges into ONE maximal span
+    assert got[2]["clean_text"] == "tail"
+    assert got[2]["n_removed_tokens"] == 8
+    assert got[2]["n_spans_removed"] == 1
+    assert got[3]["clean_text"] == "a b c"
+    assert got[4]["clean_text"] == "a b c"
+    assert all(got[i]["n_tokens"] == len(rows[i][1].split()) for i in got)
+
+
+def test_span_dedup_removal_rejects_k1(spark):
+    import pytest
+
+    from meerkat_abacus_spark.datapipe.dedup import span_dedup_removal
+
+    df = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        span_dedup_removal(df, k=1)

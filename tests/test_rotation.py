@@ -49,6 +49,41 @@ def test_snapshot_matches_regeneration():
         )
 
 
+def test_regenerate_if_stale_roundtrip(tmp_path):
+    """Round-start automation (VERDICT r8 ask #3): regenerate_if_stale
+    rewrites the snapshot exactly when a newer driver artifact changes the
+    computed history, and is a no-op (no write, no mtime churn) when the
+    snapshot is already fresh."""
+    import json
+
+    mod = _gen_rotation_module()
+    root = str(tmp_path)
+    out = tmp_path / "cert_history.json"
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "q_a": {"rows_match": True, "schema_match": True,
+                "hash_match": True, "err": None},
+        "q_b": {"rows_match": False, "err": "boom"},
+    }))
+    assert mod.regenerate_if_stale(root=root, out=str(out)) is True
+    snap = json.loads(out.read_text())
+    assert snap == {"as_of_round": 1, "last_certified": {"q_a": 1}}
+    # fresh snapshot: second call must not rewrite
+    before = out.stat().st_mtime_ns
+    assert mod.regenerate_if_stale(root=root, out=str(out)) is False
+    assert out.stat().st_mtime_ns == before
+    # a newer artifact certifying q_b triggers a rewrite
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "q_b": {"rows_match": True, "schema_match": True,
+                "hash_match": True, "err": ""},
+    }))
+    assert mod.regenerate_if_stale(root=root, out=str(out)) is True
+    snap = json.loads(out.read_text())
+    assert snap == {
+        "as_of_round": 2,
+        "last_certified": {"q_a": 1, "q_b": 2},
+    }
+
+
 def test_registry_order_is_policy_output():
     hist = _rotation.load_history()["last_certified"]
     expect = _rotation.build_priority(sorted(QUERIES), hist)

@@ -59,13 +59,34 @@ def compute_history(root: str = ROOT, max_round: int | None = None) -> dict:
     }
 
 
-def main() -> None:
-    hist = compute_history()
-    with open(OUT, "w") as f:
+def regenerate_if_stale(root: str = ROOT, out: str = OUT) -> bool:
+    """Round-start automation (VERDICT r8 ask #3): recompute the history
+    and rewrite the snapshot ONLY when a newer driver artifact changed it.
+    Returns True when the snapshot was rewritten.  Called from
+    tests/conftest.py (before the queries package is imported, so the
+    registry ordering is built from the fresh snapshot) and from
+    tools/verify_all.py — the manual ``python tools/gen_rotation.py`` step
+    is no longer load-bearing."""
+    hist = compute_history(root)
+    try:
+        with open(out) as f:
+            current = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        current = None
+    if current == hist:
+        return False
+    with open(out, "w") as f:
         json.dump(hist, f, indent=1, sort_keys=True)
         f.write("\n")
+    return True
+
+
+def main() -> None:
+    changed = regenerate_if_stale()
+    hist = compute_history()
     print(
-        f"wrote {OUT}: as_of_round={hist['as_of_round']}, "
+        f"{'wrote' if changed else 'unchanged'} {OUT}: "
+        f"as_of_round={hist['as_of_round']}, "
         f"{len(hist['last_certified'])} queries"
     )
 

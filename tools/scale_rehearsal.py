@@ -93,6 +93,9 @@ REHEARSED = (
     "tfidf_top_terms",
     "inverted_index",
     "fuzzy_decontaminate",
+    # cross-document span-level dedup removal (r9): gram-keyed equi-join,
+    # rewrite output is one row per doc — wall must scale with corpus
+    "dedup_span_removal",
 )
 
 
@@ -268,6 +271,68 @@ def candidate_waterfall(spark, sf_dir: str) -> dict:
     }
 
 
+def span_waterfall(spark, sf_dir: str) -> dict:
+    """Per-stage cardinalities of dedup_span_removal (r8 verdict ask #2):
+    documents → k-gram occurrences → distinct grams → cross-document
+    grams → duplicate occurrences → covered token positions → rewritten
+    docs / removed spans.  Built from the SAME datapipe construction as
+    the shipped query (k = queries.dedup._SPAN_K), so the reported growth
+    is the shipped operator's growth — the candidate stage must scale
+    with gram occurrences (corpus tokens), never quadratically."""
+    from meerkat_abacus_spark.queries._shared import _t
+    from meerkat_abacus_spark.queries.dedup import _SPAN_K as k
+    from meerkat_abacus_spark.datapipe import dedup as dd
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        F.filter(
+            F.split(F.col("text"), r"\s+"), lambda t: t != F.lit("")
+        ).alias("ts"),
+    )
+    n = F.size("ts")
+    occ = toks.select(
+        "id",
+        F.posexplode(
+            F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(0), n - k),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice("ts", i + 1, k))
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "g"),
+    ).localCheckpoint(eager=True)
+    owners = (
+        occ.groupBy("g")
+        .agg(F.min("id").alias("owner"), F.max("id").alias("mx"))
+    )
+    cross = owners.filter(F.col("mx") > F.col("owner"))
+    dup = occ.join(cross.select("g", "owner"), "g").filter(
+        F.col("id") > F.col("owner")
+    )
+    covered = dup.select(
+        "id", F.explode(F.sequence("pos", F.col("pos") + (k - 1))).alias("c")
+    ).distinct()
+    out = dd.span_dedup_removal(docs, k=k)
+    agg = out.agg(
+        F.sum(F.when(F.col("n_removed_tokens") > 0, 1).otherwise(0)).alias("rw"),
+        F.sum("n_spans_removed").alias("sp"),
+    ).collect()[0]
+    return {
+        "docs": docs.count(),
+        "gram_occurrences": occ.count(),
+        "distinct_grams": owners.count(),
+        "crossdoc_grams": cross.count(),
+        "dup_occurrences": dup.count(),
+        "covered_positions": covered.count(),
+        "docs_rewritten": agg["rw"],
+        "spans_removed": agg["sp"],
+    }
+
+
 def main() -> None:
     from meerkat_abacus_spark.session import get_spark
 
@@ -293,6 +358,12 @@ def main() -> None:
     report["clusters_waterfall"] = {
         "sf0.1": candidate_waterfall(spark, src),
         "sf~1.0": candidate_waterfall(spark, dest),
+    }
+
+    # --- dedup_span_removal stage waterfall (r8 verdict ask #2) ---
+    report["span_waterfall"] = {
+        "sf0.1": span_waterfall(spark, src),
+        "sf~1.0": span_waterfall(spark, dest),
     }
 
     # --- 100x surveillance-pipeline leg (r6 verdict ask #7) ---

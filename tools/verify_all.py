@@ -138,6 +138,17 @@ def main() -> int:
     ap.add_argument("--skip-rehearsals", action="store_true")
     args = ap.parse_args()
 
+    # Round-start automation (VERDICT r8 ask #3): fold any newer driver
+    # artifacts into the rotation snapshot before anything imports the
+    # queries package, so the registry ordering and the staleness
+    # invariants are evaluated against fresh certification data.
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from gen_rotation import regenerate_if_stale
+
+    if regenerate_if_stale():
+        print("regenerated cert_history.json from newer driver artifacts",
+              file=sys.stderr)
+
     report: dict = {
         "compare": run_compare(args.sf_dir),
         "pytest": run_pytest(),
