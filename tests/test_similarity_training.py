@@ -517,3 +517,100 @@ def test_ivf_append_equals_rebuild(spark, tmp_path):
         }
 
     assert probe(inc_path) == probe(full_path)
+
+
+def test_lsh_index_join_probe_dpp_matches_memory(spark, tmp_path):
+    """lsh_topk_from_index_join (VERDICT r8 ask #6) must (a) prune the
+    bucket-partitioned index scan at RUNTIME via dynamic partition
+    pruning — no driver collect of probe keys — and (b) return exactly
+    what the in-memory lsh_topk returns, at radius 0 and 2."""
+    from meerkat_abacus_spark.datapipe.similarity import (
+        lsh_topk,
+        lsh_topk_from_index_join,
+        write_lsh_index,
+    )
+
+    corpus = _clustered_corpus(spark).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = corpus.filter(F.col("vec_id").isin([0, 45, 90]))
+    path = str(tmp_path / "lsh_join")
+    write_lsh_index(corpus, path, dim=4, nbits=4)
+
+    for radius in (0, 2):
+        joined = lsh_topk_from_index_join(
+            spark, path, queries, dim=4, k=3, nbits=4, radius=radius
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan, plan
+        mem = {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine"], 9))
+            for r in lsh_topk(
+                corpus, queries, dim=4, k=3, nbits=4, radius=radius
+            ).collect()
+        }
+        idx = {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine"], 9))
+            for r in joined.collect()
+        }
+        assert mem == idx, f"radius={radius}"
+
+
+def test_lsh_append_equals_rebuild(spark, tmp_path):
+    """Appending a delta batch into the bucket partitions + id sidecar
+    (seed-fixed hyperplanes, no retraining) must probe identically to an
+    index rebuilt from the full corpus (VERDICT r8 ask #8), on both the
+    by-id and the vector-probe serving paths."""
+    from meerkat_abacus_spark.datapipe.similarity import (
+        lsh_topk_from_index,
+        lsh_topk_from_index_by_id,
+        write_lsh_index,
+    )
+
+    corpus = _clustered_corpus(spark).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    old = corpus.filter(F.col("vec_id") % 5 != 0)
+    delta = corpus.filter(F.col("vec_id") % 5 == 0)
+
+    inc = str(tmp_path / "inc")
+    write_lsh_index(old, inc, dim=4, nbits=4)
+    write_lsh_index(delta, inc, dim=4, nbits=4, mode="append")
+    full = str(tmp_path / "full")
+    write_lsh_index(corpus, full, dim=4, nbits=4)
+
+    def probe_by_id(p):
+        return {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine"], 9))
+            for r in lsh_topk_from_index_by_id(
+                spark, p, [0, 45, 90], k=3, nbits=4, radius=2
+            ).collect()
+        }
+
+    assert probe_by_id(inc) == probe_by_id(full)
+
+    queries = corpus.filter(F.col("vec_id").isin([0, 45, 90]))
+
+    def probe_by_vec(p):
+        return {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine"], 9))
+            for r in lsh_topk_from_index(
+                spark, p, queries, dim=4, k=3, nbits=4, radius=2
+            ).collect()
+        }
+
+    assert probe_by_vec(inc) == probe_by_vec(full)
+
+
+def test_lsh_index_rejects_unknown_mode(spark, tmp_path):
+    import pytest
+
+    from meerkat_abacus_spark.datapipe.similarity import write_lsh_index
+
+    corpus = _clustered_corpus(spark).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    with pytest.raises(ValueError, match="overwrite"):
+        write_lsh_index(
+            corpus, str(tmp_path / "x"), dim=4, nbits=4, mode="ignore"
+        )

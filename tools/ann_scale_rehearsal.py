@@ -74,7 +74,44 @@ def time_queries(spark, sf_dir: str) -> dict:
     out["ivf_probe_indexed"] = time_indexed_probe(spark, sf_dir)
     out["ivf_delta_append"] = time_ivf_delta_append(spark, sf_dir)
     out["lsh_index"] = time_lsh_index(spark, sf_dir)
+    out["lsh_delta_append"] = time_lsh_delta_append(spark, sf_dir)
     return out
+
+
+def time_lsh_delta_append(spark, sf_dir: str) -> dict:
+    """Incremental sign-LSH maintenance (r8 verdict ask #8): appending a
+    20% delta into the bucket partitions + id sidecar (hyperplanes are
+    seed-fixed — no retraining) vs rebuilding the whole index.  The
+    append projects and writes ONLY the delta, so append/rebuild should
+    sit near the 0.2 delta fraction and fall as the corpus grows."""
+    import tempfile
+
+    from meerkat_abacus_spark.datapipe.similarity import write_lsh_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    base = tempfile.gettempdir() + "/msa_lsh_inc"
+    for p in (base, base + "_byid", base + "_full", base + "_full_byid"):
+        shutil.rmtree(p, ignore_errors=True)
+    write_lsh_index(old, base, dim=64, nbits=8)
+    t0 = time.time()
+    write_lsh_index(delta, base, dim=64, nbits=8, mode="append")
+    append_sec = round(time.time() - t0, 2)
+    t0 = time.time()
+    write_lsh_index(emb, base + "_full", dim=64, nbits=8)
+    rebuild_sec = round(time.time() - t0, 2)
+    for p in (base, base + "_byid", base + "_full", base + "_full_byid"):
+        shutil.rmtree(p, ignore_errors=True)
+    return {
+        "append_sec": append_sec,
+        "rebuild_sec": rebuild_sec,
+        "append_over_rebuild": round(append_sec / rebuild_sec, 2)
+        if rebuild_sec
+        else None,
+    }
 
 
 def time_ivf_delta_append(spark, sf_dir: str) -> dict:
@@ -219,6 +256,7 @@ def main() -> None:
         b = report["100x"][name]["sec"]
         report[f"{name}_scale_ratio_100x_data"] = round(b / a, 2) if a else None
     for leg, key in (("ivf_delta_append", "append_sec"),
+                     ("lsh_delta_append", "append_sec"),
                      ("lsh_index", "probe_sec")):
         a = report["sf0.1"][leg][key]
         b = report["100x"][leg][key]
