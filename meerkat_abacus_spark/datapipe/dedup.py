@@ -89,11 +89,17 @@ def _affine_consts(num_hashes: int) -> list[tuple[int, int]]:
 def minhash_signature(hash_arr: Column, num_hashes: int = 64) -> Column:
     """MinHash signature from PRE-HASHED shingles (``array<long>`` of
     :func:`shingle_hash` values): the i-th component is
-    ``min over shingles of (a_i * (h % 2^30) + b_i) % 2^32`` with fixed
-    md5-derived ``(a_i, b_i)`` — the classic one-strong-hash +
-    universal-affine-rehash family.  Integer min/mul/mod are exact and
-    engine-portable, and the per-shingle digest cost is ONE md5 total
-    (paid in :func:`shingle_hash`) instead of ``num_hashes/4`` md5 passes
+    ``min over shingles of (a_i * mix(h) + b_i) % 2^32`` with
+    ``mix(h) = (h XOR (h >> 30)) % 2^30`` and fixed md5-derived
+    ``(a_i, b_i)`` — the classic one-strong-hash +
+    universal-affine-rehash family.  The xor-fold mixes the digest's high
+    30 bits into the residue before the reduction (ADVICE r8 #1: a bare
+    ``h % 2^30`` made two shingles colliding in the LOW 30 bits collapse
+    in EVERY signature slot — birthday odds ~n²/2^31 per doc; folded,
+    a same-slot collapse needs a collision of the full 60-bit digest).
+    Integer min/mul/xor/shift/mod are exact and engine-portable, and the
+    per-shingle digest cost is ONE md5 total (paid in
+    :func:`shingle_hash`) instead of ``num_hashes/4`` md5 passes
     — at 10× sf0.1 corpus data the signature stage fell 13.1 s → ~3 s.
 
     PERF CONTRACT: ``hash_arr`` must be bound (Generate barrier or
@@ -107,7 +113,11 @@ def minhash_signature(hash_arr: Column, num_hashes: int = 64) -> Column:
         return F.array_min(
             F.transform(
                 hash_arr,
-                lambda h: (F.lit(a) * (h % F.lit(1073741824)) + F.lit(b))
+                lambda h: (
+                    F.lit(a)
+                    * (h.bitwiseXOR(F.shiftright(h, 30)) % F.lit(1073741824))
+                    + F.lit(b)
+                )
                 % F.lit(4294967296),
             )
         )

@@ -107,7 +107,8 @@ def _minhash_oracle_sql(
     consts = dd._affine_consts(MINHASH_CFG["num_hashes"])
     sig_items = ",\n                ".join(
         f"list_aggregate(list_transform(hs, "
-        f"h -> ({a} * (h % 1073741824) + {b}) % 4294967296), 'min')"
+        f"h -> ({a} * (xor(h, h >> 30) % 1073741824) + {b}) "
+        f"% 4294967296), 'min')"
         for a, b in consts
     )
     band_items = ",\n            ".join(
@@ -705,9 +706,11 @@ def incremental_dedup_equals_batch(spark: SparkSession, sf_dir: str) -> DataFram
 
     from ._shared import _scratch_ready, _scratch_tag
 
-    # _v2: the stored band index layout changed with the r8 affine
-    # signature scheme — a _v1 store from older code must not be reused.
-    base = tempfile.gettempdir() + f"/msa_incdedup_v2_{_scratch_tag(sf_dir)}"
+    # _v3: the stored band keys changed with the r9 xor-fold bit mix in
+    # minhash_signature (ADVICE r8 #1) — a _v2 store from older code must
+    # not be reused (same reason _v2 superseded _v1 for the r8 affine
+    # scheme).
+    base = tempfile.gettempdir() + f"/msa_incdedup_v3_{_scratch_tag(sf_dir)}"
     bands_p, pairs_p = base + "/bands_old", base + "/pairs_old"
     if not (_scratch_ready(bands_p) and _scratch_ready(pairs_p)):
         # "yesterday's run": persist the band index and its verified pairs

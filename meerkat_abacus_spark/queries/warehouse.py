@@ -1303,7 +1303,15 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_quantity is integer-valued, so the per-part SUM is an exactly
     representable integer double — order-independent across engines —
     where an AVG-of-doubles comparison would retain an ulp-boundary flip
-    risk from summation order."""
+    risk from summation order.
+
+    Output contract note (ADVICE r8 #4): since r8, ``avg_yearly`` is
+    ``round(decimal_sum, 2) / 7.0`` — an UNROUNDED double quotient —
+    rather than the pre-r8 ``ROUND(sum / 7.0, 2)``.  Deliberate: rounding
+    the DECIMAL sum (exact in both engines) and then performing one IEEE
+    division gives bit-identical cross-engine results, whereas rounding
+    the quotient reintroduces the near-midpoint flip the r8 change
+    removed.  Consumers wanting 2-dp display should round at the edge."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "MEDIUM")
     pagg = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
