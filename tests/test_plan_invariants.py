@@ -46,6 +46,33 @@ def test_headline_plans_hold_scale_invariants(spark):
     assert not problems, "\n".join(problems)
 
 
+def test_full_registry_plans_hold_scale_invariants(spark):
+    """VERDICT r8 ask #7: the bench HEADLINE sweep above reacts fast, but
+    a scale-killer in any of the other ~120 registered queries used to be
+    caught only at PLANS.md regeneration — this sweeps EVERY registered
+    query through the same checker each pytest run (~100 s: plans are
+    built, not executed, though index-building queries materialize their
+    scratch stores on first call)."""
+    import pytest
+
+    if not os.path.isdir(SF_DIR):
+        pytest.skip("driver testdata not present")
+    explain = _load("explain_full", os.path.join("tools", "explain.py"))
+    from meerkat_abacus_spark.queries import QUERIES
+
+    widths = explain._table_widths(SF_DIR)
+    problems: list[str] = []
+    for name, fn in QUERIES.items():
+        plan = (
+            fn(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        problems += explain.check_plan(name, plan, widths)
+    assert not problems, "\n".join(problems)
+
+
 def test_check_plan_flags_violations():
     """The checker itself must catch a cartesian join, an off-whitelist
     nested loop, and a full-width wide scan — and count nested-generic

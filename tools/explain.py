@@ -92,6 +92,10 @@ INTERESTING = (
     "ann_lsh_indexed",
     "ann_lsh_topk",
     "incremental_ann_equals_batch",
+    # r9 additions
+    "dedup_span_removal",
+    "ann_lsh_dpp",
+    "incremental_lsh_equals_batch",
 )
 
 
