@@ -732,3 +732,35 @@ def test_span_dedup_removal_rejects_k1(spark):
     df = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         span_dedup_removal(df, k=1)
+
+
+def test_span_dedup_removal_bookkeeping_consistent(spark):
+    """Offset bookkeeping invariants over a real corpus slice: kept + removed
+    = total tokens, span count bounded by ceil(removed / 1) and >= 1 when
+    anything was removed, and no clean_text is longer than its source."""
+    import os
+
+    import pytest
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata not present")
+    from meerkat_abacus_spark.datapipe.dedup import span_dedup_removal
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    rows = span_dedup_removal(docs, k=8).collect()
+    assert len(rows) == docs.count()
+    removed_any = 0
+    for r in rows:
+        kept = len(r["clean_text"].split()) if r["clean_text"] else 0
+        assert kept + r["n_removed_tokens"] == r["n_tokens"], r["doc_id"]
+        if r["n_removed_tokens"]:
+            removed_any += 1
+            assert 1 <= r["n_spans_removed"] <= r["n_removed_tokens"]
+            # a span is at least k tokens (it covers >= one full window)
+            assert r["n_removed_tokens"] >= 8 * 1
+        else:
+            assert r["n_spans_removed"] == 0
+    assert removed_any > 0  # the corpus genuinely contains cross-doc spans
