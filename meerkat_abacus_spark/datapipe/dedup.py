@@ -1054,6 +1054,15 @@ def span_dedup_removal(
       (removed) tokens, and the number of MAXIMAL removed runs
       (``n_spans_removed``).
 
+    A repeated cross-document run of ANY length L >= k is excised in
+    full: each of its L-k+1 windows recurs in the owner document, so
+    every position of the run is covered — the window formulation is
+    equivalent to "remove all repeated substrings of length >= k"
+    (Lee et al.'s suffix-array criterion) at token granularity.  Like
+    that algorithm, the rewrite is not guaranteed idempotent: excising a
+    span splices previously-distant tokens together, and a second pass
+    can in principle see new windows across the splice points.
+
     Scale posture: candidate generation is a gram-md5-keyed equi-join —
     never all-pairs.  The exploded occurrence rows carry ``(id, pos,
     md5)`` only (32 B + ints per token position, independent of document
