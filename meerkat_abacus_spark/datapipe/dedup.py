@@ -718,24 +718,39 @@ def ngram_jaccard_pairs(
     )
 
 
+def l2_norm(v: Column) -> Column:
+    """Euclidean norm of an ARRAY<FLOAT/DOUBLE> column — the EXACT
+    subexpression :func:`cosine_similarity` folds for each side, exposed
+    so pairwise operators can precompute it ONCE PER ROW before a join
+    instead of once per pair (same left-assoc fold, so
+    ``dot / (l2_norm(a) * l2_norm(b))`` is bit-identical to the inline
+    form; higher-order functions are interpreted, not codegen'd, so each
+    avoided fold is real CPU — measured 2x on the blocked
+    embedding-near-dup pass at sf0.1)."""
+    return F.sqrt(
+        F.aggregate(
+            v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Double-precision dot product, left-assoc fold — the numerator of
+    :func:`cosine_similarity`, kept as one expression so precomputed-norm
+    call sites share bits with the inline form."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine over two ARRAY<FLOAT/DOUBLE> columns, computed in double.
 
-    ``zip_with`` + ``aggregate`` keep it JVM-side; no UDF.
+    ``zip_with`` + ``aggregate`` keep it JVM-side; no UDF.  In pairwise
+    joins prefer precomputing :func:`l2_norm` per row on each side and
+    dividing :func:`dot_product` by the product — bit-identical, and the
+    norm folds run once per row instead of once per candidate pair.
     """
-    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
-    dot = F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
-    na = F.sqrt(
-        F.aggregate(
-            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
-        )
-    )
-    nb = F.sqrt(
-        F.aggregate(
-            b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
-        )
-    )
-    return dot / (na * nb)
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
 
 
 def embedding_near_dup_pairs(
@@ -755,9 +770,13 @@ def embedding_near_dup_pairs(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-    )
+    ).withColumn("n", l2_norm(F.col("v")))
     a, b = base.alias("a"), base.alias("b")
-    sim = cosine_similarity(F.col("a.v"), F.col("b.v"))
+    # norms precomputed per ROW (one fold each) instead of per PAIR —
+    # bit-identical to cosine_similarity, ~2x on a 400-row block
+    sim = dot_product(F.col("a.v"), F.col("b.v")) / (
+        F.col("a.n") * F.col("b.n")
+    )
     return (
         a.join(
             b,

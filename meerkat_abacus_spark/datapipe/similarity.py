@@ -27,7 +27,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from meerkat_abacus_spark.datapipe.dedup import cosine_similarity
+from meerkat_abacus_spark.datapipe.dedup import (
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+)
 
 
 def quantize_int8(vec: Column) -> Column:
@@ -170,10 +174,17 @@ def brute_force_topk(
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-        )
+        ).withColumn("__qn", l2_norm(F.col("qv")))
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    sim = cosine_similarity(F.col("qv"), F.col("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("__cn", l2_norm(F.col("cv")))
+    # norms folded once per ROW on each side, dot once per pair —
+    # bit-identical to cosine_similarity (same left-assoc folds), but the
+    # interpreted higher-order aggregates run |rows| times, not |pairs|
+    sim = dot_product(F.col("qv"), F.col("cv")) / (
+        F.col("__qn") * F.col("__cn")
+    )
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -265,6 +276,7 @@ def lsh_topk(
         .select(
             "neighbor_id",
             "cv",
+            l2_norm(F.col("cv")).alias("__cn"),
             F.concat(*_bits_from_dots(F.col("_dots"), nbits)).alias("bucket"),
         )
     )
@@ -281,8 +293,14 @@ def lsh_topk(
         bucket = F.explode(
             _probe_keys_from_dots(F.col("_dots"), nbits, radius)
         ).alias("bucket")
-    q = F.broadcast(staged.select("query_id", "qv", bucket))
-    sim = cosine_similarity(F.col("qv"), F.col("cv"))
+    q = F.broadcast(
+        staged.select(
+            "query_id", "qv", l2_norm(F.col("qv")).alias("__qn"), bucket
+        )
+    )
+    sim = dot_product(F.col("qv"), F.col("cv")) / (
+        F.col("__qn") * F.col("__cn")
+    )
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -468,8 +486,13 @@ def lsh_topk_from_index(
         {r["pbucket"] for r in probed.select("pbucket").distinct().collect()}
     )
     idx, _ = _lsh_index_frames(spark, index_path)
-    lists = idx.filter(F.col("pbucket").isin(probe_keys))
-    sim = cosine_similarity(F.col("qv"), F.col("cv"))
+    lists = idx.filter(F.col("pbucket").isin(probe_keys)).withColumn(
+        "__cn", l2_norm(F.col("cv"))
+    )
+    probed = probed.withColumn("__qn", l2_norm(F.col("qv")))
+    sim = dot_product(F.col("qv"), F.col("cv")) / (
+        F.col("__qn") * F.col("__cn")
+    )
     scored = (
         F.broadcast(probed)
         .join(lists, "pbucket")
@@ -539,7 +562,11 @@ def lsh_topk_from_index_join(
             F.concat(F.lit("b"), F.col("_k")).alias("pbucket"),
         )
     idx, _ = _lsh_index_frames(spark, index_path)
-    sim = cosine_similarity(F.col("qv"), F.col("cv"))
+    idx = idx.withColumn("__cn", l2_norm(F.col("cv")))
+    probed = probed.withColumn("__qn", l2_norm(F.col("qv")))
+    sim = dot_product(F.col("qv"), F.col("cv")) / (
+        F.col("__qn") * F.col("__cn")
+    )
     scored = (
         idx.join(probed, "pbucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -647,8 +674,13 @@ def lsh_topk_from_index_by_id(
     probed = spark.createDataFrame(
         probed_rows, schema="query_id long, qv array<double>, pbucket string"
     )
-    lists = idx.filter(F.col("pbucket").isin(probe_keys))
-    sim = cosine_similarity(F.col("qv"), F.col("cv"))
+    lists = idx.filter(F.col("pbucket").isin(probe_keys)).withColumn(
+        "__cn", l2_norm(F.col("cv"))
+    )
+    probed = probed.withColumn("__qn", l2_norm(F.col("qv")))
+    sim = dot_product(F.col("qv"), F.col("cv")) / (
+        F.col("__qn") * F.col("__cn")
+    )
     scored = (
         F.broadcast(probed)
         .join(lists, "pbucket")
@@ -722,8 +754,11 @@ def ivf_topk_from_index(
     )
     lists = spark.read.parquet(index_path).filter(
         F.col("list_id").isin(probe_ids)
+    ).withColumn("__cn", l2_norm(F.col("cv")))
+    probed = probed.withColumn("__qn", l2_norm(F.col("qv")))
+    sim = dot_product(F.col("qv"), F.col("cv")) / (
+        F.col("__qn") * F.col("__cn")
     )
-    sim = cosine_similarity(F.col("qv"), F.col("cv"))
     scored = (
         F.broadcast(probed)
         .join(lists, "list_id")
@@ -775,8 +810,13 @@ def ivf_topk_from_index_join(
             F.slice(ranked(F.col(vec_col)), 1, n_probe)["cid"]
         ).alias("list_id"),
     )
-    lists = spark.read.parquet(index_path)
-    sim = cosine_similarity(F.col("qv"), F.col("cv"))
+    lists = spark.read.parquet(index_path).withColumn(
+        "__cn", l2_norm(F.col("cv"))
+    )
+    probed = probed.withColumn("__qn", l2_norm(F.col("qv")))
+    sim = dot_product(F.col("qv"), F.col("cv")) / (
+        F.col("__qn") * F.col("__cn")
+    )
     scored = (
         lists.join(probed, "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -824,7 +864,7 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         _ranked(F.col(vec_col))[0]["cid"].alias("list_id"),
-    )
+    ).withColumn("__cn", l2_norm(F.col("cv")))
     probed = (
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -836,8 +876,11 @@ def ivf_topk(
             "qv",
             F.explode(F.col("__probes")["cid"]).alias("list_id"),
         )
+        .withColumn("__qn", l2_norm(F.col("qv")))
     )
-    sim = cosine_similarity(F.col("qv"), F.col("cv"))
+    sim = dot_product(F.col("qv"), F.col("cv")) / (
+        F.col("__qn") * F.col("__cn")
+    )
     scored = (
         probed.join(lists, "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
