@@ -614,3 +614,33 @@ def test_lsh_index_rejects_unknown_mode(spark, tmp_path):
         write_lsh_index(
             corpus, str(tmp_path / "x"), dim=4, nbits=4, mode="ignore"
         )
+
+
+def test_precomputed_norm_cosine_is_bit_identical(spark):
+    """The per-row norm precompute (l2_norm/dot_product factored out of
+    cosine_similarity) must be BIT-identical to the inline form — the ANN
+    top-k tie-breaks and the oracle hashes both depend on exact doubles,
+    so any re-association in the fold would silently reorder ranks."""
+    from meerkat_abacus_spark.datapipe.dedup import (
+        cosine_similarity,
+        dot_product,
+        l2_norm,
+    )
+
+    # awkward magnitudes on purpose: denormal-adjacent small values and
+    # large ones whose squares stress the fold's rounding
+    rows = [
+        (i, [((i * 31 + j * 17) % 19 - 9) * (10.0 ** ((i + j) % 7 - 3))
+             for j in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, schema="id int, v array<double>")
+    a = df.alias("a")
+    b = df.alias("b")
+    pairs = a.crossJoin(b).filter(F.col("a.id") < F.col("b.id"))
+    inline = cosine_similarity(F.col("a.v"), F.col("b.v"))
+    factored = dot_product(F.col("a.v"), F.col("b.v")) / (
+        l2_norm(F.col("a.v")) * l2_norm(F.col("b.v"))
+    )
+    mismatches = pairs.filter(inline != factored).count()
+    assert mismatches == 0
