@@ -27,11 +27,35 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+import math
+
 from meerkat_abacus_spark.datapipe.dedup import (
     cosine_similarity,
     dot_product,
     l2_norm,
 )
+
+
+def _stored_or_computed_cn(df: DataFrame) -> DataFrame:
+    """Candidate-side norm for index probes: prefer the ``cn`` column the
+    index writer now persists (bit-identical to the fold, costs a column
+    read instead of a dim-wide aggregate per candidate); fall back to
+    computing it for indexes written before norms were stored."""
+    if "cn" in df.columns:
+        return df.withColumn("__cn", F.col("cn"))
+    return df.withColumn("__cn", l2_norm(F.col("cv")))
+
+
+def _py_l2_norm(arr) -> float:
+    """Driver-side mirror of :func:`l2_norm` for literal vectors: the same
+    left-assoc accumulate over IEEE doubles + correctly-rounded sqrt, so
+    ``F.lit(_py_l2_norm(v))`` is bit-identical to evaluating the Spark
+    fold over ``F.array(*[F.lit(x) for x in v])``."""
+    acc = 0.0
+    for x in arr:
+        xd = float(x)
+        acc += xd * xd
+    return math.sqrt(acc)
 
 
 def quantize_int8(vec: Column) -> Column:
@@ -334,19 +358,31 @@ def centroid_ranker(centroids: DataFrame, vec_col: str = "embedding"):
             F.struct(
                 F.lit(r["centroid_id"]).alias("cid"),
                 F.array(*[F.lit(float(x)) for x in r[vec_col]]).alias("cv_cent"),
+                # centroid norm as a DRIVER-COMPUTED literal: the Python
+                # left-assoc loop + math.sqrt reproduce Spark's fold +
+                # SQRT bit-for-bit over the same doubles, so the ranking
+                # key is unchanged while the per-element fold over the
+                # literal array disappears from the hot projection.
+                F.lit(_py_l2_norm(r[vec_col])).alias("cn"),
             )
             for r in rows
         ]
     )
 
-    def _ranked(vec: Column) -> Column:
+    def _ranked(vec: Column, norm: Column | None = None) -> Column:
         # struct sort order = (-cosine asc, centroid_id asc) → element [0]
-        # is the nearest centroid with deterministic tie-break.
+        # is the nearest centroid with deterministic tie-break.  ``norm``
+        # is an optional pre-staged l2_norm(vec) column — same fold, so
+        # the key is bit-identical; pass it where the caller can stage it
+        # once per row instead of once per centroid.
+        n = l2_norm(vec) if norm is None else norm
         return F.array_sort(
             F.transform(
                 cent_arr,
                 lambda c: F.struct(
-                    (-cosine_similarity(vec, c["cv_cent"])).alias("neg"),
+                    (
+                        -(dot_product(vec, c["cv_cent"]) / (n * c["cn"]))
+                    ).alias("neg"),
                     c["cid"].alias("cid"),
                 ),
             )
@@ -399,7 +435,10 @@ def write_lsh_index(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
-    c = c.withColumn(
+    # Stored row norm (see write_ivf_index): probes read 8 bytes instead
+    # of folding a dim-wide aggregate per candidate; bit-identical by the
+    # l2_norm contract.  Delta appends carry it identically.
+    c = c.withColumn("cn", l2_norm(F.col("cv"))).withColumn(
         "pbucket",
         F.concat(
             F.lit("b"), sign_lsh_bucket(F.col("cv"), dim, nbits, seed)
@@ -424,6 +463,16 @@ def write_lsh_index(
     c.repartitionByRange(8, "neighbor_id").sortWithinPartitions(
         "neighbor_id"
     ).write.mode(mode).parquet(path + "_byid")
+    if mode == "overwrite":
+        # v2 marker: tells the pinned-schema reader the ``cn`` column is
+        # present in EVERY file.  Only an overwrite may set it — an append
+        # onto a v1 base yields mixed files, and the v1 schema correctly
+        # ignores the extra column there.  (Local-FS touch mirrors the
+        # existing marker convention; a cluster deployment would go
+        # through the Hadoop FS API.)
+        import os
+
+        open(os.path.join(path, _LSH_NORMS_MARKER), "w").close()
     # A rewrite invalidates any cached reader handle for this path.
     for key in [k for k in _INDEX_READERS if k[1] == path]:
         _INDEX_READERS.pop(key, None)
@@ -486,8 +535,8 @@ def lsh_topk_from_index(
         {r["pbucket"] for r in probed.select("pbucket").distinct().collect()}
     )
     idx, _ = _lsh_index_frames(spark, index_path)
-    lists = idx.filter(F.col("pbucket").isin(probe_keys)).withColumn(
-        "__cn", l2_norm(F.col("cv"))
+    lists = _stored_or_computed_cn(
+        idx.filter(F.col("pbucket").isin(probe_keys))
     )
     probed = probed.withColumn("__qn", l2_norm(F.col("qv")))
     sim = dot_product(F.col("qv"), F.col("cv")) / (
@@ -562,7 +611,7 @@ def lsh_topk_from_index_join(
             F.concat(F.lit("b"), F.col("_k")).alias("pbucket"),
         )
     idx, _ = _lsh_index_frames(spark, index_path)
-    idx = idx.withColumn("__cn", l2_norm(F.col("cv")))
+    idx = _stored_or_computed_cn(idx)
     probed = probed.withColumn("__qn", l2_norm(F.col("qv")))
     sim = dot_product(F.col("qv"), F.col("cv")) / (
         F.col("__qn") * F.col("__cn")
@@ -609,15 +658,29 @@ def _hamming_ball(bits: str, radius: int) -> list[str]:
 # Caching the DataFrame handle reuses the FileIndex; the explicit schema
 # skips footer inference and pins the partition column to STRING.
 _LSH_INDEX_SCHEMA = "neighbor_id long, cv array<double>, pbucket string"
+# v2 layout additionally stores the row norm; gated by the _NORMS_STORED
+# marker because the reader pins an explicit schema (no inference pass) —
+# reading ``cn`` against a v1 index would yield NULLs, not an error.
+_LSH_INDEX_SCHEMA_V2 = (
+    "neighbor_id long, cv array<double>, cn double, pbucket string"
+)
+_LSH_NORMS_MARKER = "_NORMS_STORED"
 _INDEX_READERS: "dict[tuple, tuple]" = {}
 
 
 def _lsh_index_frames(spark, index_path: str):
+    import os
+
     key = (spark.sparkContext.applicationId, index_path)
     got = _INDEX_READERS.get(key)
     if got is None:
-        idx = spark.read.schema(_LSH_INDEX_SCHEMA).parquet(index_path)
-        byid = spark.read.schema(_LSH_INDEX_SCHEMA).parquet(
+        schema = (
+            _LSH_INDEX_SCHEMA_V2
+            if os.path.exists(os.path.join(index_path, _LSH_NORMS_MARKER))
+            else _LSH_INDEX_SCHEMA
+        )
+        idx = spark.read.schema(schema).parquet(index_path)
+        byid = spark.read.schema(schema).parquet(
             index_path + "_byid"
         )
         while len(_INDEX_READERS) >= 16:
@@ -674,8 +737,8 @@ def lsh_topk_from_index_by_id(
     probed = spark.createDataFrame(
         probed_rows, schema="query_id long, qv array<double>, pbucket string"
     )
-    lists = idx.filter(F.col("pbucket").isin(probe_keys)).withColumn(
-        "__cn", l2_norm(F.col("cv"))
+    lists = _stored_or_computed_cn(
+        idx.filter(F.col("pbucket").isin(probe_keys))
     )
     probed = probed.withColumn("__qn", l2_norm(F.col("qv")))
     sim = dot_product(F.col("qv"), F.col("cv")) / (
@@ -714,10 +777,21 @@ def write_ivf_index(
     ``PartitionFilters: [list_id IN (...)]`` in the plan.
     """
     ranked = centroid_ranker(centroids, vec_col)
-    lists = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        ranked(F.col(vec_col))[0]["cid"].alias("list_id"),
+    # The row norm is staged once, reused for list assignment, AND STORED
+    # (``cn``): probes divide by it instead of re-folding a dim-wide
+    # aggregate per candidate at read time — 8 bytes/row buys back a fold
+    # on every future probe.  Keeping it in the output also stops
+    # CollapseProject inlining the fold into the ranking lambda (a
+    # once-referenced non-cheap producer gets inlined; twice-referenced
+    # survives).  Appended delta batches carry it identically.
+    lists = (
+        corpus.withColumn("cn", l2_norm(F.col(vec_col)))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            F.col("cn"),
+            ranked(F.col(vec_col), F.col("cn"))[0]["cid"].alias("list_id"),
+        )
     )
     lists.write.mode(mode).partitionBy("list_id").parquet(path)
 
@@ -752,9 +826,9 @@ def ivf_topk_from_index(
     probe_ids = sorted(
         {r["list_id"] for r in probed.select("list_id").distinct().collect()}
     )
-    lists = spark.read.parquet(index_path).filter(
-        F.col("list_id").isin(probe_ids)
-    ).withColumn("__cn", l2_norm(F.col("cv")))
+    lists = _stored_or_computed_cn(
+        spark.read.parquet(index_path).filter(F.col("list_id").isin(probe_ids))
+    )
     probed = probed.withColumn("__qn", l2_norm(F.col("qv")))
     sim = dot_product(F.col("qv"), F.col("cv")) / (
         F.col("__qn") * F.col("__cn")
@@ -810,9 +884,7 @@ def ivf_topk_from_index_join(
             F.slice(ranked(F.col(vec_col)), 1, n_probe)["cid"]
         ).alias("list_id"),
     )
-    lists = spark.read.parquet(index_path).withColumn(
-        "__cn", l2_norm(F.col("cv"))
-    )
+    lists = _stored_or_computed_cn(spark.read.parquet(index_path))
     probed = probed.withColumn("__qn", l2_norm(F.col("qv")))
     sim = dot_product(F.col("qv"), F.col("cv")) / (
         F.col("__qn") * F.col("__cn")
@@ -860,11 +932,13 @@ def ivf_topk(
     """
     _ranked = centroid_ranker(centroids, vec_col)
 
-    lists = corpus.select(
+    # ONE staged norm serves both the list assignment and the pair scoring
+    lists = corpus.withColumn("__cn", l2_norm(F.col(vec_col))).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        _ranked(F.col(vec_col))[0]["cid"].alias("list_id"),
-    ).withColumn("__cn", l2_norm(F.col("cv")))
+        _ranked(F.col(vec_col), F.col("__cn"))[0]["cid"].alias("list_id"),
+        "__cn",
+    )
     probed = (
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -953,7 +1027,18 @@ def train_centroids(
     if first is None:
         raise ValueError("cannot train centroids on an empty corpus")
 
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # Persisted for the duration of training: every iteration re-scans the
+    # working set (classic Lloyd), so the cache turns ``iters`` source
+    # scans into one — and materializing ``__vn`` (the staged row norm the
+    # cosine affinity divides by) through the cache keeps the fold at
+    # once-per-row; without a materialization boundary CollapseProject
+    # would inline the once-referenced fold back into the per-centroid
+    # ranking lambda.  MEMORY_AND_DISK default: spills, never OOMs.
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("__vn", l2_norm(F.col("v")))
+        .persist()
+    )
     init = (
         base.orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
         .limit(k)
@@ -968,6 +1053,10 @@ def train_centroids(
                 F.struct(
                     F.lit(i).alias("cid"),
                     F.array(*[F.lit(x) for x in c]).alias("cv_cent"),
+                    # bit-identical driver-side norm literal (see
+                    # centroid_ranker) — removes one dim-wide fold per
+                    # centroid per vector per iteration
+                    F.lit(_py_l2_norm(c)).alias("cn"),
                 )
                 for i, c in enumerate(cents)
             ]
@@ -981,8 +1070,14 @@ def train_centroids(
         # IVF recall metric); l2 clusters by POSITION — the quantizer a
         # PQ codebook needs (ADC approximates squared-L2, so a
         # direction-only codebook ignores the magnitudes ADC scores).
+        # The cosine branch divides by the STAGED row norm (``__vn``,
+        # same fold as the inline form) and the centroid-norm literal —
+        # bit-identical sort keys, two fewer dim-wide folds per element.
         if metric == "cosine":
-            return -cosine_similarity(F.col("v"), c["cv_cent"])
+            return -(
+                dot_product(F.col("v"), c["cv_cent"])
+                / (F.col("__vn") * c["cn"])
+            )
         return F.aggregate(
             F.zip_with(
                 F.col("v"), c["cv_cent"], lambda x, y: (x - y) * (x - y)
@@ -1020,6 +1115,7 @@ def train_centroids(
         if shift <= tol:
             break
 
+    base.unpersist()
     spark = df.sparkSession
     return spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)],
@@ -1052,15 +1148,21 @@ def assign_lists_by_join(
         centroids.select(
             F.col("centroid_id").alias("__cid"),
             F.col(vec_col).alias("__cv"),
-        )
+        ).withColumn("__cn", l2_norm(F.col("__cv")))
     )
     scored = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("__v")
-    ).crossJoin(c)
+    ).withColumn("__vn", l2_norm(F.col("__v"))).crossJoin(c)
     # max_by on a (cosine, -cid) struct: struct comparison is lexicographic,
     # so equal cosines fall back to the LARGER -cid == smaller cid.
+    # Norms folded per ROW (corpus: once per vector, not once per
+    # centroid) — bit-identical to cosine_similarity, same discipline as
+    # the top-k paths.
     pref = F.struct(
-        cosine_similarity(F.col("__v"), F.col("__cv")).alias("s"),
+        (
+            dot_product(F.col("__v"), F.col("__cv"))
+            / (F.col("__vn") * F.col("__cn"))
+        ).alias("s"),
         (-F.col("__cid")).alias("t"),
     )
     return (
@@ -1217,6 +1319,9 @@ def ivfpq_topk(
     rather than full vectors, multiplying how much index fits per
     executor).  ADC scoring and ranking are shared with pq_adc_topk."""
     ranked = centroid_ranker(centroids, vec_col)
+    # no staged norm here: the output keeps only PQ codes, so a staged
+    # fold would be inlined right back by CollapseProject (once-referenced
+    # producer); the centroid-norm literals still apply
     enc = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         ranked(F.col(vec_col))[0]["cid"].alias("list_id"),

@@ -644,3 +644,69 @@ def test_precomputed_norm_cosine_is_bit_identical(spark):
     )
     mismatches = pairs.filter(inline != factored).count()
     assert mismatches == 0
+
+
+def test_py_l2_norm_literal_is_bit_identical(spark):
+    """centroid_ranker/train_centroids now bake centroid norms as
+    DRIVER-computed literals (``_py_l2_norm``): Python's left-assoc
+    ``acc += x*x`` + ``math.sqrt`` and Spark's fold + SQRT are both
+    correctly-rounded IEEE-754 double sequences over the same values, so
+    the literal must equal the evaluated fold bit-for-bit — otherwise the
+    nearest-centroid sort keys drift from the oracle's."""
+    from meerkat_abacus_spark.datapipe.dedup import l2_norm
+    from meerkat_abacus_spark.datapipe.similarity import _py_l2_norm
+
+    vecs = [
+        [((i * 31 + j * 17) % 19 - 9) * (10.0 ** ((i + j) % 7 - 3))
+         for j in range(8)]
+        for i in range(40)
+    ]
+    df = spark.range(1).select(
+        *[
+            (
+                l2_norm(F.array(*[F.lit(x) for x in v]))
+                == F.lit(_py_l2_norm(v))
+            ).alias(f"eq{i}")
+            for i, v in enumerate(vecs)
+        ]
+    )
+    row = df.first()
+    assert all(row[i] for i in range(len(vecs)))
+
+
+def test_lsh_index_v1_layout_falls_back_to_computed_norms(spark, tmp_path):
+    """Indexes written before norms were stored have no ``cn`` column and
+    no ``_NORMS_STORED`` marker; the pinned-schema reader must fall back
+    to the v1 schema and the probe must recompute norms — same answers
+    either way.  (Reading ``cn`` against v1 files would yield NULL, not
+    an error, so this is the regression that would silently corrupt
+    cosines.)"""
+    import os
+
+    from meerkat_abacus_spark.datapipe import similarity as sim
+
+    corpus = _clustered_corpus(spark).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = corpus.limit(3)
+    path = str(tmp_path / "lshv1")
+    sim.write_lsh_index(corpus, path, dim=4, nbits=4)
+
+    def probe():
+        out = sim.lsh_topk_from_index(
+            spark, path, queries, dim=4, id_col="vec_id",
+            vec_col="embedding", k=3, nbits=4, radius=1,
+        )
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+            for r in out.collect()
+        )
+
+    with_marker = probe()
+    # simulate a v1 index: drop the marker (the stored cn column is then
+    # invisible to the pinned v1 schema) and invalidate the reader cache
+    os.remove(os.path.join(path, sim._LSH_NORMS_MARKER))
+    sim._INDEX_READERS.clear()
+    idx, _ = sim._lsh_index_frames(spark, path)
+    assert "cn" not in idx.columns
+    assert probe() == with_marker

@@ -333,6 +333,34 @@ def span_waterfall(spark, sf_dir: str) -> dict:
     }
 
 
+def build_docs_100x(spark, src_dir: str, dest_dir: str) -> None:
+    """100x the documents corpus (1.5M docs) with the same marker-token
+    splice as :func:`build_sf1` — copies are corpus-unique, duplicate
+    structure per copy mirrors the source.  One shuffle-free union of 100
+    projections, repartitioned once at the write."""
+    docs = spark.read.parquet(f"{src_dir}/documents.parquet")
+    copies = [
+        docs.select(
+            (F.col("doc_id") + 10_000_000 * k).alias("doc_id"),
+            (
+                F.col("text")
+                if k == 0
+                else F.regexp_replace(F.col("text"), " ", f" w{k}x ")
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for k in range(100)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{dest_dir}/documents.parquet"
+    )
+
+
 def main() -> None:
     from meerkat_abacus_spark.session import get_spark
 
@@ -380,6 +408,35 @@ def main() -> None:
     b = report["pipeline_100x"]["sf~10"]["pipeline_composed"]["sec"]
     report["pipeline_scale_ratio_100x_data"] = round(b / a, 2) if a else None
     shutil.rmtree(dest100, ignore_errors=True)
+
+    # --- 100x-docs dedup leg (env-gated: ~5 min extra; run once per
+    # round, not on every verify_all pass) --- the question it answers is
+    # the 1000x one: the 10x legs show ratios, this shows the SAME
+    # bucket-cap discipline holding two decades up, with the waterfall
+    # proving candidate growth stays pair-bounded, not quadratic.
+    if os.environ.get("SPARK_GRAFT_DEDUP_100X"):
+        dest100d = tempfile.gettempdir() + "/msa_scale_docs100"
+        shutil.rmtree(dest100d, ignore_errors=True)
+        build_docs_100x(spark, src, dest100d)
+        from meerkat_abacus_spark.queries import QUERIES
+
+        leg: dict = {}
+        for name in ("dedup_minhash_lsh", "dedup_clusters"):
+            t0 = time.time()
+            n = QUERIES[name](spark, dest100d).count()
+            leg[name] = {"sec": round(time.time() - t0, 2), "rows": n}
+        leg.update(bucket_stats(spark, dest100d))
+        report["dedup_100x"] = {
+            "sf~10_docs": leg,
+            "clusters_waterfall": candidate_waterfall(spark, dest100d),
+        }
+        for name in ("dedup_minhash_lsh", "dedup_clusters"):
+            a = report["sf0.1"][name]["sec"]
+            b = leg[name]["sec"]
+            report[f"{name}_scale_ratio_100x_data"] = (
+                round(b / a, 2) if a else None
+            )
+        shutil.rmtree(dest100d, ignore_errors=True)
 
     print(json.dumps(report))
     shutil.rmtree(dest, ignore_errors=True)
