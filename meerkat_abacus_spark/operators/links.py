@@ -51,6 +51,29 @@ def _normalize(col: Column, method: str) -> Column:
     return col.cast("string")
 
 
+# cast-to-string is injective for these, so same-typed native equality is
+# EXACTLY string-normalized equality — and an 8-byte shuffle/join key beats
+# a string one at any scale
+_NATIVE_KEY_TYPES = frozenset(
+    {"tinyint", "smallint", "int", "bigint", "date"}
+)
+
+
+def _native_match_type(
+    base: DataFrame, to_df: DataFrame, fc: str, tc: str, method: str
+) -> bool:
+    """True when this key pair can join on its NATIVE type: plain ``match``
+    (no lowercasing / suffixing), both columns resolvable as top-level
+    fields, and the SAME atomic type whose string cast is injective.
+    Struct-path keys (ODK dotted names) and mixed-type pairs fall back to
+    the string normalization."""
+    if method != "match":
+        return False
+    ft = dict(base.dtypes).get(fc)
+    tt = dict(to_df.dtypes).get(tc)
+    return ft is not None and ft == tt and ft in _NATIVE_KEY_TYPES
+
+
 def add_links(
     base: DataFrame,
     to_forms: dict[str, DataFrame],
@@ -96,8 +119,14 @@ def add_links(
             else qcol(order_col).cast("string")
         )
 
+        native = [
+            _native_match_type(out, to_df, fc, tc, m)
+            for fc, tc, m in zip(from_cols, to_cols, methods)
+        ]
         key_exprs = [
-            _normalize(qcol(tc), m).alias(f"__k{i}")
+            (qcol(tc) if native[i] else _normalize(qcol(tc), m)).alias(
+                f"__k{i}"
+            )
             for i, (tc, m) in enumerate(zip(to_cols, methods))
         ]
         wanted = (payload_columns or {}).get(link.name)
@@ -111,7 +140,13 @@ def add_links(
         key_guard = reduce(
             lambda a, b: a & b,
             [
-                F.col(f"__k{i}").isNotNull() & (F.col(f"__k{i}") != "")
+                # native keys can't be blank strings — NULL is the only
+                # non-key value, so the guard stays a cheap null check
+                F.col(f"__k{i}").isNotNull()
+                if native[i]
+                else (
+                    F.col(f"__k{i}").isNotNull() & (F.col(f"__k{i}") != "")
+                )
                 for i in range(len(to_cols))
             ],
         )
@@ -141,6 +176,13 @@ def add_links(
                 base_key = F.substring(
                     qcol(fc).cast("string"), -alert_id_len, alert_id_len
                 )
+            elif native[i]:
+                # same-typed atomic key: join on the NATIVE value — equality
+                # is identical to the string-normalized form (injective
+                # cast), the shuffle/join key is 8 fixed bytes, and NULLs
+                # already fail equi-joins so no blank guard is needed.
+                conds.append(qcol(fc) == to_side[f"__k{i}"])
+                continue
             else:
                 base_key = _normalize(qcol(fc), m)
             # Blank base keys never match (NULLs fail equi-joins); mirrors

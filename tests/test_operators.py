@@ -291,6 +291,38 @@ def test_add_links_blank_keys_never_match(spark):
     assert sizes == {"b1": 1, "b2": 0, "b3": 0}
 
 
+def test_add_links_native_and_string_keys_agree(spark):
+    """Same-typed atomic ``match`` keys take the native-key fast path (an
+    8-byte shuffle/join key instead of a string cast).  Equality must be
+    IDENTICAL to the string normalization — including NULL exclusion —
+    so the fast path (bigint both sides) and the fallback (to-side
+    pre-cast to string forces the mixed-type string route) must produce
+    the same link arrays."""
+    base = spark.createDataFrame(
+        [("b1", 10), ("b2", 20), ("b3", None)],
+        "uuid string, pid bigint",
+    )
+    to_form = spark.createDataFrame(
+        [("t1", 10, "2017-01-02"), ("t2", 10, "2017-01-01"),
+         ("t3", 30, "2017-01-03"), ("t4", None, "2017-01-04")],
+        "`meta/instanceID` string, pid bigint, SubmissionDate string",
+    )
+    link = LinkDef(name="visits", type="case", to_form="visit",
+                   from_form="case", from_column="pid", to_column="pid",
+                   method="match", order_by="SubmissionDate;date")
+
+    def arrays(to_df):
+        out = add_links(base, {"visit": to_df}, [link])
+        return {
+            r["uuid"]: [e["__uuid"] for e in r["link_visits"]]
+            for r in out.collect()
+        }
+
+    fast = arrays(to_form)
+    slow = arrays(to_form.withColumn("pid", F.col("pid").cast("string")))
+    assert fast == slow == {"b1": ["t2", "t1"], "b2": [], "b3": []}
+
+
 def test_location_flatten_null_district(spark):
     """A clinic hanging directly off a region leaves district NULL
     (reference codes/to_codes.py:138-146)."""
