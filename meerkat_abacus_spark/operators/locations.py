@@ -32,7 +32,15 @@ def flatten_location_hierarchy(
     to_codes.py:138-146); the join chain is left outer so missing
     intermediate levels stay NULL.
     """
-    nodes = locations.select(
+    # Only NON-LEAF nodes can be ancestors (the reference location model —
+    # model.py:57-78 — never parents a row under a clinic), so the per-hop
+    # broadcast carries the administrative skeleton (districts/regions/
+    # zones/country), not the clinic list: O(interior nodes), which stays
+    # in the thousands while the leaf count grows with the data.  Without
+    # the filter the broadcast is O(clinics) and stops fitting at scale.
+    nodes = locations.filter(
+        F.col(level_col).isin(*levels[1:])
+    ).select(
         F.col(id_col).alias("__id"),
         F.col(parent_col).alias("__parent"),
         F.col(level_col).alias("__level"),
