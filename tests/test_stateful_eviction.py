@@ -297,3 +297,70 @@ def test_hot_key_spanning_many_arrow_chunks(spark, tmp_path):
     got = {r.session_seq: (r.n_events, r.duration_s) for r in out}
     assert len(got) == n // 4, len(got)
     assert all(v == (4, 1800) for v in got.values()), sorted(got.items())[:5]
+
+
+def test_restart_restores_session_state_from_checkpoint(spark, tmp_path):
+    """Failure recovery: a session OPEN when the query stops must continue
+    — not restart — when a new query resumes from the same checkpoint.
+    This is the property that lets a 1000-executor deployment lose its
+    driver mid-stream and keep exactly-once sessionization: the state
+    store rehydrates (session start, count) and the file source skips
+    already-committed slices."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(i, rows):
+        spark.createDataFrame(
+            rows, schema="event_id long, user_id long, ts string"
+        ).select(
+            "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/slice={i}")
+        time.sleep(0.05)
+
+    out_dir = str(tmp_path / "out")
+
+    def run():
+        # memory sink refuses checkpoint recovery; a foreachBatch parquet
+        # append is the shape a real deployment restarts with
+        stream = (
+            spark.readStream.schema("event_id long, user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/slice=*")
+        )
+        q = (
+            sessionize_stream(stream, gap_seconds=1800, evict=True)
+            .writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r["user_id"], r["session_seq"]): (r["n_events"], r["duration_s"])
+            for r in latest_sessions(spark.read.parquet(out_dir)).collect()
+        }
+
+    # run 1: user 1 opens a session (2 events), query stops
+    drop(0, [(1, 1, T0), (2, 1, "2024-01-01 00:00:10")])
+    first = run()
+    assert first == {(1, T0_US): (2, 10)}
+
+    # run 2 (NEW query, same checkpoint): user 1 continues within the gap
+    # and a new user appears.  The continued session must carry its run-1
+    # start id and count 3 — only possible if state was RESTORED, not
+    # re-derived from run 2's input alone.  User 8's event predates the
+    # checkpointed watermark and must be dropped as late: the restart
+    # restores event-time progress too, so replayed stragglers cannot
+    # corrupt already-emitted sessions.
+    drop(1, [
+        (3, 1, "2024-01-01 00:10:00"),
+        (4, 9, "2024-01-01 00:10:00"),
+        (5, 8, "2023-12-31 00:00:00"),
+    ])
+    second = run()
+    assert second[(1, T0_US)] == (3, 600)
+    assert second[(9, T0_US + 600 * US)] == (1, 0)
+    assert not any(u == 8 for (u, _s) in second)
