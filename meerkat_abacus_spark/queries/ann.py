@@ -86,8 +86,10 @@ def _lsh_index_path(spark: SparkSession, sf_dir: str) -> str:
 
     from ._shared import _scratch_ready, _scratch_tag
 
-    # _v2: layout gained the _byid sidecar — a _v1 dir must not be reused.
-    path = tempfile.gettempdir() + f"/msa_lshidx_v2_{_scratch_tag(sf_dir)}"
+    # _v3: layout stores per-row norms (cn) — an older dir would serve the
+    # compute-norms fallback path forever; same reason _v2 split off when
+    # the _byid sidecar appeared.
+    path = tempfile.gettempdir() + f"/msa_lshidx_v3_{_scratch_tag(sf_dir)}"
     if not (_scratch_ready(path) and _scratch_ready(path + "_byid")):
         emb = _t(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -216,7 +218,7 @@ def incremental_lsh_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     old = tagged.filter(F.col("__split") == "old").drop("__split")
     delta = tagged.filter(F.col("__split") == "new").drop("__split")
-    path = tempfile.gettempdir() + f"/msa_lshinc_v1_{_scratch_tag(sf_dir)}"
+    path = tempfile.gettempdir() + f"/msa_lshinc_v2_{_scratch_tag(sf_dir)}"
     marker = os.path.join(path, "_DELTA_APPENDED")
     if not os.path.exists(marker):
         shutil.rmtree(path, ignore_errors=True)
@@ -481,7 +483,7 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     queries_df = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120))
-    path = tempfile.gettempdir() + f"/msa_ivfidx_v1_{_scratch_tag(sf_dir)}"
+    path = tempfile.gettempdir() + f"/msa_ivfidx_v2_{_scratch_tag(sf_dir)}"
     if not _scratch_ready(path):
         sim.write_ivf_index(
             emb, centroids, path, id_col="vec_id", vec_col="embedding"
@@ -517,7 +519,7 @@ def ann_ivf_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     queries_df = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120))
-    path = tempfile.gettempdir() + f"/msa_ivfidx_v1_{_scratch_tag(sf_dir)}"
+    path = tempfile.gettempdir() + f"/msa_ivfidx_v2_{_scratch_tag(sf_dir)}"
     if not _scratch_ready(path):
         sim.write_ivf_index(
             emb, centroids, path, id_col="vec_id", vec_col="embedding"
@@ -568,7 +570,7 @@ def incremental_ann_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     old = tagged.filter(F.col("__split") == "old").drop("__split")
     delta = tagged.filter(F.col("__split") == "new").drop("__split")
-    path = tempfile.gettempdir() + f"/msa_ivfinc_v1_{_scratch_tag(sf_dir)}"
+    path = tempfile.gettempdir() + f"/msa_ivfinc_v2_{_scratch_tag(sf_dir)}"
     marker = os.path.join(path, "_DELTA_APPENDED")
     if not os.path.exists(marker):
         shutil.rmtree(path, ignore_errors=True)
