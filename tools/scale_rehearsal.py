@@ -361,9 +361,45 @@ def build_docs_100x(spark, src_dir: str, dest_dir: str) -> None:
     )
 
 
+def skew_leg(spark, sf_dir: str) -> dict:
+    """Hot-key stress for the ORDERED-aggregation skew recipe: plain vs
+    salted inverted-index posting build on the same corpus, plus the
+    hottest token's document frequency (= the single-reducer fan-in the
+    plain build concentrates on one task and the salted build spreads over
+    8 shards).  The salted variant's wall should track the plain one at
+    1x and degrade strictly less as the hot posting grows — the evidence
+    behind the 'skew handled' claim for holistic collects, complementing
+    the skew_salted_agg oracle row (which certifies equality, not
+    scaling)."""
+    from meerkat_abacus_spark.queries import QUERIES, _t
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        ).alias("token"),
+    )
+    hot = (
+        tok.groupBy("token").count().orderBy(F.desc("count")).limit(1)
+        .collect()[0]
+    )
+    out: dict = {"hot_token_df": hot["count"]}
+    for name in ("inverted_index", "inverted_index_salted"):
+        t0 = time.time()
+        n = QUERIES[name](spark, sf_dir).count()
+        out[name] = {"sec": round(time.time() - t0, 2), "rows": n}
+    return out
+
+
 def main() -> None:
     from meerkat_abacus_spark.session import get_spark
 
+    # The rehearsal retains localCheckpoint blocks from every leg's
+    # waterfall in one long-lived JVM; with the 100x-docs leg the 8g
+    # session default OOMs.  Bigger heap is scoped to this tool — bench
+    # and the query surface keep the lean default.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
     spark = get_spark(app_name="scale_rehearsal")
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     dest = tempfile.gettempdir() + "/msa_scale_sf1"
@@ -381,6 +417,16 @@ def main() -> None:
         a = report["sf0.1"][name]["sec"]
         b = report["sf~1.0"][name]["sec"]
         report[f"{name}_scale_ratio_10x_data"] = round(b / a, 2) if a else None
+
+    # --- hot-key skew leg: plain vs salted posting-list build ---
+    report["skew_inverted_index"] = {
+        "sf0.1": skew_leg(spark, src),
+        "sf~1.0": skew_leg(spark, dest),
+    }
+    for name in ("inverted_index", "inverted_index_salted"):
+        a = report["skew_inverted_index"]["sf0.1"][name]["sec"]
+        b = report["skew_inverted_index"]["sf~1.0"][name]["sec"]
+        report[f"{name}_skew_ratio_10x_data"] = round(b / a, 2) if a else None
 
     # --- dedup_clusters candidate-pair waterfall (r7 verdict ask #3) ---
     report["clusters_waterfall"] = {
@@ -419,6 +465,15 @@ def main() -> None:
         shutil.rmtree(dest100d, ignore_errors=True)
         build_docs_100x(spark, src, dest100d)
         from meerkat_abacus_spark.queries import QUERIES
+        from meerkat_abacus_spark.queries.dedup import clear_candidate_cache
+
+        # The earlier corpora's candidate caches are dead weight here and
+        # their storage pressure is what pushes Spark's CacheManager into
+        # its flaky rebuild path (observed: NPE in tryRebuildCacheEntry /
+        # CachedRDDBuilder.copy under GC pressure on the 1.5M-doc leg).
+        # Release them before the biggest corpus runs.
+        clear_candidate_cache()
+        spark.catalog.clearCache()
 
         leg: dict = {}
         for name in ("dedup_minhash_lsh", "dedup_clusters"):
