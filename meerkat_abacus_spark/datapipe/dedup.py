@@ -72,35 +72,51 @@ def shingle_hash(shingle: Column) -> Column:
     return F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long")
 
 
-def _affine_consts(num_hashes: int) -> list[tuple[int, int]]:
-    """Deterministic (a, b) pairs for the affine MinHash rehashes, derived
-    from md5 so the DuckDB oracle regenerates the identical literals.
-    ``a`` is odd and < 2^32; with the 30-bit hash residue this keeps
-    ``a * x + b`` < 2^62 — exact in int64 in every engine, no wrap."""
+# 2^61 - 1, Mersenne prime: the modulus of the per-slot rehash.  With
+# 31-bit (a, b) coefficients and 30-bit digest halves, a*lo + b*hi + c
+# < 2^62 + 2^31 — exact in int64 in every engine, no wrap.
+_MERSENNE61 = (1 << 61) - 1
+
+
+def _affine_consts(num_hashes: int) -> list[tuple[int, int, int]]:
+    """Deterministic (a, b, c) triples for the per-slot MinHash rehashes,
+    derived from md5 so the DuckDB oracle regenerates the identical
+    literals.  ``a`` and ``b`` are odd 31-bit, ``c`` 31-bit."""
     import hashlib
 
     out = []
     for i in range(num_hashes):
-        hh = hashlib.md5(f"minhash-affine:{i}".encode()).hexdigest()
-        out.append((int(hh[:8], 16) | 1, int(hh[8:16], 16)))
+        hh = hashlib.md5(f"minhash-slot:{i}".encode()).hexdigest()
+        out.append((
+            (int(hh[0:8], 16) & 0x7FFFFFFF) | 1,
+            (int(hh[8:16], 16) & 0x7FFFFFFF) | 1,
+            int(hh[16:24], 16) & 0x7FFFFFFF,
+        ))
     return out
 
 
 def minhash_signature(hash_arr: Column, num_hashes: int = 64) -> Column:
     """MinHash signature from PRE-HASHED shingles (``array<long>`` of
     :func:`shingle_hash` values): the i-th component is
-    ``min over shingles of (a_i * mix(h) + b_i) % 2^32`` with
-    ``mix(h) = (h XOR (h >> 30)) % 2^30`` and fixed md5-derived
-    ``(a_i, b_i)`` — the classic one-strong-hash +
-    universal-affine-rehash family.  The xor-fold mixes the digest's high
-    30 bits into the residue before the reduction (ADVICE r8 #1: a bare
-    ``h % 2^30`` made two shingles colliding in the LOW 30 bits collapse
-    in EVERY signature slot — birthday odds ~n²/2^31 per doc; folded,
-    a same-slot collapse needs a collision of the full 60-bit digest).
-    Integer min/mul/xor/shift/mod are exact and engine-portable, and the
-    per-shingle digest cost is ONE md5 total (paid in
-    :func:`shingle_hash`) instead of ``num_hashes/4`` md5 passes
-    — at 10× sf0.1 corpus data the signature stage fell 13.1 s → ~3 s.
+    ``min over shingles of (a_i*lo + b_i*hi + c_i) mod (2^61 - 1)`` where
+    ``lo = h % 2^30`` and ``hi = h >> 30`` are the digest's two 30-bit
+    halves and ``(a_i, b_i, c_i)`` are fixed md5-derived odd-31-bit
+    coefficients — one strong hash + a pairwise-independent rehash per
+    slot.
+
+    Per-slot reductions are INDEPENDENT (ADVICE r9 #1: the previous
+    ``(h XOR h>>30) % 2^30`` fold reduced to a single shared 30-bit
+    residue, so one ~2^-30 fold collision still collapsed all 64 slots at
+    once).  Here the full 60-bit digest enters every slot: two distinct
+    digests collide in slot i only when ``a_i*Δlo + b_i*Δhi ≡ 0 (mod
+    2^61-1)``, which for each slot's own (a_i, b_i) is a ~2^-31 event,
+    independent across slots because the coefficient pairs differ — an
+    all-slot collapse now needs 64 independent coincidences instead of
+    one.  Integer min/mul/shift/mod are exact and engine-portable
+    (everything stays < 2^63), and the per-shingle digest cost is ONE md5
+    total (paid in :func:`shingle_hash`) instead of ``num_hashes/4`` md5
+    passes — at 10× sf0.1 corpus data the signature stage fell
+    13.1 s → ~3 s.
 
     PERF CONTRACT: ``hash_arr`` must be bound (Generate barrier or
     checkpoint, not a collapsible select) or each of the ``num_hashes``
@@ -109,20 +125,20 @@ def minhash_signature(hash_arr: Column, num_hashes: int = 64) -> Column:
     """
     consts = _affine_consts(num_hashes)
 
-    def _term(a: int, b: int) -> Column:
+    def _term(a: int, b: int, c: int) -> Column:
         return F.array_min(
             F.transform(
                 hash_arr,
                 lambda h: (
-                    F.lit(a)
-                    * (h.bitwiseXOR(F.shiftright(h, 30)) % F.lit(1073741824))
-                    + F.lit(b)
+                    F.lit(a) * (h % F.lit(1073741824))
+                    + F.lit(b) * F.shiftright(h, 30)
+                    + F.lit(c)
                 )
-                % F.lit(4294967296),
+                % F.lit(_MERSENNE61),
             )
         )
 
-    return F.array(*[_term(a, b) for a, b in consts])
+    return F.array(*[_term(a, b, c) for a, b, c in consts])
 
 
 def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:

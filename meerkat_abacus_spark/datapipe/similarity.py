@@ -40,9 +40,17 @@ def _stored_or_computed_cn(df: DataFrame) -> DataFrame:
     """Candidate-side norm for index probes: prefer the ``cn`` column the
     index writer now persists (bit-identical to the fold, costs a column
     read instead of a dim-wide aggregate per candidate); fall back to
-    computing it for indexes written before norms were stored."""
+    computing it for indexes written before norms were stored.
+
+    A present-but-NULL ``cn`` (a cn-bearing delta appended onto a pre-cn
+    base, read under an inferred or v2 schema) COALESCES to the computed
+    fold per row instead of poisoning the cosine with NULL — ADVICE r9
+    #2: a NULL norm would silently drop that candidate from every top-k
+    rank rather than erroring."""
     if "cn" in df.columns:
-        return df.withColumn("__cn", F.col("cn"))
+        return df.withColumn(
+            "__cn", F.coalesce(F.col("cn"), l2_norm(F.col("cv")))
+        )
     return df.withColumn("__cn", l2_norm(F.col("cv")))
 
 
@@ -67,7 +75,7 @@ def quantize_int8(vec: Column) -> Column:
     column is 8× smaller than ``array<double>`` on the wire and in the
     shuffle, and cosine is invariant to the per-vector scale s, so ranking
     quality degrades only by the ±0.5-step rounding noise (measured by the
-    ann_quantized_recall query, not asserted).  Pure Column expressions —
+    ann_recall query's int8 row, not asserted).  Pure Column expressions —
     stays in whole-stage codegen, no UDF.
     """
     maxabs = F.array_max(F.transform(vec, lambda x: F.abs(x)))
@@ -664,8 +672,40 @@ _LSH_INDEX_SCHEMA = "neighbor_id long, cv array<double>, pbucket string"
 _LSH_INDEX_SCHEMA_V2 = (
     "neighbor_id long, cv array<double>, cn double, pbucket string"
 )
-_LSH_NORMS_MARKER = "_NORMS_STORED"
+_NORMS_MARKER = "_NORMS_STORED"
+_LSH_NORMS_MARKER = _NORMS_MARKER  # back-compat alias
+# IVF layout, same v1/v2 split gated on the marker (ADVICE r9 #2: the
+# reader must not select ``cn`` unless every file carries it).
+_IVF_INDEX_SCHEMA = "neighbor_id long, cv array<double>, list_id int"
+_IVF_INDEX_SCHEMA_V2 = (
+    "neighbor_id long, cv array<double>, cn double, list_id int"
+)
 _INDEX_READERS: "dict[tuple, tuple]" = {}
+
+
+def _ivf_index_frame(spark, index_path: str) -> DataFrame:
+    """Cached pinned-schema reader for a persisted IVF index — mirrors
+    :func:`_lsh_index_frames` (ADVICE r9 #2): the v2 schema (stored ``cn``
+    norms) applies only when the ``_NORMS_STORED`` marker certifies every
+    file carries the column; a pre-cn index (or a mixed base+delta tree
+    whose overwrite predates norms) reads under the v1 schema and
+    recomputes norms.  Caching the handle reuses the FileIndex and skips
+    footer inference per probe."""
+    import os
+
+    key = (spark.sparkContext.applicationId, index_path, "ivf")
+    got = _INDEX_READERS.get(key)
+    if got is None:
+        schema = (
+            _IVF_INDEX_SCHEMA_V2
+            if os.path.exists(os.path.join(index_path, _NORMS_MARKER))
+            else _IVF_INDEX_SCHEMA
+        )
+        got = (spark.read.schema(schema).parquet(index_path),)
+        while len(_INDEX_READERS) >= 16:
+            _INDEX_READERS.pop(next(iter(_INDEX_READERS)))
+        _INDEX_READERS[key] = got
+    return got[0]
 
 
 def _lsh_index_frames(spark, index_path: str):
@@ -784,6 +824,11 @@ def write_ivf_index(
     # CollapseProject inlining the fold into the ranking lambda (a
     # once-referenced non-cheap producer gets inlined; twice-referenced
     # survives).  Appended delta batches carry it identically.
+    if mode not in ("overwrite", "append"):
+        raise ValueError(
+            f"write_ivf_index supports mode 'overwrite' or 'append', got "
+            f"{mode!r}"
+        )
     lists = (
         corpus.withColumn("cn", l2_norm(F.col(vec_col)))
         .select(
@@ -794,6 +839,18 @@ def write_ivf_index(
         )
     )
     lists.write.mode(mode).partitionBy("list_id").parquet(path)
+    if mode == "overwrite":
+        # Norms marker, mirrored from the LSH layout (ADVICE r9 #2): the
+        # pinned-schema reader may select ``cn`` only when EVERY file
+        # carries it.  Only an overwrite may set it — an append onto a
+        # pre-cn base yields mixed files, which the v1 schema reads
+        # correctly by ignoring the extra column (and the coalesce in
+        # _stored_or_computed_cn defends the remaining inference paths).
+        import os
+
+        open(os.path.join(path, _NORMS_MARKER), "w").close()
+    for key in [k for k in _INDEX_READERS if k[1] == path]:
+        _INDEX_READERS.pop(key, None)
 
 
 def ivf_topk_from_index(
@@ -827,7 +884,9 @@ def ivf_topk_from_index(
         {r["list_id"] for r in probed.select("list_id").distinct().collect()}
     )
     lists = _stored_or_computed_cn(
-        spark.read.parquet(index_path).filter(F.col("list_id").isin(probe_ids))
+        _ivf_index_frame(spark, index_path).filter(
+            F.col("list_id").isin(probe_ids)
+        )
     )
     probed = probed.withColumn("__qn", l2_norm(F.col("qv")))
     sim = dot_product(F.col("qv"), F.col("cv")) / (
@@ -884,7 +943,7 @@ def ivf_topk_from_index_join(
             F.slice(ranked(F.col(vec_col)), 1, n_probe)["cid"]
         ).alias("list_id"),
     )
-    lists = _stored_or_computed_cn(spark.read.parquet(index_path))
+    lists = _stored_or_computed_cn(_ivf_index_frame(spark, index_path))
     probed = probed.withColumn("__qn", l2_norm(F.col("qv")))
     sim = dot_product(F.col("qv"), F.col("cv")) / (
         F.col("__qn") * F.col("__cn")
@@ -901,6 +960,102 @@ def ivf_topk_from_index_join(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def compact_index(spark, index_path: str) -> dict:
+    """Index-side small-file compaction (VERDICT r9 ask #4): rewrite the
+    bucket/list partitions of a persisted LSH or IVF index — and, for LSH,
+    the ``_byid`` sidecar — so each partition directory holds ONE
+    contiguous file again after rounds of delta-append maintenance
+    (:func:`write_lsh_index` / :func:`write_ivf_index` with
+    ``mode="append"`` add a sidecar file per touched partition per batch;
+    the listing + footer reads of those fragments are what probe latency
+    pays, measured in SCALE_ANN_r10).
+
+    Row-preserving and rank-preserving: the rewrite re-clusters the SAME
+    rows by the partition key (the writers' own layout), recomputing
+    nothing rank-relevant — stored ``cn`` norms are carried (or, for a
+    pre-norms v1 index, computed by the identical :func:`l2_norm` fold,
+    upgrading the layout to v2) and the ``_NORMS_STORED`` marker is
+    (re)written so the pinned-schema readers serve the compacted tree
+    exactly as before.  The swap is write-to-sibling + rename — the local
+    mirror of the FileSystem-level commit a cluster deployment would do
+    (or a metastore location swap).
+
+    Returns ``{"kind", "rows", "files_before", "files_after"}``.
+    """
+    import os
+    import shutil
+
+    def _files(p: str) -> int:
+        n = 0
+        for root, _dirs, fs in os.walk(p):
+            n += sum(1 for f in fs if f.endswith(".parquet"))
+        return n
+
+    parts = [
+        d for d in os.listdir(index_path)
+        if "=" in d and os.path.isdir(os.path.join(index_path, d))
+    ]
+    if not parts:
+        raise ValueError(f"{index_path!r} is not a partitioned index tree")
+    part_col = parts[0].split("=", 1)[0]
+    if part_col == "pbucket":
+        kind, v1, v2 = "lsh", _LSH_INDEX_SCHEMA, _LSH_INDEX_SCHEMA_V2
+    elif part_col == "list_id":
+        kind, v1, v2 = "ivf", _IVF_INDEX_SCHEMA, _IVF_INDEX_SCHEMA_V2
+    else:
+        raise ValueError(f"unrecognized index partition column {part_col!r}")
+
+    had_marker = os.path.exists(os.path.join(index_path, _NORMS_MARKER))
+    byid_path = index_path + "_byid"
+    has_byid = kind == "lsh" and os.path.isdir(byid_path)
+    sidecars = _files(byid_path) if has_byid else 0
+    before = _files(index_path) + sidecars
+
+    rows = spark.read.schema(v2 if had_marker else v1).parquet(index_path)
+    if "cn" not in rows.columns:
+        # v1 → v2 upgrade: same fold the writers persist, bit-identical
+        rows = rows.withColumn("cn", l2_norm(F.col("cv")))
+    n_rows = rows.count()
+
+    tmp = index_path + ".compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    # one shuffle by partition key → one file per partition directory
+    # (each key lives in exactly one task) — the writers' own clustering
+    rows.repartition(part_col).write.mode("overwrite").partitionBy(
+        part_col
+    ).parquet(tmp)
+    open(os.path.join(tmp, _NORMS_MARKER), "w").close()
+
+    tmp_byid = byid_path + ".compacting"
+    if has_byid:
+        shutil.rmtree(tmp_byid, ignore_errors=True)
+        # the sidecar layout write_lsh_index keeps: range-partitioned +
+        # sorted by id so an id-bounded probe prunes via row-group stats
+        rows.repartitionByRange(8, "neighbor_id").sortWithinPartitions(
+            "neighbor_id"
+        ).write.mode("overwrite").parquet(tmp_byid)
+
+    old = index_path + ".precompact"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(index_path, old)
+    os.rename(tmp, index_path)
+    shutil.rmtree(old)
+    if has_byid:
+        os.rename(byid_path, old)
+        os.rename(tmp_byid, byid_path)
+        shutil.rmtree(old)
+
+    for key in [k for k in _INDEX_READERS if k[1] == index_path]:
+        _INDEX_READERS.pop(key, None)
+    after = _files(index_path) + (_files(byid_path) if has_byid else 0)
+    return {
+        "kind": kind,
+        "rows": n_rows,
+        "files_before": before,
+        "files_after": after,
+    }
 
 
 def ivf_topk(

@@ -73,6 +73,17 @@ def parse_template(source: str) -> list[tuple[str, str, str | None]]:
     # the template FILE is not part of the rendered output.
     if source.endswith("\n"):
         source = source[:-1]
+    # Only {{ ... }} expression tags are in the supported subset.  Jinja
+    # statement ({% %}) and comment ({# #}) tags would otherwise pass
+    # through VERBATIM into rendered alert messages (ADVICE r9 #3) —
+    # anything outside the subset must raise at compile time, as
+    # documented.
+    for tag in ("{%", "{#"):
+        if tag in source:
+            raise TemplateError(
+                f"unsupported Jinja tag {tag!r} in template (only "
+                "{{ ... }} expressions are in the compiled subset)"
+            )
     out: list[tuple[str, str, str | None]] = []
     pos = 0
     for m in _TAG.finditer(source):
@@ -105,15 +116,20 @@ def _parse_expr(expr: str) -> tuple[str, str, str | None]:
             raise TemplateError(f"unsupported format base: {expr!r}")
         kwargs: dict[str, str] = {}
         rest = fmt.group(2)
+        # Anchored kwarg scan (ADVICE r9 #3): each match must start where
+        # the previous one ended, so an unparseable argument BETWEEN two
+        # valid ones raises instead of being silently skipped (finditer
+        # would hop over it and resume at the next parseable kwarg).
         consumed = 0
-        for km in _KWARG.finditer(rest):
+        while consumed < len(rest) and rest[consumed:].strip():
+            km = _KWARG.match(rest, consumed)
+            if km is None:
+                raise TemplateError(f"unparsed format arguments: {expr!r}")
             val = _gettext_literal(km.group(2).strip())
             if val is None:
                 raise TemplateError(f"unsupported format argument: {expr!r}")
             kwargs[km.group(1)] = val
             consumed = km.end()
-        if rest[consumed:].strip():
-            raise TemplateError(f"unparsed format arguments: {expr!r}")
         return ("lit", base % kwargs, None)
     inner = expr
     m = re.match(r"^_\((.*)\)$", expr, re.DOTALL)

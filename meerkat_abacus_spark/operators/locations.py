@@ -38,6 +38,31 @@ def flatten_location_hierarchy(
     # zones/country), not the clinic list: O(interior nodes), which stays
     # in the thousands while the leaf count grows with the data.  Without
     # the filter the broadcast is O(clinics) and stops fitting at scale.
+    #
+    # ADVICE r9 #5: the assumption is ASSERTED, not silent — a location
+    # table that parents a node under a leaf-level row (e.g. clinic under
+    # clinic) would previously flatten correctly and now resolve NULL
+    # ancestors, so detect it up front and fail loudly.  The dim is
+    # broadcast-small by construction; one aggregate over it is noise
+    # next to the hop joins.
+    leaf_parents = (
+        locations.alias("__c")
+        .join(
+            locations.filter(F.col(level_col) == levels[0])
+            .select(F.col(id_col).alias("__leaf_id")),
+            F.col(f"__c.{parent_col}") == F.col("__leaf_id"),
+            "left_semi",
+        )
+        .count()
+    )
+    if leaf_parents:
+        raise ValueError(
+            f"flatten_location_hierarchy: {leaf_parents} location row(s) "
+            f"are parented under a {levels[0]!r}-level (leaf) node; the "
+            "interior-only hop skeleton cannot resolve their ancestors. "
+            "Fix the location table or pass a levels tuple whose first "
+            "entry is the true leaf level."
+        )
     nodes = locations.filter(
         F.col(level_col).isin(*levels[1:])
     ).select(

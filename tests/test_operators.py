@@ -345,6 +345,26 @@ def test_location_flatten_null_district(spark):
     assert got[7] == (None, 2, 1)
 
 
+def test_location_flatten_rejects_leaf_parents(spark):
+    """ADVICE r9 #5: the interior-only hop skeleton assumes no node is
+    parented under a leaf-level row; a table violating it (clinic under
+    clinic) must raise loudly instead of silently resolving NULL
+    ancestors."""
+    import pytest as _pytest
+
+    rows = [
+        (1, None, "country"),
+        (2, 1, "region"),
+        (6, 2, "clinic"),
+        (7, 6, "clinic"),  # parented under a LEAF — unsupported
+    ]
+    adj = spark.createDataFrame(rows, ["id", "parent_location", "level"])
+    with _pytest.raises(ValueError, match="leaf"):
+        flatten_location_hierarchy(
+            adj, levels=("clinic", "district", "region", "country")
+        )
+
+
 def test_explode_deviceids(spark):
     clinics = spark.createDataFrame([(6, "1,2, 3")], ["id", "deviceid"])
     out = explode_deviceids(clinics)
@@ -456,6 +476,37 @@ def test_minhash_small_buckets_unaffected_by_cap(spark):
     }
     assert got == uncapped
     assert (1, 2) in got  # near-dups collide in some band
+
+
+def test_minhash_slot_reductions_are_independent(spark):
+    """ADVICE r9 #1 regression: two distinct 60-bit digests that collide
+    under ANY single shared 30-bit reduction must NOT collapse across
+    slots.  h1=0 and h2=(1<<30)|1 have identical xor-folds (lo^hi = 0 for
+    both — the r9 scheme made every slot agree); with per-slot
+    (a_i, b_i, c_i) coefficients the slots are independent, so all 64
+    must differ here (a_i + b_i ≢ 0 mod 2^61-1 for odd 31-bit pairs)."""
+    import pyspark.sql.functions as F
+
+    from meerkat_abacus_spark.datapipe.dedup import (
+        _MERSENNE61,
+        _affine_consts,
+        minhash_signature,
+    )
+
+    h1, h2 = 0, (1 << 30) | 1
+    # sanity: the old shared fold (h ^ h>>30) % 2^30 cannot tell them apart
+    assert (h1 ^ (h1 >> 30)) % (1 << 30) == (h2 ^ (h2 >> 30)) % (1 << 30)
+    df = spark.createDataFrame([([h1],), ([h2],)], "hs array<long>")
+    sigs = [
+        r["sig"]
+        for r in df.select(minhash_signature(F.col("hs")).alias("sig")).collect()
+    ]
+    diff = sum(1 for x, y in zip(*sigs) if x != y)
+    assert diff == 64, f"only {diff}/64 slots distinguish the digests"
+    # pinned arithmetic: slot i of a single-hash doc is (a*lo+b*hi+c) % P
+    for i, (a, b, c) in enumerate(_affine_consts(64)):
+        assert sigs[1][i] == (a * 1 + b * 1 + c) % _MERSENNE61
+        assert sigs[0][i] == c % _MERSENNE61
 
 
 def test_minhash_rows_per_band_validation(spark):

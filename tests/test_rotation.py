@@ -85,8 +85,11 @@ def test_regenerate_if_stale_roundtrip(tmp_path):
 
 
 def test_registry_order_is_policy_output():
-    hist = _rotation.load_history()["last_certified"]
-    expect = _rotation.build_priority(sorted(QUERIES), hist)
+    hist = _rotation.load_history()
+    expect = _rotation.build_priority(
+        sorted(QUERIES), hist["last_certified"],
+        as_of_round=hist["as_of_round"],
+    )
     assert list(QUERIES) == expect
     assert list(ORACLES) == [n for n in expect if n in ORACLES]
     assert _REGISTRY_PRIORITY == expect
@@ -108,9 +111,70 @@ def test_max_staleness_invariant():
 
 
 def test_watch_queries_inside_window():
+    hist = _rotation.load_history()
+    active = _rotation.active_watch(hist["as_of_round"] + 1)
     window = set(list(QUERIES)[: _rotation.WINDOW])
-    missing = [n for n in _rotation.WATCH if n in QUERIES and n not in window]
+    missing = [n for n in active if n in QUERIES and n not in window]
     assert not missing, missing
+
+
+def test_watch_is_round_scoped():
+    """The r9 failure mode (VERDICT r9 ask #1): a WATCH list recorded for
+    a PREVIOUS round is spent — it must not occupy window slots that
+    stale queries need this round."""
+    watch = {"round": 9, "names": ("q_fresh",)}
+    hist = {"q_fresh": 9, "q_stale": 7, "q_ok": 9}
+    # current round = 10: the r9 WATCH is inert, the stale query leads
+    order = _rotation.build_priority(
+        sorted(hist), hist, watch=watch, window=2, as_of_round=9
+    )
+    assert order[0] == "q_stale"
+    assert _rotation.active_watch(10, watch) == ()
+    assert _rotation.active_watch(9, watch) == ("q_fresh",)
+
+
+def test_stale_queries_win_slots_over_fresh_watch():
+    """On an overfull plan, mandatory recertifications (evidence at the
+    staleness floor) always outrank touched-but-fresh WATCH entries."""
+    watch = {"round": 10, "names": ("w1", "w2")}
+    hist = {"s1": 7, "s2": 7, "w1": 9, "w2": 9, "r1": 8}
+    order = _rotation.build_priority(
+        sorted(hist), hist, watch=watch, window=3, as_of_round=9
+    )
+    assert order[:2] == ["s1", "s2"]
+    assert set(order[2:4]) == {"w1", "w2"}
+
+
+def test_oversubscribed_plan_raises_at_generation():
+    """validate_window raises — at import/generation time, not in a later
+    assertion — when must+WATCH cannot fit the window."""
+    import pytest
+
+    watch = {"round": 10, "names": ("w1", "w2")}
+    hist = {
+        "as_of_round": 9,
+        "last_certified": {"s1": 7, "s2": 7, "s3": 7, "w1": 9, "w2": 9},
+    }
+    with pytest.raises(_rotation.RotationOversubscribedError):
+        _rotation.validate_window(
+            sorted(hist["last_certified"]), hist, watch=watch, window=4
+        )
+    # the exact-fit plan (3 must + 2 watch = window 5) must NOT raise
+    plan = _rotation.plan_window(
+        sorted(hist["last_certified"]), hist["last_certified"],
+        as_of_round=9, watch=watch, window=5,
+    )
+    assert plan["overflow"] == 0
+
+
+def test_registry_within_lifetime_budget():
+    """VERDICT r9 ask #2: every registered query permanently consumes
+    recurring window slots; the registry must stay within
+    WINDOW * MAX_STALENESS - REGISTRY_MARGIN."""
+    assert len(QUERIES) <= _rotation.REGISTRY_BUDGET, (
+        f"{len(QUERIES)} queries > budget {_rotation.REGISTRY_BUDGET}: "
+        "consolidate before adding more"
+    )
 
 
 def test_new_queries_lead_window():

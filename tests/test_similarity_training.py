@@ -228,7 +228,7 @@ def test_join_assignment_matches_ranker(spark):
 
 
 # ---------------------------------------------------------------------------
-# int8 quantization (quantize_int8 + ann_quantized_recall's contract)
+# int8 quantization (quantize_int8 + the ann_recall int8 row's contract)
 # ---------------------------------------------------------------------------
 
 
@@ -366,7 +366,7 @@ def test_pq_trained_codebooks_beat_fixture(spark):
     slice) must reduce total quantization DISTORTION (mean min squared
     distance to the codebook — the objective Lloyd minimizes and the
     quantity that bounds ADC error) versus the fixture codebooks the
-    oracle-checked ann_pq_adc/ann_pq_recall queries pin (SQL cannot
+    oracle-checked ann_pq_adc / ann_recall pq_adc-row queries pin (SQL cannot
     re-train, so the certified queries lower-bound quality with fixtures
     and this test pins the training win)."""
     from meerkat_abacus_spark.datapipe.similarity import train_centroids
@@ -710,3 +710,196 @@ def test_lsh_index_v1_layout_falls_back_to_computed_norms(spark, tmp_path):
     idx, _ = sim._lsh_index_frames(spark, path)
     assert "cn" not in idx.columns
     assert probe() == with_marker
+
+
+def test_ivf_index_v1_layout_falls_back_to_computed_norms(spark, tmp_path):
+    """ADVICE r9 #2 (the IVF mirror of the LSH guard): the IVF reader now
+    pins an explicit schema gated on the ``_NORMS_STORED`` marker.  A
+    pre-cn index (no marker) must read under the v1 schema and recompute
+    norms — identical ranks either way; reading ``cn`` against v1 files
+    under schema inference was the silent NULL-cosine corruption."""
+    import os
+
+    from meerkat_abacus_spark.datapipe import similarity as sim
+
+    corpus = _clustered_corpus(spark).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = corpus.limit(2).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = corpus.limit(3)
+    path = str(tmp_path / "ivfv1")
+    sim.write_ivf_index(corpus, cents, path)
+    assert os.path.exists(os.path.join(path, sim._NORMS_MARKER))
+
+    def probe():
+        out = sim.ivf_topk_from_index(
+            spark, path, queries, cents, k=3, n_probe=2
+        )
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+            for r in out.collect()
+        )
+
+    with_marker = probe()
+    # simulate a v1 index: drop the marker — the pinned v1 schema hides
+    # the stored cn column, the probe recomputes the fold
+    os.remove(os.path.join(path, sim._NORMS_MARKER))
+    sim._INDEX_READERS.clear()
+    assert "cn" not in sim._ivf_index_frame(spark, path).columns
+    assert probe() == with_marker
+
+
+def test_ivf_append_onto_pre_cn_base_never_nulls_cosines(spark, tmp_path):
+    """ADVICE r9 #2, the exact corruption scenario: a cn-bearing delta
+    appended onto a base whose files predate stored norms.  No marker is
+    (re)written on append, so the reader stays on the v1 schema; and even
+    under a cn-bearing schema, _stored_or_computed_cn coalesces NULL cn
+    to the computed fold — either way every candidate keeps a non-NULL
+    cosine and the ranks equal a from-scratch rebuild."""
+    import os
+    import shutil
+
+    from meerkat_abacus_spark.datapipe import similarity as sim
+
+    corpus = _clustered_corpus(spark).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = corpus.limit(2).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    base = corpus.filter(F.col("vec_id") % 2 == 0)
+    delta = corpus.filter(F.col("vec_id") % 2 == 1)
+    queries = corpus.limit(3)
+
+    path = str(tmp_path / "ivfmixed")
+    sim.write_ivf_index(base, cents, path)
+    # age the base to pre-cn: strip the marker AND the cn column's files
+    # are still cn-bearing, so rewrite the base without cn to be faithful
+    os.remove(os.path.join(path, sim._NORMS_MARKER))
+    sim._INDEX_READERS.clear()
+    v1_rows = spark.read.parquet(path).drop("cn")
+    tmp_v1 = str(tmp_path / "ivfv1rewrite")
+    v1_rows.write.partitionBy("list_id").parquet(tmp_v1)
+    shutil.rmtree(path)
+    os.rename(tmp_v1, path)
+
+    sim.write_ivf_index(delta, cents, path, mode="append")
+    assert not os.path.exists(os.path.join(path, sim._NORMS_MARKER))
+    sim._INDEX_READERS.clear()
+
+    mixed = sim.ivf_topk_from_index(spark, path, queries, cents, k=3, n_probe=2)
+    assert mixed.filter(F.col("cosine").isNull()).count() == 0
+
+    rebuilt_path = str(tmp_path / "ivfrebuilt")
+    sim.write_ivf_index(corpus, cents, rebuilt_path)
+    rebuilt = sim.ivf_topk_from_index(
+        spark, rebuilt_path, queries, cents, k=3, n_probe=2
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["neighbor_id"], round(r["cosine"], 12))
+        for r in df.collect()
+    )
+    assert key(mixed) == key(rebuilt)
+
+
+def test_compact_index_preserves_ranks_and_merges_files(spark, tmp_path):
+    """VERDICT r9 ask #4: after delta appends fragment the bucket
+    partitions, compact_index rewrites the tree (and the LSH _byid
+    sidecar) to one file per partition, keeps the _NORMS_STORED marker,
+    and the probe answers are bit-identical before/after."""
+    import os
+
+    from meerkat_abacus_spark.datapipe import similarity as sim
+
+    corpus = _clustered_corpus(spark).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = corpus.filter(F.col("vec_id") % 2 == 0)
+    delta = corpus.filter(F.col("vec_id") % 2 == 1)
+    queries = corpus.limit(3)
+
+    # --- LSH ---
+    lpath = str(tmp_path / "lshcomp")
+    sim.write_lsh_index(base, lpath, dim=4, nbits=4)
+    sim.write_lsh_index(delta, lpath, dim=4, nbits=4, mode="append")
+
+    def lsh_probe():
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+            for r in sim.lsh_topk_from_index(
+                spark, lpath, queries, dim=4, id_col="vec_id",
+                vec_col="embedding", k=3, nbits=4, radius=1,
+            ).collect()
+        )
+
+    before_rows = lsh_probe()
+    stats = sim.compact_index(spark, lpath)
+    assert stats["kind"] == "lsh"
+    assert stats["files_after"] < stats["files_before"]
+    assert os.path.exists(os.path.join(lpath, sim._NORMS_MARKER))
+    assert lsh_probe() == before_rows
+    # by-id serving path also intact post-swap
+    byid = sim.lsh_topk_from_index_by_id(
+        spark, lpath, [int(r["vec_id"]) for r in queries.collect()],
+        k=3, nbits=4, radius=1,
+    )
+    assert byid.count() > 0
+
+    # --- IVF ---
+    cents = corpus.limit(2).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    ipath = str(tmp_path / "ivfcomp")
+    sim.write_ivf_index(base, cents, ipath)
+    sim.write_ivf_index(delta, cents, ipath, mode="append")
+
+    def ivf_probe():
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+            for r in sim.ivf_topk_from_index(
+                spark, ipath, queries, cents, k=3, n_probe=2
+            ).collect()
+        )
+
+    before_rows = ivf_probe()
+    stats = sim.compact_index(spark, ipath)
+    assert stats["kind"] == "ivf"
+    assert stats["files_after"] < stats["files_before"]
+    assert os.path.exists(os.path.join(ipath, sim._NORMS_MARKER))
+    assert ivf_probe() == before_rows
+
+
+def test_compact_index_upgrades_v1_layout_to_stored_norms(spark, tmp_path):
+    """Compaction doubles as the v1→v2 upgrade path: a pre-norms index
+    (no marker) comes out cn-bearing + marked, with identical ranks."""
+    import os
+
+    from meerkat_abacus_spark.datapipe import similarity as sim
+
+    corpus = _clustered_corpus(spark).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = corpus.limit(2).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = corpus.limit(3)
+    path = str(tmp_path / "ivfv1up")
+    sim.write_ivf_index(corpus, cents, path)
+    os.remove(os.path.join(path, sim._NORMS_MARKER))
+    sim._INDEX_READERS.clear()
+
+    def probe():
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+            for r in sim.ivf_topk_from_index(
+                spark, path, queries, cents, k=3, n_probe=2
+            ).collect()
+        )
+
+    v1_rows = probe()
+    sim.compact_index(spark, path)
+    assert os.path.exists(os.path.join(path, sim._NORMS_MARKER))
+    assert "cn" in sim._ivf_index_frame(spark, path).columns
+    assert probe() == v1_rows

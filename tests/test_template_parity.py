@@ -84,6 +84,27 @@ def test_unsupported_expression_raises():
         parse_template("{{ data.get(key) }}")  # unquoted key
 
 
+def test_statement_and_comment_tags_raise():
+    """ADVICE r9 #3: Jinja {% %} statements and {# #} comments are outside
+    the compiled subset and previously passed through VERBATIM into
+    rendered alert text — they must raise at compile time."""
+    with pytest.raises(TemplateError):
+        parse_template("{% if x %}hello{% endif %}")
+    with pytest.raises(TemplateError):
+        parse_template("before {# a comment #} after")
+
+
+def test_garbage_between_valid_kwargs_raises():
+    """ADVICE r9 #3: the kwarg scan is anchored — an unparseable argument
+    BETWEEN two valid ones raises instead of being silently dropped."""
+    good = "{{ _('%(a)s and %(b)s') | format(a=_('x'), b=_('y')) }}"
+    segs = parse_template(good)
+    assert segs == [("lit", "x and y", None)]
+    bad = "{{ _('%(a)s and %(b)s') | format(a=_('x'), data.junk, b=_('y')) }}"
+    with pytest.raises(TemplateError):
+        parse_template(bad)
+
+
 def test_escaped_quote_in_gettext():
     segs = parse_template(r"{{_('browser\'s bar')}}")
     assert segs == [("lit", "browser's bar", None)]

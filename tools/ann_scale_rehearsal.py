@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 REHEARSED = ("ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
-             "ann_quantized_recall", "ann_pq_adc", "ann_ivfpq_topk")
+             "ann_recall", "ann_pq_adc", "ann_ivfpq_topk")
 
 
 def build_sf1(spark, src_dir: str, dest_dir: str) -> None:

@@ -20,6 +20,14 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(
     ROOT, "meerkat_abacus_spark", "queries", "cert_history.json"
 )
+# Automated regenerations (conftest, verify_all) target this GITIGNORED
+# runtime path so a test run never dirties tracked files (ADVICE r9 #4);
+# load_history() prefers it when it covers a newer round.  The CLI
+# (``python tools/gen_rotation.py``) promotes it into the committed
+# snapshot — the explicit round-start step.
+RUNTIME_OUT = os.path.join(
+    ROOT, "meerkat_abacus_spark", "queries", "_cert_history_runtime.json"
+)
 
 
 def compute_history(root: str = ROOT, max_round: int | None = None) -> dict:
@@ -59,22 +67,24 @@ def compute_history(root: str = ROOT, max_round: int | None = None) -> dict:
     }
 
 
-def regenerate_if_stale(root: str = ROOT, out: str = OUT) -> bool:
+def regenerate_if_stale(root: str = ROOT, out: str = RUNTIME_OUT) -> bool:
     """Round-start automation (VERDICT r8 ask #3): recompute the history
     and rewrite the snapshot ONLY when a newer driver artifact changed it.
     Returns True when the snapshot was rewritten.  Called from
     tests/conftest.py (before the queries package is imported, so the
     registry ordering is built from the fresh snapshot) and from
-    tools/verify_all.py — the manual ``python tools/gen_rotation.py`` step
-    is no longer load-bearing."""
+    tools/verify_all.py.  The default target is the GITIGNORED runtime
+    snapshot (ADVICE r9 #4: automated runs must not rewrite tracked
+    files); ``main()`` is the explicit round-start promotion into the
+    committed cert_history.json."""
     hist = compute_history(root)
-    try:
-        with open(out) as f:
-            current = json.load(f)
-    except (OSError, json.JSONDecodeError):
-        current = None
-    if current == hist:
-        return False
+    for existing in (out, OUT if out == RUNTIME_OUT else out):
+        try:
+            with open(existing) as f:
+                if json.load(f) == hist:
+                    return False
+        except (OSError, json.JSONDecodeError):
+            continue
     with open(out, "w") as f:
         json.dump(hist, f, indent=1, sort_keys=True)
         f.write("\n")
@@ -82,13 +92,27 @@ def regenerate_if_stale(root: str = ROOT, out: str = OUT) -> bool:
 
 
 def main() -> None:
-    changed = regenerate_if_stale()
+    """Round-start CLI: promote the regenerated history into the COMMITTED
+    snapshot, drop the runtime overlay, then import the queries package so
+    an oversubscribed window plan raises HERE — at generation time, with
+    the arithmetic in the message (VERDICT r9 ask #1) — instead of in a
+    later pytest."""
+    changed = regenerate_if_stale(out=OUT)
+    if os.path.exists(RUNTIME_OUT):
+        os.remove(RUNTIME_OUT)
     hist = compute_history()
     print(
         f"{'wrote' if changed else 'unchanged'} {OUT}: "
         f"as_of_round={hist['as_of_round']}, "
         f"{len(hist['last_certified'])} queries"
     )
+    import sys
+
+    sys.path.insert(0, ROOT)
+    from meerkat_abacus_spark.queries import QUERIES  # noqa: F401  (validates)
+
+    print(f"window plan valid for round {hist['as_of_round'] + 1}: "
+          f"{len(QUERIES)} registered queries")
 
 
 if __name__ == "__main__":

@@ -146,7 +146,7 @@ def main() -> int:
     from gen_rotation import regenerate_if_stale
 
     if regenerate_if_stale():
-        print("regenerated cert_history.json from newer driver artifacts",
+        print("regenerated runtime rotation snapshot from newer driver artifacts",
               file=sys.stderr)
 
     report: dict = {
