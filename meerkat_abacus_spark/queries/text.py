@@ -571,7 +571,14 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("__k")
         .limit(100)
     )
-    w = Window.orderBy("__k")
+    # Constant partition key (VERDICT r9 ask #7): the frame is ≤100 rows
+    # post-limit — single-partition by design — but an unpartitioned
+    # window logs a "moving all data to a single partition" WARN per
+    # sweep.  A bare literal gets folded out by EliminateWindowPartitions
+    # (restoring the WARN), so the key is the sign bit of the
+    # non-negative doc_id: constant 0 by construction, opaque to
+    # constant folding, identical single-partition cost.
+    w = Window.partitionBy(F.shiftright(F.col("doc_id"), 63)).orderBy("__k")
     return top.select(
         F.row_number().over(w).cast("bigint").alias("rank"), "doc_id"
     )

@@ -101,3 +101,18 @@ def test_check_plan_flags_violations():
         "struct<event_id:bigint,props:map<string,string>>",
     )
     assert explain.check_plan("q", pruned, widths) == []
+    # unpartitioned Window (two bracket groups) flagged; partitioned
+    # (three groups) clean — VERDICT r9 ask #7
+    glob_w = (
+        "+- Window [row_number() windowspecdefinition(k#1 ASC) AS r#2], "
+        "[k#1 ASC NULLS FIRST]"
+    )
+    assert any(
+        "unpartitioned Window" in p
+        for p in explain.check_plan("q", glob_w, widths)
+    )
+    part_w = (
+        "+- Window [row_number() windowspecdefinition(p#0, k#1 ASC) AS "
+        "r#2], [p#0], [k#1 ASC NULLS FIRST]"
+    )
+    assert explain.check_plan("q", part_w, widths) == []

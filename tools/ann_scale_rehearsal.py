@@ -75,6 +75,8 @@ def time_queries(spark, sf_dir: str) -> dict:
     out["ivf_delta_append"] = time_ivf_delta_append(spark, sf_dir)
     out["lsh_index"] = time_lsh_index(spark, sf_dir)
     out["lsh_delta_append"] = time_lsh_delta_append(spark, sf_dir)
+    out["lsh_compaction"] = time_compaction(spark, sf_dir)
+    out["lsh_batch_crossover"] = time_lsh_batch_crossover(spark, sf_dir)
     return out
 
 
@@ -212,6 +214,114 @@ def time_indexed_probe(spark, sf_dir: str) -> dict:
     n = ivf_topk_from_index(spark, path, queries, cents, k=3, n_probe=2).count()
     out = {"sec": round(time.time() - t0, 2), "rows": n}
     shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
+def time_compaction(spark, sf_dir: str) -> dict:
+    """Index compaction leg (VERDICT r9 ask #4): fragment a persisted LSH
+    index with 8 delta appends (each append adds a sidecar file per
+    touched bucket partition — file count grows ~9x), measure the warm
+    member-probe against the fragmented tree, compact_index(), and
+    re-measure.  The probe pays listing + footer reads per file in the
+    probed partitions, so latency should fall back toward the one-file
+    baseline; results must be row-identical before/after (compaction is
+    a layout rewrite, asserted bit-level in pytest)."""
+    import tempfile
+
+    from meerkat_abacus_spark.datapipe.similarity import (
+        compact_index,
+        lsh_topk_from_index_by_id,
+        write_lsh_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    path = tempfile.gettempdir() + "/msa_lsh_compact"
+    for p in (path, path + "_byid"):
+        shutil.rmtree(p, ignore_errors=True)
+    n_deltas = 8
+    write_lsh_index(
+        emb.filter(F.col("vec_id") % (n_deltas + 2) >= 2),
+        path, dim=64, nbits=8,
+    )
+    for i in range(2):  # only vec_id % 10 in {0,1} remain as deltas
+        write_lsh_index(
+            emb.filter(F.col("vec_id") % (n_deltas + 2) == i),
+            path, dim=64, nbits=8, mode="append",
+        )
+    # further fragmentation: re-append tiny slices as separate batches
+    for i in range(n_deltas - 2):
+        write_lsh_index(
+            emb.filter(F.col("vec_id") % 1000 == 990 + i).selectExpr(
+                "vec_id + 100000000 AS vec_id", "embedding"
+            ),
+            path, dim=64, nbits=8, mode="append",
+        )
+    ids = [r["vec_id"] for r in emb.select("vec_id").limit(20).collect()]
+
+    def probe() -> tuple[float, int]:
+        lsh_topk_from_index_by_id(spark, path, ids, k=3, radius=2).count()
+        t0 = time.time()
+        n = lsh_topk_from_index_by_id(spark, path, ids, k=3, radius=2).count()
+        return round(time.time() - t0, 2), n
+
+    frag_sec, frag_rows = probe()
+    t0 = time.time()
+    stats = compact_index(spark, path)
+    compact_sec = round(time.time() - t0, 2)
+    comp_sec, comp_rows = probe()
+    for p in (path, path + "_byid"):
+        shutil.rmtree(p, ignore_errors=True)
+    return {
+        "appends": n_deltas,
+        "files_fragmented": stats["files_before"],
+        "files_compacted": stats["files_after"],
+        "probe_fragmented_sec": frag_sec,
+        "probe_compacted_sec": comp_sec,
+        "compaction_sec": compact_sec,
+        "rows_equal": frag_rows == comp_rows,
+    }
+
+
+def time_lsh_batch_crossover(spark, sf_dir: str) -> dict:
+    """Serving-path crossover leg (VERDICT r9 ask #6): the driver-collect
+    probe (lsh_topk_from_index — probe keys become a literal partition
+    filter, bounded by 2^nbits) vs the join probe (lsh_topk_from_index_join
+    — DPP partition filter, no collect) at a 1x (20-vector) and a 100x
+    (2000-vector) query batch.  Measures where the collect round-trip
+    stops being the cheap path so the 'collect is bounded, join for big
+    batches' claim carries a number."""
+    import tempfile
+
+    from meerkat_abacus_spark.datapipe.similarity import (
+        lsh_topk_from_index,
+        lsh_topk_from_index_join,
+        write_lsh_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    path = tempfile.gettempdir() + "/msa_lsh_xover"
+    for p in (path, path + "_byid"):
+        shutil.rmtree(p, ignore_errors=True)
+    write_lsh_index(emb, path, dim=64, nbits=8)
+    out: dict = {}
+    for label, nq in (("q20", 20), ("q2000", 2000)):
+        qs = emb.filter(F.col("vec_id") < nq)
+        for pname, fn in (
+            ("isin_collect", lsh_topk_from_index),
+            ("join_dpp", lsh_topk_from_index_join),
+        ):
+            fn(spark, path, qs, dim=64, k=3, nbits=8, radius=2).count()
+            t0 = time.time()
+            n = fn(spark, path, qs, dim=64, k=3, nbits=8, radius=2).count()
+            out[f"{label}_{pname}"] = {
+                "sec": round(time.time() - t0, 2), "rows": n,
+            }
+    for p in (path, path + "_byid"):
+        shutil.rmtree(p, ignore_errors=True)
     return out
 
 

@@ -129,6 +129,12 @@ BNLJ_WHITELIST: dict[str, str] = {
 # (query, table) pairs allowed to read the table's full column set.
 FULL_SCAN_WHITELIST: set = set()
 
+# Queries allowed an UNPARTITIONED window (none: VERDICT r9 ask #7 —
+# post-aggregation single-partition frames carry a constant-by-construction
+# partition key instead, silencing the WindowExec WARN while stating the
+# intent).
+GLOBAL_WINDOW_WHITELIST: set = set()
+
 _WIDE = 5  # tables this wide must show pruned scans
 
 
@@ -158,6 +164,27 @@ def check_plan(
         problems.append(
             f"{name}: BroadcastNestedLoopJoin not on the justified whitelist"
         )
+    if name not in GLOBAL_WINDOW_WHITELIST:
+        # an unpartitioned Window moves ALL rows to one partition (the
+        # runtime WindowExec WARN) — a Window node prints
+        # ``Window [exprs], [partSpec], [orderSpec]``; only two top-level
+        # bracket groups means the partition spec is empty
+        for wm in re.finditer(r"\bWindow\s+\[", plan):
+            seg_end = plan.find("\n", wm.start())
+            seg = plan[wm.start(): seg_end if seg_end != -1 else len(plan)]
+            depth, groups = 0, 0
+            for ch in seg:
+                if ch == "[":
+                    if depth == 0:
+                        groups += 1
+                    depth += 1
+                elif ch == "]":
+                    depth -= 1
+            if groups < 3:
+                problems.append(
+                    f"{name}: unpartitioned Window (single-partition "
+                    f"execution): {seg[:120]}"
+                )
     for m in re.finditer(r"ReadSchema: struct<", plan):
         # top-level field count of the (possibly nested) struct — commas
         # inside map<...>/array<...>/struct<...> don't separate fields

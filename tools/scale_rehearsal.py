@@ -333,6 +333,55 @@ def span_waterfall(spark, sf_dir: str) -> dict:
     }
 
 
+def span_fixpoint(spark, sf_dir: str) -> dict:
+    """Second-pass residual of dedup_span_removal (VERDICT r9 ask #5).
+
+    The rewrite is not idempotent by construction (same as Lee et al.'s
+    suffix-array excision): splicing out a covered run can join the
+    tokens on either side into a NEW k-window that also recurs across
+    documents.  This leg quantifies the docstring's claim — run pass 1,
+    feed the rewritten corpus through pass 2, and report pass-2 removals
+    relative to pass 1 (expected ≪1%; if it ever turns material, the
+    operator grows an iterate_to_fixpoint option)."""
+    from meerkat_abacus_spark.datapipe import dedup as dd
+    from meerkat_abacus_spark.queries._shared import _t
+    from meerkat_abacus_spark.queries.dedup import _SPAN_K as k
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _agg(out):
+        row = out.agg(
+            F.sum("n_tokens").alias("tok"),
+            F.sum("n_removed_tokens").alias("rm"),
+            F.sum("n_spans_removed").alias("sp"),
+            F.sum(
+                F.when(F.col("n_removed_tokens") > 0, 1).otherwise(0)
+            ).alias("rw"),
+        ).collect()[0]
+        return {
+            "tokens": row["tok"], "removed_tokens": row["rm"],
+            "spans_removed": row["sp"], "docs_rewritten": row["rw"],
+        }
+
+    p1 = dd.span_dedup_removal(docs, k=k).localCheckpoint(eager=True)
+    s1 = _agg(p1)
+    p2 = dd.span_dedup_removal(
+        p1.select("doc_id", F.col("clean_text").alias("text")), k=k
+    )
+    s2 = _agg(p2)
+    p1.unpersist()
+    return {
+        "pass1": s1,
+        "pass2": s2,
+        "residual_removed_ratio": round(
+            s2["removed_tokens"] / max(s1["removed_tokens"], 1), 6
+        ),
+        "residual_spans_ratio": round(
+            s2["spans_removed"] / max(s1["spans_removed"], 1), 6
+        ),
+    }
+
+
 def build_docs_100x(spark, src_dir: str, dest_dir: str) -> None:
     """100x the documents corpus (1.5M docs) with the same marker-token
     splice as :func:`build_sf1` — copies are corpus-unique, duplicate
@@ -439,6 +488,9 @@ def main() -> None:
         "sf0.1": span_waterfall(spark, src),
         "sf~1.0": span_waterfall(spark, dest),
     }
+
+    # --- dedup_span_removal second-pass residual (r9 verdict ask #5) ---
+    report["span_fixpoint"] = {"sf~1.0": span_fixpoint(spark, dest)}
 
     # --- 100x surveillance-pipeline leg (r6 verdict ask #7) ---
     dest100 = tempfile.gettempdir() + "/msa_scale_events100"

@@ -258,11 +258,22 @@ def main() -> None:
     spark = get_spark(app_name="stream_scale_rehearsal")
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+    # Per-leg JIT warmup (VERDICT r9 ask #8): every leg runs 4 micro-
+    # batches regardless of copies (maxFilesPerTrigger=1 over 4 slices),
+    # so at 1x the wall is dominated by first-run codegen/JIT of that
+    # leg's stateful operator — STREAM_SCALE_r09's ijoin measured 19.24 s
+    # at 1x vs 16.81 s at 10x purely because the 10x run reused the
+    # 1x run's JITed stream-stream join.  A discarded 1x warmup run per
+    # leg makes both measured runs steady-state, so the 10x ratio
+    # reflects data volume, not compilation order.
+    run_once(spark, "warm", 1, src)
     one = run_once(spark, "one", 1, src)
     ten = run_once(spark, "ten", 10, src)
     ten_evict = run_once(spark, "ten_evict", 10, src, evict=True)
+    run_dedup_once(spark, "warm", 1, src)
     d_one = run_dedup_once(spark, "one", 1, src)
     d_ten = run_dedup_once(spark, "ten", 10, src)
+    run_ijoin_once(spark, "warm", 1, src)
     ij_one = run_ijoin_once(spark, "one", 1, src)
     ij_ten = run_ijoin_once(spark, "ten", 10, src)
     report = {
