@@ -17,18 +17,19 @@ reported so amortized caches are visible in the artifact itself instead
 of only in the SCALE_* rehearsal files.  ``value`` stays the warm suite
 total — comparable to r8's min-of-3 headline number.
 
-Contention sentinel (r10, VERDICT r9 ask #3): a fixed-work JVM calibration
-job (sum over a constant range — no I/O, no shuffle) is timed before EVERY
-query (plus suite pre/post) and recorded per query as ``cal``.  Identical
-hardware at quiesce gives a stable number; a box under load inflates it —
-and because the sentinel is interleaved, a host that drifts MID-run (the
-r9 artifact: pre 0.216 → post 0.404, masking/forging per-query ±40%
-swings) is visible next to each query instead of only at the ends.  Each
-query's ``warm_norm`` rescales warm by ``cal_ref / cal`` (cal_ref = the
-run's fastest sentinel): CPU-bound work under c× slowdown inflates ~c×,
-so the normalized number is the comparable-across-rounds one;
-``value_normalized`` is its suite total, while ``value`` stays the raw
-warm total for artifact continuity.
+Contention sentinel (r10, VERDICT r9 ask #3): a fixed-work deterministic
+BLAS matmul (steady to ±1% after warmup — NOT a Spark job, whose timing
+keeps falling for dozens of invocations as the JIT re-optimizes) is timed
+before EVERY query (plus suite pre/post) and recorded per query as
+``cal``.  Identical hardware at quiesce gives a stable number; a box
+under load inflates it — and because the sentinel is interleaved, a host
+that drifts MID-run (the r9 artifact: pre 0.216 → post 0.404, masking/
+forging per-query ±40% swings) is visible next to each query instead of
+only at the ends.  Each query's ``warm_norm`` rescales warm by
+``cal_ref / cal`` (cal_ref = the run's fastest sentinel): CPU-bound work
+under c× slowdown inflates ~c×, so the normalized number is the
+comparable-across-rounds one; ``value_normalized`` is its suite total,
+while ``value`` stays the raw warm total for artifact continuity.
 """
 
 from __future__ import annotations
@@ -67,35 +68,37 @@ HEADLINE = [
 ]
 
 
-def _calibrate(spark, best_of: int = 2) -> float:
-    """Fixed-work CPU sentinel: a codegen-only job over a constant range,
-    best of ``best_of`` runs (a single run can eat a GC pause or a
-    scheduling hiccup that has nothing to do with host load).  Seconds on
-    idle hardware are stable run-to-run AFTER JIT steady state — see
-    ``_warm_sentinel``; contention inflates it."""
+_CAL_MAT = None
+
+
+def _calibrate(spark=None, best_of: int = 2) -> float:
+    """Fixed-work CPU sentinel: a deterministic BLAS matmul, best of
+    ``best_of`` runs (a single run can eat a scheduling hiccup that has
+    nothing to do with host load).
+
+    Deliberately NOT a Spark job (r10, VERDICT r9 ask #3): a JVM
+    sentinel's timing keeps falling for dozens of invocations as the C2
+    JIT re-optimizes (measured: 0.22 → 0.08 across one bench run), so an
+    interleaved JVM sentinel conflates compiler state with host load and
+    mis-normalizes every early query.  The matmul reaches steady state
+    after two calls and then holds to ±1% on idle hardware — what it
+    measures is exactly the thing the normalization needs: how much CPU
+    the host is actually giving this process right now."""
+    import numpy as np
+
+    global _CAL_MAT
+    if _CAL_MAT is None:
+        _CAL_MAT = np.random.RandomState(0).rand(1200, 1200)
+        for _ in range(3):  # BLAS thread pool + cache warmup
+            _CAL_MAT @ _CAL_MAT
     best = None
     for _ in range(best_of):
         t0 = time.time()
-        spark.range(0, 200_000_000, 1, 32).selectExpr(
-            "sum(id * 2654435761 % 1000003) AS s"
-        ).collect()
+        for _ in range(3):
+            _CAL_MAT @ _CAL_MAT
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
-    return round(best, 3)
-
-
-def _warm_sentinel(spark, rounds: int = 8, tol: float = 0.10) -> None:
-    """Run the sentinel until consecutive timings agree within ``tol`` —
-    the C2 JIT keeps re-compiling the generated code for several
-    invocations, so an unwarmed sentinel DRIFTS DOWN across the suite
-    (r10 trial: 0.19 → 0.08) and would fake a speedup in every
-    normalization that uses an early reading as reference."""
-    prev = _calibrate(spark, best_of=1)
-    for _ in range(rounds):
-        cur = _calibrate(spark, best_of=1)
-        if abs(cur - prev) <= tol * max(prev, 1e-9):
-            return
-        prev = cur
+    return round(best, 4)
 
 
 def main() -> None:
@@ -109,7 +112,6 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     # warm the JVM + parquet footers so timings measure the queries
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-    _warm_sentinel(spark)  # JIT steady state BEFORE any reading is taken
     cal_pre = _calibrate(spark)
 
     timings: dict[str, dict[str, float]] = {}

@@ -112,11 +112,16 @@ def minhash_signature(hash_arr: Column, num_hashes: int = 64) -> Column:
     2^61-1)``, which for each slot's own (a_i, b_i) is a ~2^-31 event,
     independent across slots because the coefficient pairs differ — an
     all-slot collapse now needs 64 independent coincidences instead of
-    one.  Integer min/mul/shift/mod are exact and engine-portable
-    (everything stays < 2^63), and the per-shingle digest cost is ONE md5
-    total (paid in :func:`shingle_hash`) instead of ``num_hashes/4`` md5
-    passes — at 10× sf0.1 corpus data the signature stage fell
-    13.1 s → ~3 s.
+    one.  The slot value is finally truncated ``% 2^32`` (the textbook
+    32-bit universal-hash minhash: truncating a pairwise-independent
+    value mod a prime stays ~2^-31-collision per slot, still
+    slot-independent) so downstream band keys hash 10-digit decimal
+    strings, not 19-digit — same-host A/B measured the 61-bit rendering
+    costing dedup_clusters ~18%.  Integer min/mul/shift/mod are exact
+    and engine-portable (everything stays < 2^63), and the per-shingle
+    digest cost is ONE md5 total (paid in :func:`shingle_hash`) instead
+    of ``num_hashes/4`` md5 passes — at 10× sf0.1 corpus data the
+    signature stage fell 13.1 s → ~3 s.
 
     PERF CONTRACT: ``hash_arr`` must be bound (Generate barrier or
     checkpoint, not a collapsible select) or each of the ``num_hashes``
@@ -134,7 +139,8 @@ def minhash_signature(hash_arr: Column, num_hashes: int = 64) -> Column:
                     + F.lit(b) * F.shiftright(h, 30)
                     + F.lit(c)
                 )
-                % F.lit(_MERSENNE61),
+                % F.lit(_MERSENNE61)
+                % F.lit(4294967296),
             )
         )
 

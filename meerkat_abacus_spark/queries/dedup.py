@@ -110,7 +110,7 @@ def _minhash_oracle_sql(
     sig_items = ",\n                ".join(
         f"list_aggregate(list_transform(hs, "
         f"h -> ({a} * (h % 1073741824) + {b} * (h >> 30) + {c}) "
-        f"% {dd._MERSENNE61}), 'min')"
+        f"% {dd._MERSENNE61} % 4294967296), 'min')"
         for a, b, c in consts
     )
     band_items = ",\n            ".join(
@@ -708,11 +708,11 @@ def incremental_dedup_equals_batch(spark: SparkSession, sf_dir: str) -> DataFram
 
     from ._shared import _scratch_ready, _scratch_tag
 
-    # _v4: the stored band keys changed with the r10 per-slot-independent
+    # _v5: the stored band keys changed with the r10 per-slot-independent
     # reduction in minhash_signature (ADVICE r9 #1) — a _v3 store from the
     # xor-fold scheme must not be reused (same reason _v3 superseded _v2
     # for the r9 bit mix).
-    base = tempfile.gettempdir() + f"/msa_incdedup_v4_{_scratch_tag(sf_dir)}"
+    base = tempfile.gettempdir() + f"/msa_incdedup_v5_{_scratch_tag(sf_dir)}"
     bands_p, pairs_p = base + "/bands_old", base + "/pairs_old"
     if not (_scratch_ready(bands_p) and _scratch_ready(pairs_p)):
         # "yesterday's run": persist the band index and its verified pairs

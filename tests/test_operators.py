@@ -503,10 +503,12 @@ def test_minhash_slot_reductions_are_independent(spark):
     ]
     diff = sum(1 for x, y in zip(*sigs) if x != y)
     assert diff == 64, f"only {diff}/64 slots distinguish the digests"
-    # pinned arithmetic: slot i of a single-hash doc is (a*lo+b*hi+c) % P
+    # pinned arithmetic: slot i of a single-hash doc is
+    # (a*lo + b*hi + c) % P % 2^32 (the 32-bit truncation keeps band-key
+    # strings short; see minhash_signature)
     for i, (a, b, c) in enumerate(_affine_consts(64)):
-        assert sigs[1][i] == (a * 1 + b * 1 + c) % _MERSENNE61
-        assert sigs[0][i] == c % _MERSENNE61
+        assert sigs[1][i] == (a * 1 + b * 1 + c) % _MERSENNE61 % 2**32
+        assert sigs[0][i] == c % _MERSENNE61 % 2**32
 
 
 def test_minhash_rows_per_band_validation(spark):
