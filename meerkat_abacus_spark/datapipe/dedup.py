@@ -1102,7 +1102,12 @@ def span_dedup_removal(
     (Lee et al.'s suffix-array criterion) at token granularity.  Like
     that algorithm, the rewrite is not guaranteed idempotent: excising a
     span splices previously-distant tokens together, and a second pass
-    can in principle see new windows across the splice points.
+    can in principle see new windows across the splice points.  MEASURED
+    (SCALE_r10 ``span_fixpoint`` leg, ~410k docs / 5.1M tokens): a second
+    pass removes 0.69% of pass 1's removed tokens (15,048 vs 2,181,016;
+    1.2% of its spans) — immaterial, so no fixpoint iteration is run;
+    callers needing literal convergence can re-apply the operator on its
+    own output.
 
     Scale posture: candidate generation is a gram-md5-keyed equi-join —
     never all-pairs.  The exploded occurrence rows carry ``(id, pos,

@@ -594,6 +594,15 @@ def lsh_topk_from_index_join(
     (asserted by the unit test); a genuinely cluster-sized batch degrades
     to a shuffle on ``pbucket`` — at that probe cardinality most buckets
     are touched anyway, so pruning would buy little by construction.
+
+    MEASURED crossover (SCALE_ANN_r10 ``lsh_batch_crossover`` leg, 100×
+    corpus ≈ 50k vectors): at 20 queries the collect path wins (2.0 s vs
+    2.8 s — the literal filter is planned once, no join exchange); at
+    2 000 queries the join path wins decisively (34.4 s vs 56.6 s — the
+    collect variant re-materializes the probe frame driver-side and its
+    literal filter stops pruning once most buckets are probed).  Rule of
+    thumb: member/driver-sized batches → :func:`lsh_topk_from_index` /
+    ``_by_id``; corpus-joined batches → this function.
     """
     staged = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -838,7 +847,16 @@ def write_ivf_index(
             ranked(F.col(vec_col), F.col("cn"))[0]["cid"].alias("list_id"),
         )
     )
-    lists.write.mode(mode).partitionBy("list_id").parquet(path)
+    # One shuffle by list before the write → ONE file per list directory
+    # per batch instead of one per (task × list) — the write_lsh_index
+    # clustering applied to IVF (an unclustered 32-task local write was
+    # measured leaving 22 files per list on a fresh build; at cluster
+    # scale the listing + footer reads of those fragments tax every
+    # probe).  At scale pass a partition count (repartition(n, list_id))
+    # so a hot list can span files while staying contiguous per directory.
+    lists.repartition("list_id").write.mode(mode).partitionBy(
+        "list_id"
+    ).parquet(path)
     if mode == "overwrite":
         # Norms marker, mirrored from the LSH layout (ADVICE r9 #2): the
         # pinned-schema reader may select ``cn`` only when EVERY file
@@ -960,6 +978,43 @@ def ivf_topk_from_index_join(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def maybe_compact_index(
+    spark, index_path: str, max_files_per_partition: float = 4.0
+) -> dict | None:
+    """Policy wrapper for :func:`compact_index`: compact only when append
+    maintenance has actually fragmented the tree (mean parquet files per
+    partition directory above ``max_files_per_partition``), else no-op and
+    return None.
+
+    This is the call a scheduled maintenance job makes after each delta
+    batch: appends stay cheap (write only the delta), and the rewrite
+    amortizes across however many appends it took to cross the threshold —
+    the compaction analogue of a RocksDB level trigger.  Returns
+    :func:`compact_index`'s stats dict (plus ``files_per_partition``) when
+    it ran.
+    """
+    import os
+
+    parts = [
+        d for d in os.listdir(index_path)
+        if "=" in d and os.path.isdir(os.path.join(index_path, d))
+    ]
+    if not parts:
+        raise ValueError(f"{index_path!r} is not a partitioned index tree")
+    n_files = sum(
+        1
+        for d in parts
+        for f in os.listdir(os.path.join(index_path, d))
+        if f.endswith(".parquet")
+    )
+    ratio = n_files / len(parts)
+    if ratio <= max_files_per_partition:
+        return None
+    stats = compact_index(spark, index_path)
+    stats["files_per_partition"] = round(ratio, 2)
+    return stats
 
 
 def compact_index(spark, index_path: str) -> dict:

@@ -167,6 +167,70 @@ def test_oversubscribed_plan_raises_at_generation():
     assert plan["overflow"] == 0
 
 
+def test_runtime_snapshot_preferred_only_when_newer(tmp_path, monkeypatch):
+    """ADVICE r9 #4: automated regeneration targets a gitignored RUNTIME
+    snapshot; load_history prefers it only when it covers a newer round
+    than the committed file, so a stale leftover can never skew the
+    window backwards."""
+    import json
+
+    committed = tmp_path / "cert_history.json"
+    runtime = tmp_path / "_cert_history_runtime.json"
+    committed.write_text(json.dumps(
+        {"as_of_round": 9, "last_certified": {"q": 9}}
+    ))
+    monkeypatch.setattr(_rotation, "COMMITTED_SNAPSHOT", str(committed))
+    monkeypatch.setattr(_rotation, "RUNTIME_SNAPSHOT", str(runtime))
+    assert _rotation.load_history()["as_of_round"] == 9
+    # stale runtime (same or older round): ignored
+    runtime.write_text(json.dumps(
+        {"as_of_round": 9, "last_certified": {"q": 8}}
+    ))
+    assert _rotation.load_history()["last_certified"] == {"q": 9}
+    # newer runtime (round boundary, before CLI promotion): preferred
+    runtime.write_text(json.dumps(
+        {"as_of_round": 10, "last_certified": {"q": 10}}
+    ))
+    assert _rotation.load_history()["as_of_round"] == 10
+    # corrupt runtime: fall back to committed, no crash
+    runtime.write_text("{not json")
+    assert _rotation.load_history()["as_of_round"] == 9
+
+
+def test_regenerate_targets_runtime_not_committed(tmp_path):
+    """Automated runs must never rewrite the tracked snapshot (ADVICE r9
+    #4): with a fresh committed file, regenerate_if_stale is a no-op; with
+    newer artifacts it writes ONLY the runtime path."""
+    import json
+
+    mod = _gen_rotation_module()
+    root = str(tmp_path)
+    committed = tmp_path / "c.json"
+    runtime = tmp_path / "r.json"
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "q": {"rows_match": True, "schema_match": True,
+              "hash_match": True, "err": None},
+    }))
+    committed.write_text(json.dumps(
+        {"as_of_round": 1, "last_certified": {"q": 1}}
+    ))
+    # fresh committed snapshot: nothing written anywhere
+    import unittest.mock as mock
+
+    with mock.patch.object(mod, "OUT", str(committed)):
+        assert mod.regenerate_if_stale(root=root, out=str(runtime)) is False
+        assert not runtime.exists()
+        # newer artifact: runtime written, committed untouched
+        (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+            "q2": {"rows_match": True, "err": ""},
+        }))
+        before = committed.read_text()
+        assert mod.regenerate_if_stale(root=root, out=str(runtime)) is True
+        assert committed.read_text() == before
+        snap = json.loads(runtime.read_text())
+        assert snap["as_of_round"] == 2
+
+
 def test_registry_within_lifetime_budget():
     """VERDICT r9 ask #2: every registered query permanently consumes
     recurring window slots; the registry must stay within

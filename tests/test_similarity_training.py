@@ -903,3 +903,34 @@ def test_compact_index_upgrades_v1_layout_to_stored_norms(spark, tmp_path):
     assert os.path.exists(os.path.join(path, sim._NORMS_MARKER))
     assert "cn" in sim._ivf_index_frame(spark, path).columns
     assert probe() == v1_rows
+
+
+def test_maybe_compact_index_threshold_policy(spark, tmp_path):
+    """maybe_compact_index is the scheduled-maintenance trigger: below the
+    files-per-partition threshold it is a no-op (appends stay cheap),
+    above it it compacts and returns stats."""
+    from meerkat_abacus_spark.datapipe import similarity as sim
+
+    corpus = _clustered_corpus(spark).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = corpus.limit(2).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    path = str(tmp_path / "ivfpolicy")
+    sim.write_ivf_index(corpus, cents, path)
+    # freshly-written tree: one file per partition, below any threshold
+    assert sim.maybe_compact_index(spark, path, 2.0) is None
+    # fragment it past the threshold with appends (new ids per contract)
+    for i in range(3):
+        sim.write_ivf_index(
+            corpus.selectExpr(
+                f"vec_id + {100 * (i + 1)} AS vec_id", "embedding"
+            ),
+            cents, path, mode="append",
+        )
+    stats = sim.maybe_compact_index(spark, path, 2.0)
+    assert stats is not None and stats["files_per_partition"] > 2.0
+    assert stats["files_after"] < stats["files_before"]
+    # compacted back to one file per partition: no-op again
+    assert sim.maybe_compact_index(spark, path, 2.0) is None

@@ -45,7 +45,6 @@ INTERESTING = (
     "ann_ivf_indexed",
     "dedup_repeated_spans",
     # r5 additions
-    "ann_recall",
     "fuzzy_decontaminate",
     "vocab_topk",
     "tfidf_top_terms",
@@ -115,8 +114,8 @@ INTERESTING = (
 # listed fails the check.
 BNLJ_WHITELIST: dict[str, str] = {
     "ann_brute_topk": "broadcast 5-query side x corpus IS the brute-force scan",
-    "ann_recall": "broadcast 1-row truth-count joined onto per-method hits",
-    "ann_recall": "broadcast 1-row truth-count per method",
+    "ann_recall": "broadcast 1-row truth-count per method row (all five "
+                  "recall tiers consolidated, r10)",
     "ann_pq_adc": "broadcast 256-row codebook against residual rows",
     "bm25_search": "broadcast 1-row corpus stats (N, avgdl) onto term scores",
     "unigram_logprob_score": "broadcast 1-row vocab mass onto token scores",

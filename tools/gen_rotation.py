@@ -78,7 +78,10 @@ def regenerate_if_stale(root: str = ROOT, out: str = RUNTIME_OUT) -> bool:
     files); ``main()`` is the explicit round-start promotion into the
     committed cert_history.json."""
     hist = compute_history(root)
-    for existing in (out, OUT if out == RUNTIME_OUT else out):
+    # a matching COMMITTED snapshot also counts as fresh — the common
+    # steady-state case, where writing a redundant runtime overlay would
+    # only add confusion
+    for existing in dict.fromkeys((out, OUT)):
         try:
             with open(existing) as f:
                 if json.load(f) == hist:
