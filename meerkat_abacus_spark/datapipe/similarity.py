@@ -596,9 +596,9 @@ def lsh_topk_from_index_join(
     are touched anyway, so pruning would buy little by construction.
 
     MEASURED crossover (SCALE_ANN_r10 ``lsh_batch_crossover`` leg, 100×
-    corpus ≈ 50k vectors): at 20 queries the collect path wins (2.0 s vs
-    2.8 s — the literal filter is planned once, no join exchange); at
-    2 000 queries the join path wins decisively (34.4 s vs 56.6 s — the
+    corpus ≈ 50k vectors): at 20 queries the collect path wins (1.7 s vs
+    1.9 s — the literal filter is planned once, no join exchange); at
+    2 000 queries the join path wins decisively (30.8 s vs 49.4 s — the
     collect variant re-materializes the probe frame driver-side and its
     literal filter stops pruning once most buckets are probed).  Rule of
     thumb: member/driver-sized batches → :func:`lsh_topk_from_index` /

@@ -231,6 +231,33 @@ def test_regenerate_targets_runtime_not_committed(tmp_path):
         assert snap["as_of_round"] == 2
 
 
+def test_next_round_plan_remains_satisfiable():
+    """The r9 failure was discovered only AT the round boundary.  Guard
+    one round ahead: assume this round's window certifies green, advance
+    the clock, and the NEXT round's plan (its mandatory recertifications,
+    with this round's WATCH spent/inert) must still fit the window."""
+    hist = _rotation.load_history()
+    this_round = hist["as_of_round"] + 1
+    last = dict(hist["last_certified"])
+    for name in list(QUERIES)[: _rotation.WINDOW]:
+        last[name] = this_round
+    future = {n: r for n, r in last.items() if n in QUERIES}
+    plan = _rotation.plan_window(
+        sorted(QUERIES), future, as_of_round=this_round,
+        watch=_rotation.WATCH,
+    )
+    assert plan["overflow"] == 0, (
+        f"round {this_round + 1} would be oversubscribed the moment this "
+        f"round certifies: {len(plan['must'])} mandatory + "
+        f"{len(plan['watch'])} watch > {plan['window']}"
+    )
+    # and with a full fresh WATCH of typical size there must be slack
+    assert len(plan["must"]) <= _rotation.WINDOW - 5, (
+        "next round leaves fewer than 5 WATCH slots - retire or merge "
+        "queries now, not at the boundary"
+    )
+
+
 def test_registry_within_lifetime_budget():
     """VERDICT r9 ask #2: every registered query permanently consumes
     recurring window slots; the registry must stay within
