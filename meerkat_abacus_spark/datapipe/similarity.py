@@ -462,15 +462,11 @@ def write_lsh_index(
     c.repartition("pbucket").write.mode(mode).partitionBy("pbucket").parquet(
         path
     )
-    # Sidecar keyed BY ID (range-partitioned + sorted, so an id-bounded
-    # probe prunes to one file via row-group stats): the member-query
-    # serving path (:func:`lsh_topk_from_index_by_id`) reads its query
-    # rows here instead of scanning all 2^nbits bucket directories — the
-    # id→bucket map every real vector store keeps beside the
-    # bucket-ordered postings.
-    c.repartitionByRange(8, "neighbor_id").sortWithinPartitions(
-        "neighbor_id"
-    ).write.mode(mode).parquet(path + "_byid")
+    # Sidecar keyed BY ID: the member-query serving path
+    # (:func:`lsh_topk_from_index_by_id`) reads its query rows here
+    # instead of scanning all 2^nbits bucket directories (layout shared
+    # with compact_index via _write_byid_sidecar).
+    _write_byid_sidecar(c, path + "_byid", mode)
     if mode == "overwrite":
         # v2 marker: tells the pinned-schema reader the ``cn`` column is
         # present in EVERY file.  Only an overwrite may set it — an append
@@ -980,6 +976,34 @@ def ivf_topk_from_index_join(
     )
 
 
+def _partition_dirs(index_path: str) -> list[str]:
+    """Hive-style partition directories of a persisted index tree; raises
+    when the path is not a partitioned index (shared by the compaction
+    entry points so the not-an-index error and the dir filter cannot
+    drift apart)."""
+    import os
+
+    parts = [
+        d for d in os.listdir(index_path)
+        if "=" in d and os.path.isdir(os.path.join(index_path, d))
+    ]
+    if not parts:
+        raise ValueError(f"{index_path!r} is not a partitioned index tree")
+    return parts
+
+
+def _write_byid_sidecar(df: DataFrame, target: str, mode: str) -> None:
+    """The LSH id sidecar layout, in ONE place (writer + compactor):
+    range-partitioned + sorted by id, so an id-bounded probe prunes to one
+    file via row-group stats — the id→bucket map every real vector store
+    keeps beside the bucket-ordered postings.  ``target`` is the full
+    sidecar path (the writer passes ``path + "_byid"``, the compactor its
+    staging sibling)."""
+    df.repartitionByRange(8, "neighbor_id").sortWithinPartitions(
+        "neighbor_id"
+    ).write.mode(mode).parquet(target)
+
+
 def maybe_compact_index(
     spark, index_path: str, max_files_per_partition: float = 4.0
 ) -> dict | None:
@@ -997,12 +1021,7 @@ def maybe_compact_index(
     """
     import os
 
-    parts = [
-        d for d in os.listdir(index_path)
-        if "=" in d and os.path.isdir(os.path.join(index_path, d))
-    ]
-    if not parts:
-        raise ValueError(f"{index_path!r} is not a partitioned index tree")
+    parts = _partition_dirs(index_path)
     n_files = sum(
         1
         for d in parts
@@ -1048,12 +1067,7 @@ def compact_index(spark, index_path: str) -> dict:
             n += sum(1 for f in fs if f.endswith(".parquet"))
         return n
 
-    parts = [
-        d for d in os.listdir(index_path)
-        if "=" in d and os.path.isdir(os.path.join(index_path, d))
-    ]
-    if not parts:
-        raise ValueError(f"{index_path!r} is not a partitioned index tree")
+    parts = _partition_dirs(index_path)
     part_col = parts[0].split("=", 1)[0]
     if part_col == "pbucket":
         kind, v1, v2 = "lsh", _LSH_INDEX_SCHEMA, _LSH_INDEX_SCHEMA_V2
@@ -1072,6 +1086,13 @@ def compact_index(spark, index_path: str) -> dict:
     if "cn" not in rows.columns:
         # v1 → v2 upgrade: same fold the writers persist, bit-identical
         rows = rows.withColumn("cn", l2_norm(F.col("cv")))
+    # Pin the (possibly norm-recomputing) scan across the count + the main
+    # rewrite + the sidecar rewrite: without it compaction reads the whole
+    # fragmented tree three times — the exact I/O this maintenance path
+    # exists to amortize.
+    from pyspark import StorageLevel
+
+    rows = rows.persist(StorageLevel.MEMORY_AND_DISK)
     n_rows = rows.count()
 
     tmp = index_path + ".compacting"
@@ -1086,11 +1107,8 @@ def compact_index(spark, index_path: str) -> dict:
     tmp_byid = byid_path + ".compacting"
     if has_byid:
         shutil.rmtree(tmp_byid, ignore_errors=True)
-        # the sidecar layout write_lsh_index keeps: range-partitioned +
-        # sorted by id so an id-bounded probe prunes via row-group stats
-        rows.repartitionByRange(8, "neighbor_id").sortWithinPartitions(
-            "neighbor_id"
-        ).write.mode("overwrite").parquet(tmp_byid)
+        # same layout as the writer, via the shared helper
+        _write_byid_sidecar(rows, tmp_byid, "overwrite")
 
     old = index_path + ".precompact"
     shutil.rmtree(old, ignore_errors=True)
@@ -1102,6 +1120,7 @@ def compact_index(spark, index_path: str) -> dict:
         os.rename(tmp_byid, byid_path)
         shutil.rmtree(old)
 
+    rows.unpersist()
     for key in [k for k in _INDEX_READERS if k[1] == index_path]:
         _INDEX_READERS.pop(key, None)
     after = _files(index_path) + (_files(byid_path) if has_byid else 0)

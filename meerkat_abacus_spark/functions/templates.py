@@ -77,24 +77,30 @@ def parse_template(source: str) -> list[tuple[str, str, str | None]]:
     # statement ({% %}) and comment ({# #}) tags would otherwise pass
     # through VERBATIM into rendered alert messages (ADVICE r9 #3) —
     # anything outside the subset must raise at compile time, as
-    # documented.
-    for tag in ("{%", "{#"):
-        if tag in source:
-            raise TemplateError(
-                f"unsupported Jinja tag {tag!r} in template (only "
-                "{{ ... }} expressions are in the compiled subset)"
-            )
+    # documented.  The check runs on the LITERAL segments between
+    # expression tags, not the whole source: '{%' inside a supported
+    # gettext string literal (e.g. {{_('100{%}')}} ) is data, exactly as
+    # Jinja's lexer treats it.
+    def _reject_jinja_tags(literal: str) -> str:
+        for tag in ("{%", "{#"):
+            if tag in literal:
+                raise TemplateError(
+                    f"unsupported Jinja tag {tag!r} in template (only "
+                    "{{ ... }} expressions are in the compiled subset)"
+                )
+        return literal
+
     out: list[tuple[str, str, str | None]] = []
     pos = 0
     for m in _TAG.finditer(source):
         if m.start() > pos:
-            out.append(("lit", source[pos:m.start()], None))
+            out.append(("lit", _reject_jinja_tags(source[pos:m.start()]), None))
         expr = m.group(1).strip()
         seg = _parse_expr(expr)
         out.append(seg)
         pos = m.end()
     if pos < len(source):
-        out.append(("lit", source[pos:], None))
+        out.append(("lit", _reject_jinja_tags(source[pos:]), None))
     # fold adjacent literals so the compiled concat stays small
     folded: list[tuple[str, str, str | None]] = []
     for seg in out:

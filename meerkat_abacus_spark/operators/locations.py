@@ -19,6 +19,53 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# (appId, plan semanticHash, leaf level, column names) triples already
+# validated this session — the check is an eager Spark job, so memoizing
+# keeps repeated dimension builds pure plan construction.
+_LEAF_PARENT_VALIDATED: set = set()
+
+
+def _assert_no_leaf_parents(
+    locations: DataFrame,
+    id_col: str,
+    parent_col: str,
+    level_col: str,
+    levels: tuple[str, ...],
+) -> None:
+    try:
+        key = (
+            locations.sparkSession.sparkContext.applicationId,
+            locations.semanticHash(),
+            levels[0], id_col, parent_col, level_col,
+        )
+    except Exception:  # semanticHash is a developer API — degrade to always-check
+        key = None
+    if key is not None and key in _LEAF_PARENT_VALIDATED:
+        return
+    leaf_parents = (
+        locations.alias("__c")
+        .join(
+            locations.filter(F.col(level_col) == levels[0])
+            .select(F.col(id_col).alias("__leaf_id")),
+            F.col(f"__c.{parent_col}") == F.col("__leaf_id"),
+            "left_semi",
+        )
+        .count()
+    )
+    if leaf_parents:
+        raise ValueError(
+            f"flatten_location_hierarchy: {leaf_parents} location row(s) "
+            f"are parented under a {levels[0]!r}-level (leaf) node; the "
+            "interior-only hop skeleton cannot resolve their ancestors. "
+            "Fix the location table or pass a levels tuple whose first "
+            "entry is the true leaf level."
+        )
+    if key is not None:
+        if len(_LEAF_PARENT_VALIDATED) >= 512:
+            _LEAF_PARENT_VALIDATED.clear()
+        _LEAF_PARENT_VALIDATED.add(key)
+
+
 def flatten_location_hierarchy(
     locations: DataFrame,
     id_col: str = "id",
@@ -44,25 +91,11 @@ def flatten_location_hierarchy(
     # clinic) would previously flatten correctly and now resolve NULL
     # ancestors, so detect it up front and fail loudly.  The dim is
     # broadcast-small by construction; one aggregate over it is noise
-    # next to the hop joins.
-    leaf_parents = (
-        locations.alias("__c")
-        .join(
-            locations.filter(F.col(level_col) == levels[0])
-            .select(F.col(id_col).alias("__leaf_id")),
-            F.col(f"__c.{parent_col}") == F.col("__leaf_id"),
-            "left_semi",
-        )
-        .count()
-    )
-    if leaf_parents:
-        raise ValueError(
-            f"flatten_location_hierarchy: {leaf_parents} location row(s) "
-            f"are parented under a {levels[0]!r}-level (leaf) node; the "
-            "interior-only hop skeleton cannot resolve their ancestors. "
-            "Fix the location table or pass a levels tuple whose first "
-            "entry is the true leaf level."
-        )
+    # next to the hop joins — and it runs ONCE per distinct input plan
+    # (memoized on (appId, semanticHash)), so query functions that
+    # rebuild the same dimension per sweep stay lazy after the first
+    # validation.
+    _assert_no_leaf_parents(locations, id_col, parent_col, level_col, levels)
     nodes = locations.filter(
         F.col(level_col).isin(*levels[1:])
     ).select(

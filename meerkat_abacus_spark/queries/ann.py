@@ -93,8 +93,19 @@ def _lsh_index_path(spark: SparkSession, sf_dir: str) -> str:
     # partition.  Row- and rank-preserving by construction, so every
     # ann_lsh_* oracle certifies the compacted tree (_v3 stored norms;
     # _v2 split off when the _byid sidecar appeared).
+    import os
+    import shutil
+
     path = tempfile.gettempdir() + f"/msa_lshidx_v4_{_scratch_tag(sf_dir)}"
-    if not (_scratch_ready(path) and _scratch_ready(path + "_byid")):
+    # A _LIFECYCLE_DONE marker gates reuse, written only AFTER the final
+    # compaction: parquet's own _SUCCESS lands at the FIRST step, so a
+    # crash mid-lifecycle would otherwise leave a partial (base-only or
+    # uncompacted) index that every later run silently serves — the
+    # _DELTA_APPENDED defense from the incremental queries applied here.
+    marker = os.path.join(path, "_LIFECYCLE_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(path + "_byid", ignore_errors=True)
         emb = _t(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
         )
@@ -109,6 +120,7 @@ def _lsh_index_path(spark: SparkSession, sf_dir: str) -> str:
             nbits=_NBITS, mode="append",
         )
         sim.compact_index(spark, path)
+        open(marker, "w").close()
     return path
 
 
@@ -498,11 +510,20 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     queries_df = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120))
+    import os
+    import shutil
+
     # _v4 build rehearses the maintenance lifecycle (VERDICT r9 ask #4):
     # base overwrite + delta append + compact_index — row/rank-preserving,
     # so the shared ann_ivf_topk oracle certifies the compacted tree.
+    # A _LIFECYCLE_DONE marker (written only after compaction) gates
+    # reuse: parquet's _SUCCESS lands at the FIRST step, so a crash
+    # mid-lifecycle would otherwise leave a partial index that later runs
+    # silently serve.
     path = tempfile.gettempdir() + f"/msa_ivfidx_v4_{_scratch_tag(sf_dir)}"
-    if not _scratch_ready(path):
+    lifecycle_marker = os.path.join(path, "_LIFECYCLE_DONE")
+    if not os.path.exists(lifecycle_marker):
+        shutil.rmtree(path, ignore_errors=True)
         sim.write_ivf_index(
             emb.filter(F.col("vec_id") % 5 != 0), centroids, path,
             id_col="vec_id", vec_col="embedding",
@@ -512,6 +533,7 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             id_col="vec_id", vec_col="embedding", mode="append",
         )
         sim.compact_index(spark, path)
+        open(lifecycle_marker, "w").close()
     out = sim.ivf_topk_from_index(
         spark, path, queries_df, centroids,
         id_col="vec_id", vec_col="embedding", k=3, n_probe=2,
@@ -543,11 +565,20 @@ def ann_ivf_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     queries_df = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120))
+    import os
+    import shutil
+
     # _v4 build rehearses the maintenance lifecycle (VERDICT r9 ask #4):
     # base overwrite + delta append + compact_index — row/rank-preserving,
     # so the shared ann_ivf_topk oracle certifies the compacted tree.
+    # A _LIFECYCLE_DONE marker (written only after compaction) gates
+    # reuse: parquet's _SUCCESS lands at the FIRST step, so a crash
+    # mid-lifecycle would otherwise leave a partial index that later runs
+    # silently serve.
     path = tempfile.gettempdir() + f"/msa_ivfidx_v4_{_scratch_tag(sf_dir)}"
-    if not _scratch_ready(path):
+    lifecycle_marker = os.path.join(path, "_LIFECYCLE_DONE")
+    if not os.path.exists(lifecycle_marker):
+        shutil.rmtree(path, ignore_errors=True)
         sim.write_ivf_index(
             emb.filter(F.col("vec_id") % 5 != 0), centroids, path,
             id_col="vec_id", vec_col="embedding",
@@ -557,6 +588,7 @@ def ann_ivf_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             id_col="vec_id", vec_col="embedding", mode="append",
         )
         sim.compact_index(spark, path)
+        open(lifecycle_marker, "w").close()
     out = sim.ivf_topk_from_index_join(
         spark, path, queries_df, centroids,
         id_col="vec_id", vec_col="embedding", k=3, n_probe=2,
@@ -663,24 +695,27 @@ _INT8_RECALL_SQL = f"""
             WHERE a.vec_id < 20
         ) WHERE rank <= 5
     )
-    SELECT 'int8' AS method,
-           CAST((SELECT COUNT(*) FROM approx JOIN truth
-                 USING (query_id, neighbor_id)) AS BIGINT) AS hits,
-           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS truth_n,
-           ROUND((SELECT COUNT(*) FROM approx JOIN truth
-                  USING (query_id, neighbor_id)) * 1.0
-                 / (SELECT COUNT(*) FROM truth), 4) AS recall
+    SELECT 'int8:q' || CAST(t.query_id AS VARCHAR) AS method,
+           CAST(COUNT(x.neighbor_id) AS BIGINT) AS hits,
+           CAST(COUNT(*) AS BIGINT) AS truth_n,
+           ROUND(COUNT(x.neighbor_id) * 1.0 / COUNT(*), 4) AS recall
+    FROM truth t LEFT JOIN approx x
+      ON t.query_id = x.query_id AND t.neighbor_id = x.neighbor_id
+    GROUP BY t.query_id
     """
 
 
 def _int8_recall_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of brute-force search over int8-quantized vectors against
-    the float ground truth — the ``int8`` row of the consolidated
-    ann_recall query.  The quantized corpus genuinely materializes as
-    array<tinyint> (8× smaller than array<double> — at 100 TB that is the
-    difference between a 12.5 TB and a 100 TB shuffle), then upcasts to
-    double only inside the dot product.  Rounding is floor(x+0.5) in both
-    engines so the oracle reproduces the quantizer bit-for-bit."""
+    the float ground truth — the ``int8:q<id>`` rows of the consolidated
+    ann_recall query, one PER QUERY so the retired ann_quantized_recall's
+    per-query certification granularity is preserved (an aggregate row
+    would hash-pass a compensating per-query swap).  The quantized corpus
+    genuinely materializes as array<tinyint> (8× smaller than
+    array<double> — at 100 TB that is the difference between a 12.5 TB
+    and a 100 TB shuffle), then upcasts to double only inside the dot
+    product.  Rounding is floor(x+0.5) in both engines so the oracle
+    reproduces the quantizer bit-for-bit."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -698,17 +733,25 @@ def _int8_recall_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = sim.brute_force_topk(
         qemb, qemb.filter(F.col("vec_id") < 20),
         id_col="vec_id", vec_col="embedding", k=5,
-    ).select("query_id", "neighbor_id")
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
 
-    hits = approx.join(truth, ["query_id", "neighbor_id"]).agg(
-        F.count(F.lit(1)).alias("hits")
-    )
-    truth_n = truth.agg(F.count(F.lit(1)).alias("truth_n"))
-    return hits.crossJoin(F.broadcast(truth_n)).select(
-        F.lit("int8").alias("method"),
-        F.col("hits").cast("bigint").alias("hits"),
-        F.col("truth_n").cast("bigint").alias("truth_n"),
-        F.round(F.col("hits") / F.col("truth_n"), 4).alias("recall"),
+    return (
+        truth.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("hits"),
+            F.count(F.lit(1)).cast("bigint").alias("truth_n"),
+        )
+        .select(
+            F.concat(
+                F.lit("int8:q"), F.col("query_id").cast("string")
+            ).alias("method"),
+            "hits",
+            "truth_n",
+            F.round(F.col("hits") / F.col("truth_n"), 4).alias("recall"),
+        )
     )
 
 
@@ -1166,9 +1209,11 @@ def _pq_recall_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the quality knob of every approximate tier — sign-LSH home-bucket
 # (lsh_r0), Hamming-2 multiprobe (lsh_r2), IVF n_probe=2 (ivf_p2), PQ-ADC
 # against exact-L2 truth (pq_adc), and int8-quantized brute force against
-# float-cosine truth (int8).  Replaces the former ann_recall /
-# ann_pq_recall / ann_quantized_recall triplet with no coverage loss:
-# every retired row's semantics is a method row of this oracle.
+# float-cosine truth (int8:q<id>, one row PER QUERY — the retired
+# ann_quantized_recall's per-query granularity survives; an aggregate row
+# would hash-pass a compensating per-query swap).  Replaces the former
+# ann_recall / ann_pq_recall / ann_quantized_recall triplet with no
+# coverage loss: every retired row's semantics is a method row here.
 # ---------------------------------------------------------------------------
 
 
@@ -1185,9 +1230,10 @@ def _pq_recall_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall of every approximate index against brute-force ground truth
     over the same 20 queries — an ANN operator is only done when its
-    quality knob is measurable (round-2 verdict #7).  One row per method:
+    quality knob is measurable (round-2 verdict #7).  Method rows:
     lsh_r0/lsh_r2/ivf_p2 (recall@3 vs cosine truth), pq_adc (recall@3 vs
-    exact squared-L2 truth), int8 (recall@5 vs cosine truth)."""
+    exact squared-L2 truth), int8:q<id> (per-query recall@5 vs cosine
+    truth)."""
     return (
         _recall_core_df(spark, sf_dir)
         .unionByName(_pq_recall_df(spark, sf_dir))

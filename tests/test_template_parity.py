@@ -87,11 +87,16 @@ def test_unsupported_expression_raises():
 def test_statement_and_comment_tags_raise():
     """ADVICE r9 #3: Jinja {% %} statements and {# #} comments are outside
     the compiled subset and previously passed through VERBATIM into
-    rendered alert text — they must raise at compile time."""
+    rendered alert text — they must raise at compile time.  But only when
+    OUTSIDE expression tags: '{%' inside a supported gettext string
+    literal is data, matching Jinja's lexer."""
     with pytest.raises(TemplateError):
         parse_template("{% if x %}hello{% endif %}")
     with pytest.raises(TemplateError):
         parse_template("before {# a comment #} after")
+    assert parse_template("{{_('item {#1} at {%}')}}") == [
+        ("lit", "item {#1} at {%}", None)
+    ]
 
 
 def test_garbage_between_valid_kwargs_raises():
