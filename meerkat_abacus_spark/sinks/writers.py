@@ -282,7 +282,26 @@ def write_bucketed(
     the table back with ``spark.table(table)`` — plain
     ``spark.read.parquet`` on the files would discard bucket info and
     silently reintroduce the shuffle.
+
+    Self-healing against orphaned locations (VERDICT r10 ask #1): an
+    interrupted previous run can leave the warehouse DIRECTORY behind with
+    no catalog entry — ``saveAsTable`` then fails LOCATION_ALREADY_EXISTS,
+    and ``DROP TABLE IF EXISTS`` can't clear it (nothing to drop), so one
+    crash would brick every later run.  In overwrite mode, when the table
+    is NOT in the catalog but its default location exists, delete the
+    orphan before writing.
     """
+    spark = df.sparkSession
+    if mode == "overwrite" and not spark.catalog.tableExists(table):
+        parts = table.split(".")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        if len(parts) == 2:
+            loc = f"{warehouse.rstrip('/')}/{parts[0].lower()}.db/{parts[1].lower()}"
+        else:
+            loc = f"{warehouse.rstrip('/')}/{parts[-1].lower()}"
+        fs, p = _hadoop_fs(spark, loc)
+        if fs.exists(p):
+            fs.delete(p, True)
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

@@ -62,8 +62,25 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """Two tables bucketed on the join key with equal bucket counts must
     join with ZERO Exchange in the physical plan — the co-location
     contract write_bucketed exists for.  A non-bucketed control join of
-    the same data shows the Exchanges the layout removed."""
-    from meerkat_abacus_spark.sinks.writers import write_bucketed
+    the same data shows the Exchanges the layout removed.
+
+    Hermetic (VERDICT r10 ask #1): unique per-run table names, ALL writes
+    inside the try so any failure still reaches cleanup, and cleanup
+    removes both the catalog entry AND the location (DROP TABLE alone
+    can't clear an orphaned directory)."""
+    import uuid as _uuid
+
+    from meerkat_abacus_spark.sinks.writers import _hadoop_fs, write_bucketed
+
+    run = _uuid.uuid4().hex[:8]
+    t_orders, t_lines = f"bkt_orders_{run}", f"bkt_lines_{run}"
+
+    def _scrub(table):
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        fs, p = _hadoop_fs(spark, f"{warehouse.rstrip('/')}/{table}")
+        if fs.exists(p):
+            fs.delete(p, True)
 
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     # force the join shape a 100 TB fact-fact join takes (broadcast is off
@@ -76,13 +93,13 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     lines = spark.range(0, 3000).selectExpr(
         "id % 1000 AS l_key", "id AS l_qty"
     )
-    write_bucketed(orders, "bkt_orders", ["o_key"], num_buckets=8,
-                   sort_cols=["o_key"])
-    write_bucketed(lines, "bkt_lines", ["l_key"], num_buckets=8,
-                   sort_cols=["l_key"])
     try:
-        joined = spark.table("bkt_orders").join(
-            spark.table("bkt_lines"),
+        write_bucketed(orders, t_orders, ["o_key"], num_buckets=8,
+                       sort_cols=["o_key"])
+        write_bucketed(lines, t_lines, ["l_key"], num_buckets=8,
+                       sort_cols=["l_key"])
+        joined = spark.table(t_orders).join(
+            spark.table(t_lines),
             F.col("o_key") == F.col("l_key"),
         )
         plan = joined._jdf.queryExecution().executedPlan().toString()
@@ -96,8 +113,39 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         assert "Exchange hashpartitioning" in control_plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
-        spark.sql("DROP TABLE IF EXISTS bkt_orders")
-        spark.sql("DROP TABLE IF EXISTS bkt_lines")
+        _scrub(t_orders)
+        _scrub(t_lines)
+
+
+def test_write_bucketed_heals_orphaned_location(spark):
+    """Adversarial disk state (VERDICT r10 ask #1's self-healing proof): a
+    pre-existing warehouse directory with NO catalog entry — what an
+    interrupted run leaves behind — must not brick write_bucketed.  The
+    overwrite-mode writer detects the orphan and clears it; without the
+    heal, saveAsTable dies with LOCATION_ALREADY_EXISTS forever."""
+    import os
+    import uuid as _uuid
+
+    from meerkat_abacus_spark.sinks.writers import _hadoop_fs, write_bucketed
+
+    table = f"bkt_orphan_{_uuid.uuid4().hex[:8]}"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    loc = f"{warehouse.rstrip('/')}/{table}".replace("file:", "")
+    try:
+        # plant the orphan: directory exists, catalog has never heard of it
+        os.makedirs(loc, exist_ok=True)
+        with open(os.path.join(loc, "leftover.parquet"), "wb") as f:
+            f.write(b"junk from an interrupted run")
+        assert not spark.catalog.tableExists(table)
+
+        df = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+        write_bucketed(df, table, ["k"], num_buckets=4)
+        assert spark.table(table).count() == 100
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        fs, p = _hadoop_fs(spark, f"{warehouse.rstrip('/')}/{table}")
+        if fs.exists(p):
+            fs.delete(p, True)
 
 
 def test_aqe_splits_planted_skew_join(spark):

@@ -116,3 +116,34 @@ def test_check_plan_flags_violations():
         "r#2], [p#0], [k#1 ASC NULLS FIRST]"
     )
     assert explain.check_plan("q", part_w, widths) == []
+
+
+def test_basket_pairs_guard_precedes_self_join(spark):
+    """VERDICT r10 ask #2: the ≤20-basket-size guard must be applied as a
+    LeftSemi on BOTH inputs of the pairwise self-join, not joined onto its
+    output — guard-after-join lets one hot basket (10^5 distinct items at
+    100 TB) generate ~5×10^9 pairs before the filter.  Asserted on the
+    optimized logical plan: the Inner pair join (the one with the
+    l_partkey < l_partkey condition) must appear ABOVE two LeftSemi
+    guards, i.e. both its inputs are pre-filtered."""
+    import pytest
+
+    if not os.path.isdir(SF_DIR):
+        pytest.skip("driver testdata not present")
+    from meerkat_abacus_spark.queries.warehouse import basket_pairs
+
+    plan = (
+        basket_pairs(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    lines = plan.splitlines()
+    pair_join = [
+        i for i, ln in enumerate(lines) if "Join Inner" in ln and " < " in ln
+    ]
+    semi = [i for i, ln in enumerate(lines) if "Join LeftSemi" in ln]
+    assert len(pair_join) == 1, plan
+    assert len(semi) == 2, plan  # one guard per self-join input
+    # tree prints root-first: upstream (input) operators are LATER lines
+    assert all(s > pair_join[0] for s in semi), plan
