@@ -992,6 +992,38 @@ def _partition_dirs(index_path: str) -> list[str]:
     return parts
 
 
+def _recover_precompact(index_path: str) -> bool:
+    """Crash recovery for :func:`compact_index`'s swap (ADVICE r10 #1):
+    the swap is four renames, and a crash between "move serving aside" and
+    "move compacted in" would leave NO tree at the serving path.  The
+    ``.precompact`` copies are kept until BOTH the main tree and the
+    ``_byid`` sidecar swaps complete, so this entry hook can always
+    restore: a missing serving path with a leftover ``.precompact`` rolls
+    back to the pre-compaction tree (row-identical, just fragmented —
+    compaction simply re-runs later); a present serving path drops the
+    leftover.  Half-written ``.compacting`` staging trees are always safe
+    to delete.  Returns True when a rollback happened."""
+    import os
+    import shutil
+
+    recovered = False
+    for serving in (index_path, index_path + "_byid"):
+        pre = serving + ".precompact"
+        if os.path.isdir(pre):
+            if os.path.isdir(serving):
+                shutil.rmtree(pre, ignore_errors=True)
+            else:
+                os.rename(pre, serving)
+                recovered = True
+        shutil.rmtree(serving + ".compacting", ignore_errors=True)
+    return recovered
+
+
+# The _byid sidecar's fixed range-partition count — shared by the writer
+# layout and maybe_compact_index's sidecar fragmentation ratio.
+_BYID_PARTITIONS = 8
+
+
 def _write_byid_sidecar(df: DataFrame, target: str, mode: str) -> None:
     """The LSH id sidecar layout, in ONE place (writer + compactor):
     range-partitioned + sorted by id, so an id-bounded probe prunes to one
@@ -999,7 +1031,7 @@ def _write_byid_sidecar(df: DataFrame, target: str, mode: str) -> None:
     keeps beside the bucket-ordered postings.  ``target`` is the full
     sidecar path (the writer passes ``path + "_byid"``, the compactor its
     staging sibling)."""
-    df.repartitionByRange(8, "neighbor_id").sortWithinPartitions(
+    df.repartitionByRange(_BYID_PARTITIONS, "neighbor_id").sortWithinPartitions(
         "neighbor_id"
     ).write.mode(mode).parquet(target)
 
@@ -1018,9 +1050,16 @@ def maybe_compact_index(
     the compaction analogue of a RocksDB level trigger.  Returns
     :func:`compact_index`'s stats dict (plus ``files_per_partition``) when
     it ran.
+
+    The ``_byid`` sidecar counts too (ADVICE r10 #2): each LSH append
+    also adds up to ``_BYID_PARTITIONS`` files to the id-serving sidecar,
+    which would otherwise fragment indefinitely without tripping a
+    main-tree-only threshold — its own files-per-range-partition ratio
+    triggers the same compaction (compact_index rewrites both trees).
     """
     import os
 
+    _recover_precompact(index_path)
     parts = _partition_dirs(index_path)
     n_files = sum(
         1
@@ -1029,10 +1068,18 @@ def maybe_compact_index(
         if f.endswith(".parquet")
     )
     ratio = n_files / len(parts)
-    if ratio <= max_files_per_partition:
+    byid = index_path + "_byid"
+    byid_ratio = 0.0
+    if os.path.isdir(byid):
+        n_byid = sum(
+            1 for f in os.listdir(byid) if f.endswith(".parquet")
+        )
+        byid_ratio = n_byid / _BYID_PARTITIONS
+    if max(ratio, byid_ratio) <= max_files_per_partition:
         return None
     stats = compact_index(spark, index_path)
     stats["files_per_partition"] = round(ratio, 2)
+    stats["byid_files_per_partition"] = round(byid_ratio, 2)
     return stats
 
 
@@ -1067,6 +1114,7 @@ def compact_index(spark, index_path: str) -> dict:
             n += sum(1 for f in fs if f.endswith(".parquet"))
         return n
 
+    _recover_precompact(index_path)
     parts = _partition_dirs(index_path)
     part_col = parts[0].split("=", 1)[0]
     if part_col == "pbucket":
@@ -1110,15 +1158,22 @@ def compact_index(spark, index_path: str) -> dict:
         # same layout as the writer, via the shared helper
         _write_byid_sidecar(rows, tmp_byid, "overwrite")
 
-    old = index_path + ".precompact"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(index_path, old)
+    # Swap discipline (ADVICE r10 #1): the .precompact copies stay on disk
+    # until BOTH the main tree and the sidecar are swapped, so every crash
+    # window is recoverable — _recover_precompact() at the next entry
+    # either restores a missing serving path from its .precompact (full
+    # rollback; compaction re-runs later) or drops a spent leftover.
+    old_main = index_path + ".precompact"
+    old_byid = byid_path + ".precompact"
+    shutil.rmtree(old_main, ignore_errors=True)
+    shutil.rmtree(old_byid, ignore_errors=True)
+    os.rename(index_path, old_main)
     os.rename(tmp, index_path)
-    shutil.rmtree(old)
     if has_byid:
-        os.rename(byid_path, old)
+        os.rename(byid_path, old_byid)
         os.rename(tmp_byid, byid_path)
-        shutil.rmtree(old)
+    shutil.rmtree(old_main)
+    shutil.rmtree(old_byid, ignore_errors=True)
 
     rows.unpersist()
     for key in [k for k in _INDEX_READERS if k[1] == index_path]:

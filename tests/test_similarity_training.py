@@ -934,3 +934,124 @@ def test_maybe_compact_index_threshold_policy(spark, tmp_path):
     assert stats["files_after"] < stats["files_before"]
     # compacted back to one file per partition: no-op again
     assert sim.maybe_compact_index(spark, path, 2.0) is None
+
+
+def test_maybe_compact_index_triggers_on_sidecar_fragmentation(
+    spark, tmp_path
+):
+    """ADVICE r10 #2: small deltas clustered into a FEW LSH buckets add
+    at most a couple of files per append to the main tree but up to
+    _BYID_PARTITIONS files per append to the _byid sidecar — the sidecar
+    can fragment indefinitely while the main ratio never trips.  The
+    trigger must count the sidecar too."""
+    import os
+
+    from meerkat_abacus_spark.datapipe import similarity as sim
+
+    corpus = _clustered_corpus(spark).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    path = str(tmp_path / "lshside")
+    sim.write_lsh_index(corpus, path, dim=4, nbits=4)
+    # same-direction deltas with WIDE-spread ids: every delta lands in one
+    # (or very few) main buckets but spans all _BYID_PARTITIONS id ranges,
+    # so the main tree gains ~1 file per append while the sidecar gains up
+    # to 8 — the asymmetry the main-only trigger was blind to
+    one_dir = corpus.limit(1).select("embedding").collect()[0]["embedding"]
+    for i in range(4):
+        delta = spark.createDataFrame(
+            [(1000 + 97 * j + i, list(one_dir)) for j in range(16)],
+            schema="vec_id int, embedding array<double>",
+        )
+        sim.write_lsh_index(delta, path, dim=4, nbits=4, mode="append")
+
+    parts = sim._partition_dirs(path)
+    main_files = sum(
+        1
+        for d in parts
+        for f in os.listdir(os.path.join(path, d))
+        if f.endswith(".parquet")
+    )
+    main_ratio = main_files / len(parts)
+    byid_files = sum(
+        1 for f in os.listdir(path + "_byid") if f.endswith(".parquet")
+    )
+    byid_ratio = byid_files / sim._BYID_PARTITIONS
+    # the planted asymmetry actually holds on this fixture
+    assert main_ratio <= 3.0 < byid_ratio, (main_ratio, byid_ratio)
+
+    stats = sim.maybe_compact_index(spark, path, 3.0)
+    assert stats is not None
+    assert stats["byid_files_per_partition"] > 3.0
+    assert stats["files_per_partition"] <= 3.0
+    # sidecar rewritten to one file per range partition
+    after = sum(
+        1 for f in os.listdir(path + "_byid") if f.endswith(".parquet")
+    )
+    assert after <= sim._BYID_PARTITIONS
+    assert sim.maybe_compact_index(spark, path, 3.0) is None
+
+
+def test_compact_index_swap_crash_windows_recover(spark, tmp_path):
+    """ADVICE r10 #1: every crash window of compact_index's rename swap
+    must be recoverable at the next entry — a missing serving path with a
+    leftover .precompact rolls back (row-identical), spent leftovers and
+    half-written .compacting staging trees are dropped."""
+    import os
+    import shutil
+
+    from meerkat_abacus_spark.datapipe import similarity as sim
+
+    corpus = _clustered_corpus(spark).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = corpus.limit(3)
+    path = str(tmp_path / "lshcrash")
+    sim.write_lsh_index(corpus, path, dim=4, nbits=4)
+    delta = corpus.selectExpr("vec_id + 500 AS vec_id", "embedding")
+    sim.write_lsh_index(delta, path, dim=4, nbits=4, mode="append")
+
+    def probe():
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+            for r in sim.lsh_topk_from_index(
+                spark, path, queries, dim=4, id_col="vec_id",
+                vec_col="embedding", k=3, nbits=4, radius=1,
+            ).collect()
+        )
+
+    baseline = probe()
+
+    # crash window 1: serving tree moved aside, compacted tree not yet in
+    # place (worst case — NOTHING at the serving path)
+    os.rename(path, path + ".precompact")
+    os.rename(path + "_byid", path + "_byid.precompact")
+    os.makedirs(path + ".compacting")  # half-written staging leftover
+    assert sim._recover_precompact(path) is True
+    assert not os.path.exists(path + ".compacting")
+    assert not os.path.exists(path + ".precompact")
+    sim._INDEX_READERS.clear()
+    assert probe() == baseline
+
+    # crash window 2: main swap done, sidecar mid-swap (sidecar missing,
+    # its .precompact left behind) — entry restores the sidecar
+    os.rename(path + "_byid", path + "_byid.precompact")
+    sim._recover_precompact(path)
+    assert os.path.isdir(path + "_byid")
+    byid = sim.lsh_topk_from_index_by_id(
+        spark, path, [0, 1, 2], k=3, nbits=4, radius=1
+    )
+    assert byid.count() > 0
+
+    # crash window 3: both swaps done, cleanup interrupted — spent
+    # .precompact leftovers next to live serving paths are dropped
+    shutil.copytree(path, path + ".precompact")
+    sim._recover_precompact(path)
+    assert not os.path.exists(path + ".precompact")
+    assert os.path.isdir(path)
+
+    # and compaction itself still runs end-to-end after all that
+    stats = sim.compact_index(spark, path)
+    assert stats["files_after"] < stats["files_before"]
+    sim._INDEX_READERS.clear()
+    assert probe() == baseline
