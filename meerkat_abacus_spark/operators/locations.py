@@ -33,9 +33,28 @@ def _assert_no_leaf_parents(
     levels: tuple[str, ...],
 ) -> None:
     try:
+        # ADVICE r10 #3: semanticHash alone is a PLAN hash — overwriting
+        # the files behind the same source path yields an identical hash,
+        # so a rewrite that introduces a leaf-parented row would skip
+        # validation.  Fold a data fingerprint into the key: the backing
+        # file listing plus (mtime, size) per local file.  In-memory
+        # frames (LocalRelation) list no files, and there semanticHash
+        # does cover the embedded data.
+        import os as _os
+
+        files = sorted(locations.inputFiles())
+        stamps = []
+        for f in files:
+            p = f[len("file:"):] if f.startswith("file:") else f
+            try:
+                st = _os.stat(p)
+                stamps.append((f, int(st.st_mtime_ns), st.st_size))
+            except OSError:  # non-local / vanished: path identity only
+                stamps.append((f, 0, 0))
         key = (
             locations.sparkSession.sparkContext.applicationId,
             locations.semanticHash(),
+            tuple(stamps),
             levels[0], id_col, parent_col, level_col,
         )
     except Exception:  # semanticHash is a developer API — degrade to always-check

@@ -849,3 +849,42 @@ def test_span_dedup_removal_bookkeeping_consistent(spark):
         else:
             assert r["n_spans_removed"] == 0
     assert removed_any > 0  # the corpus genuinely contains cross-doc spans
+
+
+def test_location_leaf_assert_survives_same_path_overwrite(spark, tmp_path):
+    """ADVICE r10 #3: the leaf-parent validation memo used to key on
+    (appId, plan semanticHash) only — overwriting the files behind the
+    SAME source path yields an identical plan hash, so a rewrite that
+    introduces a leaf-parented row skipped validation and silently
+    resolved NULL ancestors.  The memo key now folds in a data fingerprint
+    (file listing + mtime/size), so the rewritten table re-validates and
+    raises."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "locs")
+    good = spark.createDataFrame(
+        [(1, None, "country"), (2, 1, "region"), (6, 2, "clinic")],
+        ["id", "parent_location", "level"],
+    )
+    good.write.mode("overwrite").parquet(path)
+    flat = flatten_location_hierarchy(
+        spark.read.parquet(path),
+        levels=("clinic", "district", "region", "country"),
+    )
+    assert flat.count() == 3  # validated + memoized
+
+    bad = spark.createDataFrame(
+        [
+            (1, None, "country"),
+            (2, 1, "region"),
+            (6, 2, "clinic"),
+            (7, 6, "clinic"),  # parented under a LEAF
+        ],
+        ["id", "parent_location", "level"],
+    )
+    bad.write.mode("overwrite").parquet(path)
+    with _pytest.raises(ValueError, match="leaf"):
+        flatten_location_hierarchy(
+            spark.read.parquet(path),
+            levels=("clinic", "district", "region", "country"),
+        ).count()

@@ -30,10 +30,17 @@ def main() -> None:
 
     path = os.path.join(REPO, "README.md")
     src = open(path).read()
+    # Anchor loosely on purpose (VERDICT r10 ask #4: the r10 regexes were
+    # anchored on wording that had drifted — "streaming):" vs "streaming,
+    # graph):" — so the stale "136 queries" shipped): any "<N> queries,
+    # each with" / "(<N>[+] tests)" / "<N>/<N> oracle matches" claim is a
+    # generated count, whatever prose surrounds it.
     src = re.sub(r"registry: \d+ queries", f"registry: {n_q} queries", src)
-    src = re.sub(r"streaming\): \d+ queries", f"streaming): {n_q} queries", src)
+    src = re.sub(
+        r"\d+ queries, each with", f"{n_q} queries, each with", src
+    )
     if n_t is not None:
-        src = re.sub(r"e2e \(\d+ tests\)", f"e2e ({n_t} tests)", src)
+        src = re.sub(r"\(\d+\+? tests\)", f"({n_t} tests)", src)
     src = re.sub(r"\d+/\d+ oracle matches", f"{n_o}/{n_q} oracle matches", src)
     open(path, "w").write(src)
     print(f"README.md: {n_q} queries, {n_o} oracles, {n_t} tests")

@@ -116,6 +116,23 @@ def run_ansi_sim() -> dict:
     }
 
 
+def run_readme_counts() -> dict:
+    """VERDICT r10 ask #4: README's generated counts must match ground
+    truth.  Regenerates them in place and reports drift — a drifted README
+    fails the gate (and is left corrected for the commit that fixes it)."""
+    path = os.path.join(REPO, "README.md")
+    before = open(path).read()
+    proc = subprocess.run(
+        [sys.executable, "tools/gen_readme_counts.py"],
+        cwd=REPO, capture_output=True, text=True, timeout=600,
+    )
+    after = open(path).read()
+    return {
+        "drifted": before != after,
+        "summary": (proc.stdout + proc.stderr).strip(),
+    }
+
+
 def run_rehearsal(script: str) -> dict | None:
     proc = subprocess.run(
         [sys.executable, f"tools/{script}"],
@@ -153,6 +170,7 @@ def main() -> int:
         "compare": run_compare(args.sf_dir),
         "pytest": run_pytest(),
         "ansi_sim": run_ansi_sim(),
+        "readme_counts": run_readme_counts(),
     }
     if not args.skip_rehearsals:
         report["rehearsals"] = {
@@ -165,6 +183,7 @@ def main() -> int:
         and not report["compare"]["missing"]
         and report["pytest"]["failed"] == 0
         and not report["ansi_sim"]["failures"]
+        and not report["readme_counts"]["drifted"]
     )
     report["green"] = ok
     line = json.dumps(report)
