@@ -441,6 +441,90 @@ def skew_leg(spark, sf_dir: str) -> dict:
     return out
 
 
+def hot_basket_leg(spark, sf_dir: str, hot_parts: int = 30_000) -> dict:
+    """VERDICT r10 ask #7: co-occurrence hot-basket stress.  Plants ONE
+    order holding ``hot_parts`` distinct parts next to the sf0.1 lineitem
+    (the 10^4-item basket a single hot user/session key produces at
+    100 TB) and times basket_pairs' PRE-JOIN guard (ask #2's fix: the
+    ≤20-size semi-join filters both self-join inputs, so the hot basket
+    never enters the pairwise term) against the old guard-AFTER-join
+    shape, which generates ~hot_parts²/2 pairs first and drops them
+    after.  The guarded wall should stay flat vs the unplanted corpus;
+    the unguarded one degrades with the square of the basket size."""
+    from meerkat_abacus_spark.queries import QUERIES, _t
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    hot = spark.range(hot_parts).select(
+        F.lit(-1).cast("long").alias("l_orderkey"),
+        (F.col("id") + 10_000_000).alias("l_partkey"),
+    )
+    planted = tempfile.gettempdir() + "/msa_hotbasket"
+    shutil.rmtree(planted, ignore_errors=True)
+    os.makedirs(planted)
+    li.unionByName(hot).write.parquet(planted + "/lineitem.parquet")
+
+    def unguarded(sf: str):
+        items = (
+            spark.read.parquet(sf + "/lineitem.parquet")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        sized = (
+            items.groupBy("l_orderkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") <= 20)
+            .select(F.col("l_orderkey").alias("__sized_ok"))
+        )
+        a, b = items.alias("a"), items.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .join(sized, F.col("a.l_orderkey") == F.col("__sized_ok"))
+            .select(
+                F.col("a.l_partkey").alias("part_a"),
+                F.col("b.l_partkey").alias("part_b"),
+            )
+        )
+        return (
+            pairs.groupBy("part_a", "part_b")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+            .limit(50)
+        )
+
+    out: dict = {"hot_basket_size": hot_parts}
+    QUERIES["basket_pairs"](spark, sf_dir).collect()  # discarded JIT warmup
+    t0 = time.time()
+    base_rows = sorted(map(tuple, QUERIES["basket_pairs"](spark, sf_dir).collect()))
+    out["guarded_unplanted_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    guarded_rows = sorted(
+        map(tuple, QUERIES["basket_pairs"](spark, planted).collect())
+    )
+    out["guarded_hot_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    unguarded_rows = sorted(map(tuple, unguarded(planted).collect()))
+    out["unguarded_hot_sec"] = round(time.time() - t0, 2)
+    # the hot basket is over-cap, so it changes NO answers — all three runs
+    # must agree (the guard is a plan optimization, not a semantics change)
+    out["answers_identical"] = base_rows == guarded_rows == unguarded_rows
+    out["guarded_flat_ratio"] = (
+        round(out["guarded_hot_sec"] / out["guarded_unplanted_sec"], 2)
+        if out["guarded_unplanted_sec"]
+        else None
+    )
+    out["unguarded_degrade_ratio"] = (
+        round(out["unguarded_hot_sec"] / out["guarded_hot_sec"], 2)
+        if out["guarded_hot_sec"]
+        else None
+    )
+    shutil.rmtree(planted, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     from meerkat_abacus_spark.session import get_spark
 
@@ -476,6 +560,9 @@ def main() -> None:
         a = report["skew_inverted_index"]["sf0.1"][name]["sec"]
         b = report["skew_inverted_index"]["sf~1.0"][name]["sec"]
         report[f"{name}_skew_ratio_10x_data"] = round(b / a, 2) if a else None
+
+    # --- hot-basket co-occurrence leg (r10 verdict ask #7) ---
+    report["hot_basket_pairs"] = hot_basket_leg(spark, src)
 
     # --- dedup_clusters candidate-pair waterfall (r7 verdict ask #3) ---
     report["clusters_waterfall"] = {
