@@ -129,7 +129,9 @@ def main() -> None:
         from meerkat_abacus_spark.queries.ann import _lsh_index_path
 
         t0 = time.time()
-        _lsh_index_path(spark, sf_dir)
+        # force_rebuild: measure the real base+append+compact lifecycle
+        # every round, even when a prior run's scratch index survives
+        _lsh_index_path(spark, sf_dir, force_rebuild=True)
         index_build["lsh_index_lifecycle"] = round(time.time() - t0, 3)
 
     cal_pre = _calibrate(spark)

@@ -77,7 +77,9 @@ _HAMMING_SQL = " + ".join(
 
 
 
-def _lsh_index_path(spark: SparkSession, sf_dir: str) -> str:
+def _lsh_index_path(
+    spark: SparkSession, sf_dir: str, force_rebuild: bool = False
+) -> str:
     """Build-once path of the persisted sign-LSH bucket table for this
     dataset (r7 verdict ask #4): the 8×64-term hyperplane projection pass
     over the corpus runs at most once per dataset fingerprint; every
@@ -103,6 +105,10 @@ def _lsh_index_path(spark: SparkSession, sf_dir: str) -> str:
     # uncompacted) index that every later run silently serves — the
     # _DELTA_APPENDED defense from the incremental queries applied here.
     marker = os.path.join(path, "_LIFECYCLE_DONE")
+    if force_rebuild and os.path.exists(marker):
+        # bench.py's index_build_sec metric: measure the REAL lifecycle
+        # each round instead of reporting 0 when a scratch build survives
+        os.remove(marker)
     if not os.path.exists(marker):
         shutil.rmtree(path, ignore_errors=True)
         shutil.rmtree(path + "_byid", ignore_errors=True)
