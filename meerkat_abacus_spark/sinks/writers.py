@@ -292,16 +292,24 @@ def write_bucketed(
     orphan before writing.
     """
     spark = df.sparkSession
-    if mode == "overwrite" and not spark.catalog.tableExists(table):
+    if mode == "overwrite":
         parts = table.split(".")
-        warehouse = spark.conf.get("spark.sql.warehouse.dir")
-        if len(parts) == 2:
-            loc = f"{warehouse.rstrip('/')}/{parts[0].lower()}.db/{parts[1].lower()}"
-        else:
-            loc = f"{warehouse.rstrip('/')}/{parts[-1].lower()}"
-        fs, p = _hadoop_fs(spark, loc)
-        if fs.exists(p):
-            fs.delete(p, True)
+        # resolve the database explicitly: an unqualified name must heal
+        # the CURRENT database's path (not default's — deleting
+        # {warehouse}/{t} while writing x.t would destroy default.t), and
+        # the existence check must be db-qualified so a same-named temp
+        # view can't mask a genuine orphan.
+        db = parts[0] if len(parts) == 2 else spark.catalog.currentDatabase()
+        name = parts[-1]
+        if not spark.catalog.tableExists(f"{db}.{name}"):
+            warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+            if db.lower() == "default":
+                loc = f"{warehouse}/{name.lower()}"
+            else:
+                loc = f"{warehouse}/{db.lower()}.db/{name.lower()}"
+            fs, p = _hadoop_fs(spark, loc)
+            if fs.exists(p):
+                fs.delete(p, True)
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

@@ -26,7 +26,15 @@ def main() -> None:
         cwd=REPO, capture_output=True, text=True,
     ).stdout
     m = re.search(r"(\d+) tests collected", collected)
-    n_t = int(m.group(1)) if m else None
+    if m is None:
+        # a collection error would otherwise silently skip the test-count
+        # substitution and let a stale claim pass the verify gate as
+        # "non-drifted" — fail loudly instead
+        raise SystemExit(
+            f"pytest --collect-only printed no 'N tests collected' line "
+            f"(collection error?):\n{collected[-800:]}"
+        )
+    n_t = int(m.group(1))
 
     path = os.path.join(REPO, "README.md")
     src = open(path).read()

@@ -452,13 +452,14 @@ def hot_basket_leg(spark, sf_dir: str, hot_parts: int = 30_000) -> dict:
     after.  The guarded wall should stay flat vs the unplanted corpus;
     the unguarded one degrades with the square of the basket size."""
     from meerkat_abacus_spark.queries import QUERIES, _t
+    from meerkat_abacus_spark.queries._shared import _scratch_tag
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     hot = spark.range(hot_parts).select(
         F.lit(-1).cast("long").alias("l_orderkey"),
         (F.col("id") + 10_000_000).alias("l_partkey"),
     )
-    planted = tempfile.gettempdir() + "/msa_hotbasket"
+    planted = tempfile.gettempdir() + f"/msa_hotbasket_{_scratch_tag(sf_dir)}"
     shutil.rmtree(planted, ignore_errors=True)
     os.makedirs(planted)
     li.unionByName(hot).write.parquet(planted + "/lineitem.parquet")

@@ -127,9 +127,12 @@ def run_readme_counts() -> dict:
         cwd=REPO, capture_output=True, text=True, timeout=600,
     )
     after = open(path).read()
+    # fail CLOSED: a crashed generator means the counts were never
+    # verified — that must fail the gate, not report "no drift"
     return {
-        "drifted": before != after,
-        "summary": (proc.stdout + proc.stderr).strip(),
+        "drifted": before != after or proc.returncode != 0,
+        "generator_rc": proc.returncode,
+        "summary": (proc.stdout + proc.stderr).strip()[-500:],
     }
 
 
