@@ -1968,12 +1968,18 @@ def alert_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_custkey AS id, c_name AS name, c_nationkey,
                substr(c_name, 10, 7) AS blk
         FROM customer
+    ),
+    sized AS (
+        SELECT blk FROM blocked GROUP BY 1 HAVING COUNT(*) <= 1000
+    ),
+    guarded AS (
+        SELECT b.* FROM blocked b JOIN sized USING (blk)
     )
     SELECT a.blk AS block_key,
            COUNT(*) AS n_pairs,
            MIN(a.id) AS min_id,
            MAX(b.id) AS max_id
-    FROM blocked a JOIN blocked b
+    FROM guarded a JOIN guarded b
       ON a.blk = b.blk AND a.id < b.id
     WHERE levenshtein(a.name, b.name) <= 1
     GROUP BY 1
@@ -1987,18 +1993,32 @@ def fuzzy_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline as the MinHash/SimHash families, different similarity).
 
     Scale shape: the block key is the shuffle key; per-block pair counts
-    are bounded by block cardinality (here the name's thousands-prefix,
-    ~100 rows), so cost is O(sum of block²) with small blocks, never
-    corpus².  Aggregated per block for a compact oracle surface."""
+    are bounded by block cardinality (the name's thousands-prefix, ~100
+    rows on this data), AND — because data at 100 TB always finds a hot
+    block (one shared surname / placeholder name) — an over-cap guard
+    semi-joins the ≤1000-member blocks onto BOTH self-join inputs BEFORE
+    the pair join, exactly the pre-join cap discipline of
+    minhash_lsh_candidates and r11's basket_pairs fix: a degenerate block
+    is skipped (documented recall trade), never exploded into block²
+    pairs first.  The cap is in the oracle SQL too, so the certified
+    semantics include it.  Aggregated per block for a compact oracle
+    surface."""
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id"),
         F.col("c_name").alias("name"),
         F.substring("c_name", 10, 7).alias("blk"),
     )
+    sized = (
+        cust.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= 1000)
+        .select("blk")
+    )
+    guarded = cust.join(sized, "blk", "left_semi")
     pairs = (
-        cust.alias("a")
+        guarded.alias("a")
         .join(
-            cust.alias("b"),
+            guarded.alias("b"),
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.id") < F.col("b.id")),
         )

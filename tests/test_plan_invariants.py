@@ -138,6 +138,10 @@ def test_basket_pairs_guard_precedes_self_join(spark):
         .optimizedPlan()
         .toString()
     )
+    _assert_guard_precedes_pair_join(plan)
+
+
+def _assert_guard_precedes_pair_join(plan: str) -> None:
     lines = plan.splitlines()
     pair_join = [
         i for i, ln in enumerate(lines) if "Join Inner" in ln and " < " in ln
@@ -147,3 +151,23 @@ def test_basket_pairs_guard_precedes_self_join(spark):
     assert len(semi) == 2, plan  # one guard per self-join input
     # tree prints root-first: upstream (input) operators are LATER lines
     assert all(s > pair_join[0] for s in semi), plan
+
+
+def test_fuzzy_linkage_block_cap_precedes_self_join(spark):
+    """Same pre-join cap discipline for the blocked-levenshtein linkage:
+    the ≤1000-member block guard must semi-join BOTH self-join inputs
+    upstream of the pair join, so a degenerate hot block (shared surname
+    at 100 TB) is skipped instead of exploded into block² pairs."""
+    import pytest
+
+    if not os.path.isdir(SF_DIR):
+        pytest.skip("driver testdata not present")
+    from meerkat_abacus_spark.queries.surveillance import fuzzy_name_linkage
+
+    plan = (
+        fuzzy_name_linkage(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    _assert_guard_precedes_pair_join(plan)
