@@ -693,6 +693,22 @@ def simhash_wide_pairs(
     ).filter(F.col("hamming") <= F.lit(max_hamming))
 
 
+def _apply_block_cap(base: DataFrame, max_block: int | None) -> DataFrame:
+    """Pre-join over-cap guard shared by the blocked pair generators: when
+    ``max_block`` is set, semi-join ``base`` (must carry a ``block``
+    column) against the ≤cap blocks so BOTH sides of the downstream
+    self-join are filtered before any pair forms."""
+    if max_block is None:
+        return base
+    sized = (
+        base.groupBy("block")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") <= max_block)
+        .select("block")
+    )
+    return base.join(sized, "block", "left_semi")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -700,12 +716,15 @@ def ngram_jaccard_pairs(
     block_col: str,
     shingle_k: int = 3,
     min_jaccard: float = 0.0,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Exact word-k-gram Jaccard for all pairs *within a blocking key*.
 
     The block column bounds the quadratic term: pairs only form inside one
     shuffle partition's worth of same-key rows.  Use LSH candidates or a
-    cheap attribute (language × length bucket) as the block.
+    cheap attribute (language × length bucket) as the block; at scale set
+    ``max_block`` so a degenerate hot block is skipped (pre-join semi
+    guard on both inputs) rather than exploded into block² pairs.
     """
     # Generate barriers bind tokens then shingles to one evaluation each —
     # plain select staging collapses and re-splits per shingle element.
@@ -722,6 +741,7 @@ def ngram_jaccard_pairs(
             )
         ).alias("sh"),
     )
+    base = _apply_block_cap(base, max_block)
     a, b = base.alias("a"), base.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
@@ -781,18 +801,27 @@ def embedding_near_dup_pairs(
     vec_col: str,
     block_col: str,
     min_cosine: float = 0.95,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicates within a blocking key (label, LSH bucket, …).
 
     Same discipline as :func:`ngram_jaccard_pairs`: the block bounds the
     pairwise term; at scale feed it sign-LSH buckets from
-    :mod:`meerkat_abacus_spark.datapipe.similarity`.
+    :mod:`meerkat_abacus_spark.datapipe.similarity` AND set ``max_block``
+    — blocks over the cap are semi-join-filtered out of BOTH self-join
+    inputs BEFORE the pair join (the pre-join cap discipline of
+    :func:`minhash_lsh_candidates` and r11's basket_pairs fix), so one
+    degenerate bucket (an orthant hot with templated embeddings) skips
+    its pairs instead of exploding into block² rows first.  ``None``
+    keeps all blocks — only for attribute blocks known small by
+    construction.
     """
     base = df.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
     ).withColumn("n", l2_norm(F.col("v")))
+    base = _apply_block_cap(base, max_block)
     a, b = base.alias("a"), base.alias("b")
     # norms precomputed per ROW (one fold each) instead of per PAIR —
     # bit-identical to cosine_similarity, ~2x on a 400-row block

@@ -398,22 +398,36 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "dedup_embedding_lsh",
     f"""
-    WITH corpus AS ({_EMB_CORPUS_SQL})
+    WITH corpus AS ({_EMB_CORPUS_SQL}),
+    bucketed AS (
+        SELECT c.*, ({_BUCKET_SQL.format(side='c')}) AS bucket FROM corpus c
+    ),
+    sized AS (
+        SELECT bucket FROM bucketed GROUP BY 1 HAVING COUNT(*) <= 5000
+    ),
+    guarded AS (SELECT b.* FROM bucketed b JOIN sized USING (bucket))
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND({_COS_SQL}, 3) AS cosine
-    FROM corpus a JOIN corpus b
-      ON ({_BUCKET_SQL.format(side='a')}) = ({_BUCKET_SQL.format(side='b')})
+    FROM guarded a JOIN guarded b
+      ON a.bucket = b.bucket
      AND a.vec_id < b.vec_id
     WHERE {_COS_SQL} >= 0.99
     """,
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH-bucketed embedding near-dup — the SCALE path for
+    dedup_embedding's attribute block.  max_block=5000 applies the
+    pre-join over-cap guard (same discipline as minhash_lsh_candidates /
+    basket_pairs): an orthant-hot bucket of templated embeddings is
+    skipped — a documented recall trade — instead of exploding into
+    bucket² pairs; the cap sits in the oracle SQL too, so the certified
+    semantics include it."""
     corpus = _emb_corpus(spark, sf_dir).withColumn(
         "bucket", sim.coordinate_sign_bucket(F.col("embedding"), 8)
     )
     pairs = dd.embedding_near_dup_pairs(
         corpus, id_col="vec_id", vec_col="embedding", block_col="bucket",
-        min_cosine=0.99,
+        min_cosine=0.99, max_block=5000,
     )
     return pairs.select("id_a", "id_b", F.round("cosine", 3).alias("cosine"))
 

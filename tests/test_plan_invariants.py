@@ -141,15 +141,19 @@ def test_basket_pairs_guard_precedes_self_join(spark):
     _assert_guard_precedes_pair_join(plan)
 
 
-def _assert_guard_precedes_pair_join(plan: str) -> None:
+def _assert_guard_precedes_pair_join(plan: str, n_semi: int = 2) -> None:
     lines = plan.splitlines()
     pair_join = [
         i for i, ln in enumerate(lines) if "Join Inner" in ln and " < " in ln
     ]
     semi = [i for i, ln in enumerate(lines) if "Join LeftSemi" in ln]
     assert len(pair_join) == 1, plan
-    assert len(semi) == 2, plan  # one guard per self-join input
-    # tree prints root-first: upstream (input) operators are LATER lines
+    # at least one guard per self-join input (corpus builders may add
+    # their own semi-joins on top)
+    assert len(semi) >= n_semi, plan
+    # tree prints root-first: upstream (input) operators are LATER lines —
+    # every semi guard must sit BELOW (after) the pair join, never on its
+    # output
     assert all(s > pair_join[0] for s in semi), plan
 
 
@@ -166,6 +170,25 @@ def test_fuzzy_linkage_block_cap_precedes_self_join(spark):
 
     plan = (
         fuzzy_name_linkage(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    _assert_guard_precedes_pair_join(plan)
+
+
+def test_embedding_lsh_bucket_cap_precedes_self_join(spark):
+    """The sign-LSH-bucketed embedding near-dup (the scale path) must
+    apply its 5000-row bucket cap as pre-join semi guards on both
+    self-join inputs — an orthant-hot bucket skips, never explodes."""
+    import pytest
+
+    if not os.path.isdir(SF_DIR):
+        pytest.skip("driver testdata not present")
+    from meerkat_abacus_spark.queries.dedup import dedup_embedding_lsh
+
+    plan = (
+        dedup_embedding_lsh(spark, SF_DIR)
         ._jdf.queryExecution()
         .optimizedPlan()
         .toString()
