@@ -317,6 +317,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-gram Jaccard verification within an ATTRIBUTE block (lang)
+    — certifies the verifier's arithmetic.  A language is not a scale
+    block (one lang ≈ the whole corpus at 100 TB): the production path
+    feeds ngram_jaccard_pairs LSH candidates as the block (the minhash
+    family's _verified_candidates) or sets max_block; this query keeps
+    the small fixture block so the oracle covers the Jaccard math."""
     corpus = _doc_corpus(spark, sf_dir)
     pairs = dd.ngram_jaccard_pairs(
         corpus, id_col="doc_id", text_col="text", block_col="lang",
@@ -339,6 +345,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup within an ATTRIBUTE block (label) — certifies
+    the cosine verifier.  A label is not a scale block; the production
+    path is dedup_embedding_lsh (sign-LSH buckets + max_block cap)."""
     corpus = _emb_corpus(spark, sf_dir)
     pairs = dd.embedding_near_dup_pairs(
         corpus, id_col="vec_id", vec_col="embedding", block_col="label",
