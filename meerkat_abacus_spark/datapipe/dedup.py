@@ -697,7 +697,15 @@ def _apply_block_cap(base: DataFrame, max_block: int | None) -> DataFrame:
     """Pre-join over-cap guard shared by the blocked pair generators: when
     ``max_block`` is set, semi-join ``base`` (must carry a ``block``
     column) against the ≤cap blocks so BOTH sides of the downstream
-    self-join are filtered before any pair forms."""
+    self-join are filtered before any pair forms.
+
+    This is the SKIP policy — an over-cap block contributes nothing.
+    :func:`minhash_lsh_candidates` and the SimHash slice pairs implement
+    the sibling STAR policy (anti-join over-cap buckets, then emit star
+    edges to the bucket minimum) because THEIR consumer is connected
+    components, where dropping a bucket would split clusters; pairwise
+    verifiers have no connectivity to preserve, so skip is the right
+    recall trade here.  Two policies on purpose — don't unify them."""
     if max_block is None:
         return base
     sized = (
@@ -726,10 +734,17 @@ def ngram_jaccard_pairs(
     ``max_block`` so a degenerate hot block is skipped (pre-join semi
     guard on both inputs) rather than exploded into block² pairs.
     """
+    # Apply the cap on the CHEAP (block,id,text) projection, before the
+    # tokenize+shingle Generates — counting rows per block must not pay
+    # the shingle pipeline twice (the count branch can't prune a Generate
+    # that determines cardinality).
+    df = _apply_block_cap(
+        df.withColumn("block", F.col(block_col)), max_block
+    )
     # Generate barriers bind tokens then shingles to one evaluation each —
     # plain select staging collapses and re-splits per shingle element.
     base = df.select(
-        F.col(block_col).alias("block"),
+        F.col("block"),
         F.col(id_col).alias("id"),
         F.explode(F.array(tokens_col(F.col(text_col)))).alias("toks"),
     ).select(
@@ -741,7 +756,6 @@ def ngram_jaccard_pairs(
             )
         ).alias("sh"),
     )
-    base = _apply_block_cap(base, max_block)
     a, b = base.alias("a"), base.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter

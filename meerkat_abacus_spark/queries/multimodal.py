@@ -127,11 +127,18 @@ _MM_COS_SQL = (
     f"""
     WITH emb AS (
         SELECT doc_id, [{', '.join(_EMB_DIM_SQL)}] AS v FROM documents
-    )
+    ),
+    bucketed AS (
+        SELECT e.*, ({_MM_BUCKET_SQL.format(side='e')}) AS bucket FROM emb e
+    ),
+    sized AS (
+        SELECT bucket FROM bucketed GROUP BY 1 HAVING COUNT(*) <= 5000
+    ),
+    guarded AS (SELECT b.* FROM bucketed b JOIN sized USING (bucket))
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            ROUND({_MM_COS_SQL}, 3) AS cosine
-    FROM emb a JOIN emb b
-      ON ({_MM_BUCKET_SQL.format(side='a')}) = ({_MM_BUCKET_SQL.format(side='b')})
+    FROM guarded a JOIN guarded b
+      ON a.bucket = b.bucket
      AND a.doc_id < b.doc_id
     WHERE {_MM_COS_SQL} >= 0.995
     """,
@@ -139,8 +146,10 @@ _MM_COS_SQL = (
 def multimodal_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """decode → feature-extract (embedding) → sign-LSH block → cosine
     verify: the composed multimodal near-dup pipeline.  The pairwise join
-    is bucket-bounded exactly like dedup_embedding_lsh; only the embedding
-    SOURCE differs (Arrow-batched extractor instead of a stored column)."""
+    is bucket-bounded AND over-cap-guarded exactly like dedup_embedding_lsh
+    (max_block=5000 pre-join semi guard, cap mirrored in the oracle SQL);
+    only the embedding SOURCE differs (Arrow-batched extractor instead of
+    a stored column)."""
     from meerkat_abacus_spark.datapipe import dedup as dd
     from meerkat_abacus_spark.datapipe import similarity as sim
     from meerkat_abacus_spark.datapipe.multimodal import embed_media
@@ -152,6 +161,6 @@ def multimodal_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = dd.embedding_near_dup_pairs(
         corpus, id_col="doc_id", vec_col="embedding", block_col="bucket",
-        min_cosine=0.995,
+        min_cosine=0.995, max_block=5000,
     )
     return pairs.select("id_a", "id_b", F.round("cosine", 3).alias("cosine"))

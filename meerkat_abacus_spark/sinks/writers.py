@@ -299,9 +299,13 @@ def write_bucketed(
         # {warehouse}/{t} while writing x.t would destroy default.t), and
         # the existence check must be db-qualified so a same-named temp
         # view can't mask a genuine orphan.
-        db = parts[0] if len(parts) == 2 else spark.catalog.currentDatabase()
+        # parts[-2] handles both db.table and catalog.db.table; a 3-part
+        # name must never fall back to currentDatabase (it would probe —
+        # and potentially delete — a different table's path)
+        db = parts[-2] if len(parts) >= 2 else spark.catalog.currentDatabase()
         name = parts[-1]
-        if not spark.catalog.tableExists(f"{db}.{name}"):
+        qualified = table if len(parts) >= 3 else f"{db}.{name}"
+        if not spark.catalog.tableExists(qualified):
             warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
             if db.lower() == "default":
                 loc = f"{warehouse}/{name.lower()}"

@@ -141,20 +141,43 @@ def test_basket_pairs_guard_precedes_self_join(spark):
     _assert_guard_precedes_pair_join(plan)
 
 
-def _assert_guard_precedes_pair_join(plan: str, n_semi: int = 2) -> None:
+def _assert_guard_precedes_pair_join(plan: str) -> None:
+    """The pair Inner join (the one with the `<` tie-break condition) must
+    have a LeftSemi guard inside EACH of its two input subtrees — not two
+    guards on one side, and never a guard on its output."""
     lines = plan.splitlines()
     pair_join = [
         i for i, ln in enumerate(lines) if "Join Inner" in ln and " < " in ln
     ]
     semi = [i for i, ln in enumerate(lines) if "Join LeftSemi" in ln]
     assert len(pair_join) == 1, plan
-    # at least one guard per self-join input (corpus builders may add
-    # their own semi-joins on top)
-    assert len(semi) >= n_semi, plan
+    pi = pair_join[0]
     # tree prints root-first: upstream (input) operators are LATER lines —
-    # every semi guard must sit BELOW (after) the pair join, never on its
-    # output
-    assert all(s > pair_join[0] for s in semi), plan
+    # no semi guard may sit ABOVE (before) the pair join (= on its output)
+    assert all(s > pi for s in semi), plan
+
+    # Subtree spans from the indent structure: a node's content column is
+    # where its operator name starts; its two direct children's content
+    # sits exactly 3 columns deeper, and its subtree ends at the first
+    # line whose content column is <= its own.
+    def _content_col(ln: str) -> int:
+        return len(ln) - len(ln.lstrip(": +-"))
+
+    cc = _content_col(lines[pi])
+    end = next(
+        (i for i in range(pi + 1, len(lines))
+         if _content_col(lines[i]) <= cc),
+        len(lines),
+    )
+    kids = [
+        i for i in range(pi + 1, end) if _content_col(lines[i]) == cc + 3
+    ]
+    assert len(kids) == 2, plan  # the pair join has exactly two inputs
+    left_span = range(kids[0], kids[1])
+    right_span = range(kids[1], end)
+    # one guard inside EACH input — two guards on one side don't count
+    assert any(s in left_span for s in semi), plan
+    assert any(s in right_span for s in semi), plan
 
 
 def test_fuzzy_linkage_block_cap_precedes_self_join(spark):

@@ -1055,3 +1055,49 @@ def test_compact_index_swap_crash_windows_recover(spark, tmp_path):
     assert stats["files_after"] < stats["files_before"]
     sim._INDEX_READERS.clear()
     assert probe() == baseline
+
+
+def test_block_cap_boundary_semantics(spark):
+    """The over-cap guard must fire exactly at the boundary (review
+    finding r11: the fixture blocks all sit far under cap, so the 136/136
+    compare never exercises the predicate): a block of exactly
+    ``max_block`` rows keeps its pairs, ``max_block + 1`` contributes
+    NOTHING — and the same boundary holds for the shingle variant, whose
+    guard is computed on the cheap pre-shingle projection."""
+    from meerkat_abacus_spark.datapipe import dedup as dd
+
+    cap = 3
+    rows = []
+    # block "ok": exactly cap near-identical vectors -> C(3,2)=3 pairs
+    for i in range(cap):
+        rows.append((i, "ok", [1.0, 0.0, 0.0, float(i) * 1e-4]))
+    # block "hot": cap+1 identical vectors -> skipped entirely
+    for i in range(cap + 1):
+        rows.append((100 + i, "hot", [0.0, 1.0, 0.0, 0.0]))
+    df = spark.createDataFrame(
+        rows, "vec_id int, blk string, embedding array<double>"
+    )
+    pairs = dd.embedding_near_dup_pairs(
+        df, id_col="vec_id", vec_col="embedding", block_col="blk",
+        min_cosine=0.9, max_block=cap,
+    ).collect()
+    ids = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert len(pairs) == 3, pairs          # the at-cap block's C(3,2)
+    assert ids == {0, 1, 2}, ids           # nothing from the over-cap block
+    # uncapped control: the hot block's C(4,2)=6 pairs come back
+    allp = dd.embedding_near_dup_pairs(
+        df, id_col="vec_id", vec_col="embedding", block_col="blk",
+        min_cosine=0.9,
+    ).collect()
+    assert len(allp) == 3 + 6
+
+    # shingle variant, same boundary
+    trows = [(i, "ok", "a b c d e") for i in range(cap)]
+    trows += [(100 + i, "hot", "x y z w v") for i in range(cap + 1)]
+    tdf = spark.createDataFrame(trows, "doc_id int, blk string, text string")
+    tp = dd.ngram_jaccard_pairs(
+        tdf, id_col="doc_id", text_col="text", block_col="blk",
+        shingle_k=2, min_jaccard=0.5, max_block=cap,
+    ).collect()
+    tids = {r["id_a"] for r in tp} | {r["id_b"] for r in tp}
+    assert len(tp) == 3 and tids == {0, 1, 2}, tp

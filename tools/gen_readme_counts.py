@@ -47,8 +47,7 @@ def main() -> None:
     src = re.sub(
         r"\d+ queries, each with", f"{n_q} queries, each with", src
     )
-    if n_t is not None:
-        src = re.sub(r"\(\d+\+? tests\)", f"({n_t} tests)", src)
+    src = re.sub(r"\(\d+\+? tests\)", f"({n_t} tests)", src)
     src = re.sub(r"\d+/\d+ oracle matches", f"{n_o}/{n_q} oracle matches", src)
     open(path, "w").write(src)
     print(f"README.md: {n_q} queries, {n_o} oracles, {n_t} tests")
