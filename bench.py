@@ -38,6 +38,22 @@ append 20% + compaction, gated by _LIFECYCLE_DONE) — ~15 s of ONE-TIME
 build cost that made r10's cold suite total incomparable to r9's.  The
 build now runs BEFORE the timing loop and is reported as its own
 ``index_build_sec`` metric; per-query cold measures query serving only.
+
+Two-line artifact format (r12, VERDICT r11 ask #1): the driver records a
+FIXED-SIZE TAIL of bench stdout (~2 KB observed), and r11's single
+detailed JSON line outgrew it (the 21-sentinel calibration vector pushed
+the object's head out of the capture window — ``BENCH_r11.json`` has
+``"parsed": null``).  ``main`` therefore prints TWO JSON lines:
+
+1. the full detailed line (per-query cold/warm/cal/warm_norm, sentinel
+   vector, index-build metrics) — for humans and BENCH_NOTES;
+2. LAST, a compact totals-only line (suite totals, per-query WARM map,
+   index build) built by :func:`compact_artifact` and kept well under the
+   capture window, so the machine-readable record survives tail capture.
+
+A driver that parses the last JSON-loadable line of the tail gets line 2.
+``tests/test_bench_artifact.py`` pipes the exact stdout through a
+simulated 2 KB tail window and asserts the parse.
 """
 
 from __future__ import annotations
@@ -109,6 +125,41 @@ def _calibrate(spark=None, best_of: int = 2) -> float:
     return round(best, 4)
 
 
+# Generous margin under the ~2215-char tail observed in BENCH_r11.json:
+# the compact line must survive the driver's capture window whole.
+_COMPACT_BUDGET = 1900
+
+
+def compact_artifact(detailed: dict) -> dict:
+    """The totals-only artifact line (VERDICT r11 ask #1): everything the
+    round-over-round trend needs — suite totals, per-query WARM seconds,
+    index-build split — and nothing that grows with instrumentation (the
+    sentinel vector and per-query cold/cal/warm_norm stay in the detailed
+    line only).  Size-guarded so adding a 21st headline query fails a
+    test instead of silently outgrowing the driver's tail window again."""
+    out = {
+        "metric": detailed["metric"],
+        "value": detailed["value"],
+        "value_cold": detailed["value_cold"],
+        "value_normalized": detailed["value_normalized"],
+        "unit": detailed["unit"],
+        "queries": {
+            name: t["warm"] for name, t in detailed["queries"].items()
+        },
+        "index_build_sec": detailed["index_build_sec"],
+        "sf": detailed["sf"],
+        "runs_per_query": detailed["runs_per_query"],
+    }
+    line = json.dumps(out)
+    if len(line) > _COMPACT_BUDGET:
+        raise ValueError(
+            f"compact bench line is {len(line)} chars > budget "
+            f"{_COMPACT_BUDGET}; trim the headline set or the compact "
+            "schema before it outgrows the driver's tail capture"
+        )
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -170,27 +221,28 @@ def main() -> None:
     total_warm = round(sum(t["warm"] for t in timings.values()), 3)
     total_cold = round(sum(t["cold"] for t in timings.values()), 3)
     total_norm = round(sum(t["warm_norm"] for t in timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total_warm,
-                "value_cold": total_cold,
-                "value_normalized": total_norm,
-                "unit": "sec",
-                "queries": timings,
-                "index_build_sec": index_build,
-                "sf": float(sf),
-                "runs_per_query": runs,
-                "calibration": {
-                    "pre": cal_pre,
-                    "post": cal_post,
-                    "ref": cal_ref,
-                    "sentinels": sentinels,
-                },
-            }
-        )
-    )
+    detailed = {
+        "metric": "headline_suite_total",
+        "value": total_warm,
+        "value_cold": total_cold,
+        "value_normalized": total_norm,
+        "unit": "sec",
+        "queries": timings,
+        "index_build_sec": index_build,
+        "sf": float(sf),
+        "runs_per_query": runs,
+        "calibration": {
+            "pre": cal_pre,
+            "post": cal_post,
+            "ref": cal_ref,
+            "sentinels": sentinels,
+        },
+    }
+    # Detailed line first (humans, BENCH_NOTES); compact totals line LAST
+    # so it lands whole inside the driver's fixed-size stdout tail
+    # (VERDICT r11 ask #1 — r11's single big line had its head cut off).
+    print(json.dumps(detailed))
+    print(json.dumps(compact_artifact(detailed)))
     sys.stdout.flush()
 
     # Clean teardown (VERDICT r8 "what's wrong" #2): unpersist the shared

@@ -830,12 +830,18 @@ def embedding_near_dup_pairs(
     keeps all blocks — only for attribute blocks known small by
     construction.
     """
-    base = df.select(
-        F.col(block_col).alias("block"),
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
+    # Cap on the CHEAP projection first (ADVICE r11 #3, matching
+    # ngram_jaccard_pairs' documented discipline): the cap's count branch
+    # scans (block, id, v) only, without betting on Catalyst pruning the
+    # norm fold out of it; the norm is added to the capped survivors.
+    base = _apply_block_cap(
+        df.select(
+            F.col(block_col).alias("block"),
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+        ),
+        max_block,
     ).withColumn("n", l2_norm(F.col("v")))
-    base = _apply_block_cap(base, max_block)
     a, b = base.alias("a"), base.alias("b")
     # norms precomputed per ROW (one fold each) instead of per PAIR —
     # bit-identical to cosine_similarity, ~2x on a 400-row block

@@ -992,7 +992,92 @@ def _partition_dirs(index_path: str) -> list[str]:
     return parts
 
 
-def _recover_precompact(index_path: str) -> bool:
+# A compaction lock older than this is presumed crashed and taken over /
+# recovered past.  Local compactions run in seconds; a cluster rewrite of
+# a huge index should refresh the lock (re-create it) if it ever
+# approaches this bound.
+_COMPACT_LOCK_STALE_SEC = 3600.0
+
+
+def _lock_path(index_path: str) -> str:
+    return index_path + ".compact.lock"
+
+
+def _lock_is_fresh(
+    index_path: str, stale_sec: float = _COMPACT_LOCK_STALE_SEC
+) -> bool:
+    """True while another process's compaction lock exists and is younger
+    than ``stale_sec`` (mtime-based: O_EXCL creation stamps it)."""
+    import os
+    import time
+
+    try:
+        return (time.time() - os.path.getmtime(_lock_path(index_path))) < (
+            stale_sec
+        )
+    except OSError:
+        return False
+
+
+class CompactionInProgress(RuntimeError):
+    """Another process holds a fresh compaction lock on this index."""
+
+
+class _CompactLock:
+    """O_EXCL lock around compact_index's build+swap (ADVICE r11 #2):
+    without it, a second process entering :func:`maybe_compact_index`
+    mid-compaction would rmtree the live ``.compacting`` staging tree and
+    interleave with the rename swap.  Creation is atomic (O_CREAT|O_EXCL);
+    a FRESH foreign lock raises :class:`CompactionInProgress`; a stale one
+    (holder crashed — see ``_COMPACT_LOCK_STALE_SEC``) is broken and
+    re-acquired.  The lock file records pid + timestamp for debugging."""
+
+    def __init__(self, index_path: str, stale_sec: float = _COMPACT_LOCK_STALE_SEC):
+        self.path = _lock_path(index_path)
+        self.stale_sec = stale_sec
+
+    def __enter__(self):
+        import os
+        import time
+
+        for attempt in range(2):
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"{os.getpid()} {time.time()}".encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(self.path)
+                except OSError:
+                    continue  # holder just released; retry the O_EXCL
+                if age < self.stale_sec:
+                    raise CompactionInProgress(
+                        f"fresh compaction lock at {self.path} "
+                        f"({age:.0f}s old); retry after it completes"
+                    )
+                # stale: holder crashed — break it (small race window
+                # between unlink and re-open is closed by the retry loop's
+                # O_EXCL, so two breakers cannot both win)
+                try:
+                    os.unlink(self.path)
+                except OSError:
+                    pass
+        raise CompactionInProgress(
+            f"could not acquire compaction lock at {self.path}"
+        )
+
+    def __exit__(self, *exc):
+        import os
+
+        try:
+            os.unlink(self.path)
+        except OSError:
+            pass
+        return False
+
+
+def _recover_precompact(index_path: str, under_lock: bool = False) -> bool:
     """Crash recovery for :func:`compact_index`'s swap (ADVICE r10 #1):
     the swap is four renames, and a crash between "move serving aside" and
     "move compacted in" would leave NO tree at the serving path.  The
@@ -1002,10 +1087,20 @@ def _recover_precompact(index_path: str) -> bool:
     back to the pre-compaction tree (row-identical, just fragmented —
     compaction simply re-runs later); a present serving path drops the
     leftover.  Half-written ``.compacting`` staging trees are always safe
-    to delete.  Returns True when a rollback happened."""
+    to delete.  Returns True when a rollback happened.
+
+    While ANOTHER process holds a fresh compaction lock (ADVICE r11 #2),
+    recovery is skipped entirely — the "leftovers" are that compaction's
+    live working state, not a crash to clean up.  A stale lock means the
+    holder died; recovery proceeds (and the next :class:`_CompactLock`
+    acquisition breaks the lock).  ``under_lock=True`` is the internal
+    form for callers already holding THIS index's lock (their own fresh
+    lock must not suppress their own recovery)."""
     import os
     import shutil
 
+    if not under_lock and _lock_is_fresh(index_path):
+        return False
     recovered = False
     for serving in (index_path, index_path + "_byid"):
         pre = serving + ".precompact"
@@ -1056,28 +1151,39 @@ def maybe_compact_index(
     which would otherwise fragment indefinitely without tripping a
     main-tree-only threshold — its own files-per-range-partition ratio
     triggers the same compaction (compact_index rewrites both trees).
+
+    Single-writer discipline (ADVICE r11 #2): the recover → measure →
+    compact sequence runs under the index's exclusive compaction lock;
+    a concurrent maintenance job sees the fresh lock and no-ops (returns
+    None) instead of tearing down the live staging tree mid-swap.
     """
     import os
 
-    _recover_precompact(index_path)
-    parts = _partition_dirs(index_path)
-    n_files = sum(
-        1
-        for d in parts
-        for f in os.listdir(os.path.join(index_path, d))
-        if f.endswith(".parquet")
-    )
-    ratio = n_files / len(parts)
-    byid = index_path + "_byid"
-    byid_ratio = 0.0
-    if os.path.isdir(byid):
-        n_byid = sum(
-            1 for f in os.listdir(byid) if f.endswith(".parquet")
-        )
-        byid_ratio = n_byid / _BYID_PARTITIONS
-    if max(ratio, byid_ratio) <= max_files_per_partition:
+    if _lock_is_fresh(index_path):
+        return None  # another maintenance job owns this index right now
+    try:
+        with _CompactLock(index_path):
+            _recover_precompact(index_path, under_lock=True)
+            parts = _partition_dirs(index_path)
+            n_files = sum(
+                1
+                for d in parts
+                for f in os.listdir(os.path.join(index_path, d))
+                if f.endswith(".parquet")
+            )
+            ratio = n_files / len(parts)
+            byid = index_path + "_byid"
+            byid_ratio = 0.0
+            if os.path.isdir(byid):
+                n_byid = sum(
+                    1 for f in os.listdir(byid) if f.endswith(".parquet")
+                )
+                byid_ratio = n_byid / _BYID_PARTITIONS
+            if max(ratio, byid_ratio) <= max_files_per_partition:
+                return None
+            stats = _compact_index_locked(spark, index_path)
+    except CompactionInProgress:
         return None
-    stats = compact_index(spark, index_path)
     stats["files_per_partition"] = round(ratio, 2)
     stats["byid_files_per_partition"] = round(byid_ratio, 2)
     return stats
@@ -1104,7 +1210,19 @@ def compact_index(spark, index_path: str) -> dict:
     (or a metastore location swap).
 
     Returns ``{"kind", "rows", "files_before", "files_after"}``.
+
+    Takes the index's exclusive compaction lock for the whole
+    build+swap (ADVICE r11 #2) and raises :class:`CompactionInProgress`
+    when another process holds a fresh one — two concurrent compactions
+    would rmtree each other's ``.compacting`` staging and interleave the
+    rename swap.
     """
+    with _CompactLock(index_path):
+        return _compact_index_locked(spark, index_path)
+
+
+def _compact_index_locked(spark, index_path: str) -> dict:
+    """:func:`compact_index`'s body; caller holds the compaction lock."""
     import os
     import shutil
 
@@ -1114,7 +1232,7 @@ def compact_index(spark, index_path: str) -> dict:
             n += sum(1 for f in fs if f.endswith(".parquet"))
         return n
 
-    _recover_precompact(index_path)
+    _recover_precompact(index_path, under_lock=True)
     parts = _partition_dirs(index_path)
     part_col = parts[0].split("=", 1)[0]
     if part_col == "pbucket":

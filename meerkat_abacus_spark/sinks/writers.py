@@ -306,14 +306,36 @@ def write_bucketed(
         name = parts[-1]
         qualified = table if len(parts) >= 3 else f"{db}.{name}"
         if not spark.catalog.tableExists(qualified):
-            warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
-            if db.lower() == "default":
-                loc = f"{warehouse}/{name.lower()}"
-            else:
-                loc = f"{warehouse}/{db.lower()}.db/{name.lower()}"
-            fs, p = _hadoop_fs(spark, loc)
-            if fs.exists(p):
-                fs.delete(p, True)
+            # Resolve the managed location from the CATALOG's database
+            # locationUri (ADVICE r11 #1), not by string-building from
+            # spark.sql.warehouse.dir: a database created with a custom
+            # LOCATION keeps its managed tables under that path — the
+            # warehouse-derived probe would miss the real orphan there
+            # AND could delete an unrelated directory at the default
+            # managed path.  getDatabase also scopes the probe to a
+            # database THIS catalog knows: if the db itself is missing,
+            # skip the heal and let saveAsTable raise its own error.
+            db_qualified = ".".join(parts[:-1]) if len(parts) >= 2 else db
+            try:
+                db_loc = spark.catalog.getDatabase(db_qualified).locationUri
+            except Exception:
+                db_loc = None
+            if db_loc:
+                loc = f"{db_loc.rstrip('/')}/{name.lower()}"
+                fs, p = _hadoop_fs(spark, loc)
+                if fs.exists(p):
+                    # destructive heal — make it visible (ADVICE r11 #1)
+                    import warnings
+
+                    warnings.warn(
+                        f"write_bucketed(overwrite): deleting orphaned "
+                        f"location {loc} for uncataloged table "
+                        f"{qualified} (leftover from an interrupted "
+                        "previous write)",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+                    fs.delete(p, True)
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

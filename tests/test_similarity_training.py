@@ -1057,6 +1057,57 @@ def test_compact_index_swap_crash_windows_recover(spark, tmp_path):
     assert probe() == baseline
 
 
+def test_compaction_lock_excludes_second_writer(spark, tmp_path):
+    """ADVICE r11 #2: a second maintenance process entering while another
+    holds a FRESH compaction lock must not touch the live staging tree —
+    compact_index raises, maybe_compact_index no-ops, and
+    _recover_precompact leaves the holder's working state alone.  A STALE
+    lock (holder crashed) is broken and compaction proceeds."""
+    import os
+    import time
+
+    import pytest
+
+    from meerkat_abacus_spark.datapipe import similarity as sim
+
+    corpus = _clustered_corpus(spark).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = corpus.limit(2).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    path = str(tmp_path / "ivflock")
+    sim.write_ivf_index(corpus, cents, path)
+    sim.write_ivf_index(
+        corpus.selectExpr("vec_id + 100 AS vec_id", "embedding"),
+        cents, path, mode="append",
+    )
+
+    # simulate another process mid-compaction: fresh lock + live staging
+    lock = sim._lock_path(path)
+    with open(lock, "w") as f:
+        f.write("99999 0")
+    os.makedirs(path + ".compacting", exist_ok=True)
+    open(os.path.join(path + ".compacting", "part-live.parquet"), "w").close()
+
+    with pytest.raises(sim.CompactionInProgress):
+        sim.compact_index(spark, path)
+    assert sim.maybe_compact_index(spark, path, 0.0) is None
+    assert sim._recover_precompact(path) is False
+    # the holder's staging tree survived both entries untouched
+    assert os.path.exists(
+        os.path.join(path + ".compacting", "part-live.parquet")
+    )
+
+    # stale lock: holder crashed — next compaction breaks it and runs
+    old = time.time() - sim._COMPACT_LOCK_STALE_SEC - 10
+    os.utime(lock, (old, old))
+    stats = sim.compact_index(spark, path)
+    assert stats["files_after"] < stats["files_before"]
+    assert not os.path.exists(lock)  # released on exit
+    assert not os.path.exists(path + ".compacting")  # stale staging swept
+
+
 def test_block_cap_boundary_semantics(spark):
     """The over-cap guard must fire exactly at the boundary (review
     finding r11: the fixture blocks all sit far under cap, so the 136/136

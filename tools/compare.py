@@ -3,11 +3,19 @@ entry on Spark and its oracle_sql() on DuckDB at a given sf dir, compare
 row count + sorted-column value hash.  Usage:
 
     python tools/compare.py [sf_dir] [query ...]
+
+Output: one OK/FAIL/SKIP line per query, then a FINAL machine-readable
+JSON summary line (VERDICT r11 ask #7) —
+``{"summary": "compare", "total": N, "ok": N, "skip": N,
+"failures": [...], "skipped": [...], "sf_dir": ...}`` — so
+tools/verify_all.py and any independent gate runner parse the result
+instead of scraping the textual lines (robust to format drift).
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import sys
 import time
@@ -55,7 +63,9 @@ def main() -> int:
         if os.path.exists(path):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
-    failures = 0
+    failures: list[str] = []
+    skipped: list[str] = []
+    ok = 0
     for name in only:
         fn = QUERIES[name]
         t0 = time.time()
@@ -63,28 +73,29 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
-            failures += 1
+            failures.append(name)
             continue
         t_spark = time.time() - t0
         if name not in ORACLES:
             print(f"SKIP  {name}: no oracle (rows={len(sdf)}, {t_spark:.1f}s)")
+            skipped.append(name)
             continue
         try:
             odf = con.sql(ORACLES[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
-            failures += 1
+            failures.append(name)
             continue
         if len(sdf) != len(odf):
             print(f"FAIL  {name}: rows spark={len(sdf)} oracle={len(odf)}")
-            failures += 1
+            failures.append(name)
             continue
         if sorted(sdf.columns) != sorted(odf.columns):
             print(
                 f"FAIL  {name}: columns spark={sorted(sdf.columns)} "
                 f"oracle={sorted(odf.columns)}"
             )
-            failures += 1
+            failures.append(name)
             continue
         hs, ho = value_hash(sdf), value_hash(odf)
         if hs != ho:
@@ -96,9 +107,26 @@ def main() -> int:
             else:
                 print("  spark head:\n", a.head(5))
                 print("  oracle head:\n", b.head(5))
-            failures += 1
+            failures.append(name)
             continue
+        ok += 1
         print(f"OK    {name}: {len(sdf)} rows match ({t_spark:.1f}s spark)")
+    # Machine-readable summary, LAST line (VERDICT r11 ask #7): consumed
+    # by tools/verify_all.py and independent gate runs instead of
+    # scraping the per-query lines above.
+    print(
+        json.dumps(
+            {
+                "summary": "compare",
+                "sf_dir": sf_dir,
+                "total": len(only),
+                "ok": ok,
+                "skip": len(skipped),
+                "failures": failures,
+                "skipped": skipped,
+            }
+        )
+    )
     return 1 if failures else 0
 
 

