@@ -310,6 +310,17 @@ def minhash_lsh_candidates(
     bucket min, disconnecting a component an all-pairs run would have
     joined.  Pass ``max_bucket_size=None`` to disable the guard.
 
+    Measured recall cost (SCALE_r12 ``capped_recall.minhash_star``,
+    VERDICT r11 ask #2): at 1.5M docs the default cap trips on 6,494
+    band buckets (97M pair capacity); exact-verifying an 86k-pair sample
+    across 20 of them found 1,555 true (jaccard ≥ 0.4) pairs of which
+    **every one was still emitted** via another band or a star edge —
+    measured missed-pair fraction 0.0.  The 16-band redundancy is the
+    backstop: a capped bucket's true pairs re-collide in under-cap
+    buckets of other bands with probability 1-(1-j⁴)¹⁵ (≥ 0.93 at the
+    0.5 threshold), so the cap trades effectively nothing on real
+    near-dup distributions while bounding the worst case.
+
     The band join and the pair-dedup shuffle only (id, band_key) /
     (id_a, id_b) — never the shingle sets.  A duplicate pair collides in
     up to ``bands`` bands, so carrying both shingle-hash sets through the
@@ -990,6 +1001,7 @@ def connected_components_star(
     max_iterations: int = 20,
     checkpoint_dir: str | None = None,
     check_interval: int = 1,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components by alternating LARGE-STAR / SMALL-STAR
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -1023,7 +1035,24 @@ def connected_components_star(
     sf0.1 dedup graph, which converges in 1 round); ``check_interval>1``
     remains available for genuinely deep graphs where rounds are cheap
     relative to their count.
+
+    ``stats`` (VERDICT r11 ask #4): pass a dict to receive the profiling
+    breakdown the SCALE rehearsal publishes — ``iterations`` and a
+    ``rounds`` list of per-iteration ``{"sec", "probe_sec", "edges"}``
+    (edge count AFTER that round's contraction, measured on the pinned
+    frame so the extra count scans checkpointed blocks, not lineage).
+    Profiling-only: the edge counts add one tiny job per round, so leave
+    it ``None`` on the production path.
+
+    Measured scaling (SCALE_r12 ``cc_profile``): the LSH near-dup graph
+    converges in ONE round at both 15k and 1.5M docs (17.8 s at 1.73M
+    edges — r11's "215 s CC at 100×" was candidate GENERATION, which the
+    profile leg now times separately), and a worst-case 20k-diameter
+    path converges in 15 rounds ≈ log₂(n) — rounds are bounded by the
+    alternation, not the diameter.
     """
+    import time as _time
+
     if check_interval < 1:
         raise ValueError("check_interval must be >= 1")
     if max_iterations < 1:
@@ -1045,7 +1074,12 @@ def connected_components_star(
         ).filter(F.col("u") != F.col("v"))
     )
 
+    if stats is not None:
+        stats["rounds"] = []
+        stats["initial_edges"] = e.count()
+
     for it in range(max_iterations):
+        t_round = _time.time()
         # ---- large-star over the symmetric neighbourhood view ----
         sym = e.unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -1070,6 +1104,7 @@ def connected_components_star(
             .unionByName(smin.select("u", F.col("m").alias("v")))
             .distinct()
         )
+        t_probe = _time.time()
         if (it + 1) % check_interval == 0 or it == max_iterations - 1:
             chained = (
                 e.select("v")
@@ -1077,6 +1112,16 @@ def connected_components_star(
                 .limit(1)
                 .count()
             )
+        if stats is not None:
+            stats["rounds"].append(
+                {
+                    "sec": round(_time.time() - t_round, 2),
+                    "probe_sec": round(_time.time() - t_probe, 2),
+                    "edges": e.count(),
+                }
+            )
+            stats["iterations"] = it + 1
+        if (it + 1) % check_interval == 0 or it == max_iterations - 1:
             if chained == 0:
                 break
     if chained != 0:

@@ -428,9 +428,19 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_embedding's attribute block.  max_block=5000 applies the
     pre-join over-cap guard (same discipline as minhash_lsh_candidates /
     basket_pairs): an orthant-hot bucket of templated embeddings is
-    skipped — a documented recall trade — instead of exploding into
-    bucket² pairs; the cap sits in the oracle SQL too, so the certified
-    semantics include it."""
+    skipped instead of exploding into bucket² pairs; the cap sits in the
+    oracle SQL too, so the certified semantics include it.
+
+    Measured recall cost (SCALE_r12 ``capped_recall.embedding_skip``,
+    VERDICT r11 ask #2): no natural bucket approaches the cap at
+    rehearsal scale (0 over-cap of 256 orthants); a planted 6,000-vector
+    hot orthant loses, by the skip policy, the whole bucket — est.
+    1.71M true (cosine ≥ 0.99) pairs at a 0.095 sampled true rate — plus
+    8 natural collateral pairs sharing the orthant, with every other
+    bucket's output verified identical.  Unlike the banded MinHash path
+    there is NO second chance for a skipped bucket (one hash, one
+    bucket), so the cap should stay an order of magnitude above natural
+    bucket sizes and hot buckets belong to a dedicated exact pass."""
     corpus = _emb_corpus(spark, sf_dir).withColumn(
         "bucket", sim.coordinate_sign_bucket(F.col("embedding"), 8)
     )

@@ -1999,10 +1999,19 @@ def fuzzy_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-joins the ≤1000-member blocks onto BOTH self-join inputs BEFORE
     the pair join, exactly the pre-join cap discipline of
     minhash_lsh_candidates and r11's basket_pairs fix: a degenerate block
-    is skipped (documented recall trade), never exploded into block²
-    pairs first.  The cap is in the oracle SQL too, so the certified
-    semantics include it.  Aggregated per block for a compact oracle
-    surface."""
+    is skipped, never exploded into block² pairs first.  The cap is in
+    the oracle SQL too, so the certified semantics include it.
+    Aggregated per block for a compact oracle surface.
+
+    Measured recall cost (SCALE_r12 ``capped_recall.fuzzy_skip``,
+    VERDICT r11 ask #2): no natural block exceeds the cap at rehearsal
+    scale (max ~100 members); a planted 1,500-member hot block loses,
+    by the skip policy, an estimated 18.6k edit-distance-1 pairs
+    (sampled true rate 0.0165 over a 400-member exact-levenshtein
+    sample), with every under-cap block's output verified identical.
+    As with the embedding skip there is no banding redundancy here — a
+    skipped block is gone, so a production hot block (placeholder
+    names) should route to a dedicated pass, not a bigger cap."""
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id"),
         F.col("c_name").alias("name"),

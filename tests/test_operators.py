@@ -761,6 +761,40 @@ def test_star_contraction_empty_and_single_edge(spark):
     assert got == {(2, 2), (5, 2)}
 
 
+def test_star_contraction_stats_hook(spark):
+    """The profiling hook (VERDICT r11 ask #4) must report iterations and
+    per-round wall/edges without changing the labelling, and a
+    deep-path graph must converge in O(log n) rounds — the property the
+    SCALE rehearsal's cc_profile leg publishes."""
+    import math
+
+    from meerkat_abacus_spark.datapipe.dedup import connected_components_star
+
+    n = 200  # diameter-200 path: label propagation would need ~200 hops
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], schema="id_a long, id_b long"
+    )
+    stats: dict = {}
+    got = {
+        (r.node, r.component)
+        for r in connected_components_star(path, stats=stats).collect()
+    }
+    assert got == {(i, 0) for i in range(n + 1)}
+    assert stats["initial_edges"] == n
+    assert stats["iterations"] == len(stats["rounds"])
+    # O(log n) alternation rounds, NOT O(diameter)
+    assert 1 <= stats["iterations"] <= 2 * int(math.log2(n)) + 2
+    for r in stats["rounds"]:
+        assert set(r) == {"sec", "probe_sec", "edges"}
+        assert r["edges"] >= 0 and r["sec"] >= 0
+    # stats=None (the production path) is unaffected
+    plain = {
+        (r.node, r.component)
+        for r in connected_components_star(path).collect()
+    }
+    assert plain == got
+
+
 def test_span_dedup_removal_semantics(spark):
     """Cross-document span removal (r9): keep-first ownership, overlapping
     windows merging into one maximal span, intra-doc repeats kept, short

@@ -526,6 +526,374 @@ def hot_basket_leg(spark, sf_dir: str, hot_parts: int = 30_000) -> dict:
     return out
 
 
+def capped_recall_minhash(
+    spark, docs_dir: str, sample_buckets: int = 20, sample_members: int = 120
+) -> dict:
+    """Quantify the MinHash bucket-cap recall trade (VERDICT r11 ask #2).
+
+    The STAR policy (datapipe/dedup.py minhash_lsh_candidates) bounds an
+    over-cap band bucket at O(n) star edges instead of O(n²) pairs — a
+    similar pair inside such a bucket survives only if another band emits
+    it or one member IS the bucket minimum.  This leg measures what that
+    actually costs on the 100×-docs corpus: sample ``sample_buckets``
+    over-cap buckets uniformly (md5 order), exact-verify Jaccard on up to
+    ``sample_members`` members each, and check which verified-true pairs
+    the shipped candidate generator emitted anyway.  The per-pair rates
+    extrapolate by pair capacity (ratio estimator) to ALL capped buckets;
+    pairs sitting in several capped buckets can be counted once per
+    bucket, so the extrapolated miss is an UPPER bound.
+
+    Driver-side collects are bounded metadata: the (band_key, n) list of
+    over-cap buckets (6.5k rows at 1.5M docs) and per-bucket sample
+    counts."""
+    import hashlib
+
+    from pyspark.sql import Window
+
+    from meerkat_abacus_spark.datapipe import dedup as dd
+    from meerkat_abacus_spark.queries import MINHASH_CFG
+    from meerkat_abacus_spark.queries._shared import _doc_corpus3
+    from meerkat_abacus_spark.queries.dedup import _verified_candidates
+
+    cfg = MINHASH_CFG
+    cap = cfg["max_bucket_size"]
+    corpus = _doc_corpus3(spark, docs_dir)
+    hs = dd.staged_shingle_hash_rows(
+        corpus, "doc_id", "text", cfg["shingle_k"]
+    ).localCheckpoint(eager=False)
+    keys = dd.lsh_band_key_rows(
+        corpus, "doc_id", "text", cfg["shingle_k"], cfg["num_hashes"],
+        cfg["bands"], cfg["rows_per_band"], staged=hs,
+    ).localCheckpoint(eager=True)
+    capped_rows = (
+        keys.groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > cap)
+        .collect()
+    )
+    out: dict = {"cap": cap, "capped_buckets": len(capped_rows)}
+    if not capped_rows:
+        out.update(
+            {"est_missed_true_pairs": 0, "missed_fraction": 0.0}
+        )
+        return out
+
+    def _cap2(n: int) -> int:
+        return n * (n - 1) // 2
+
+    total_capacity = sum(_cap2(r["n"]) for r in capped_rows)
+    sampled = sorted(
+        capped_rows,
+        key=lambda r: hashlib.md5(str(r["band_key"]).encode()).hexdigest(),
+    )[:sample_buckets]
+    skeys = [r["band_key"] for r in sampled]
+
+    w = Window.partitionBy("band_key").orderBy(
+        F.md5(F.col("id").cast("string")), F.col("id")
+    )
+    mem = (
+        keys.filter(F.col("band_key").isin(skeys))
+        .select("band_key", "id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= sample_members)
+        .select("band_key", "id")
+        .localCheckpoint(eager=True)
+    )
+    pairs = (
+        mem.alias("a")
+        .join(
+            mem.alias("b"),
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.band_key").alias("band_key"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+        )
+    )
+    # exact verification on the sampled pairs (same jaccard as the engine)
+    jpairs = pairs.join(
+        hs.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a")),
+        "id_a",
+    ).join(
+        hs.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    union = F.size(F.col("hs_a")) + F.size(F.col("hs_b")) - inter
+    true_pairs = (
+        jpairs.select(
+            "band_key", "id_a", "id_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.4)
+        .localCheckpoint(eager=True)
+    )
+    # which true pairs did the shipped generator emit anyway (other band,
+    # or one member is the bucket min)?  _verified_candidates is the
+    # SHARED cached frame the dedup_clusters query itself serves from.
+    cands = _verified_candidates(spark, docs_dir, corpus, "corpus3")
+    missed = true_pairs.join(
+        cands.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+    )
+
+    sampled_pairs = pairs.count()
+    n_true = true_pairs.count()
+    n_missed = missed.count()
+    verified_total = cands.count()
+    true_rate = n_true / sampled_pairs if sampled_pairs else 0.0
+    missed_rate = n_missed / sampled_pairs if sampled_pairs else 0.0
+    est_missed = missed_rate * total_capacity
+    est_true = true_rate * total_capacity
+    out.update(
+        {
+            "sampled_buckets": len(sampled),
+            "sampled_pairs": sampled_pairs,
+            "sampled_true_pairs": n_true,
+            "sampled_missed_true_pairs": n_missed,
+            "recovered_fraction": (
+                round(1.0 - n_missed / n_true, 4) if n_true else None
+            ),
+            "capped_pair_capacity": total_capacity,
+            "est_true_pairs_in_capped": int(est_true),
+            "est_missed_true_pairs": int(est_missed),
+            "verified_pairs_total": verified_total,
+            "missed_fraction": (
+                round(est_missed / (verified_total + est_missed), 6)
+                if (verified_total + est_missed)
+                else 0.0
+            ),
+        }
+    )
+    return out
+
+
+def capped_recall_embedding(spark, sf_dir: str, plant: int = 6000) -> dict:
+    """Quantify the sign-LSH embedding cap's SKIP-policy recall trade
+    (VERDICT r11 ask #2).  dedup_embedding_lsh drops an over-cap orthant
+    bucket whole (max_block=5000) — on this corpus no natural bucket is
+    over-cap (reported), so the leg PLANTS one: ``plant`` vectors sharing
+    one base vector's orthant, a third of them near-identical jitters
+    (pairwise cosine ≥ 0.99 — true dups the skip loses) and the rest
+    magnitude-perturbed decoys (same signs, cosine < 0.99).  A sampled
+    exact-cosine pass measures the bucket's true-pair rate, extrapolated
+    to the bucket's pair capacity = the measured recall loss; the natural
+    under-cap pairs are unaffected (asserted identical)."""
+    import numpy as np
+
+    from meerkat_abacus_spark.datapipe import dedup as dd
+    from meerkat_abacus_spark.datapipe import similarity as sim
+    from meerkat_abacus_spark.queries._shared import _emb_corpus
+
+    corpus = _emb_corpus(spark, sf_dir)
+    cap = 5000
+    bucketed = corpus.withColumn(
+        "bucket", sim.coordinate_sign_bucket(F.col("embedding"), 8)
+    )
+    natural_over = (
+        bucketed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > cap)
+        .count()
+    )
+    base = corpus.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    rng = np.random.RandomState(7)
+    n_dup = plant // 3
+    rows = []
+    for i in range(plant):
+        v = np.asarray(base, dtype=np.float64)
+        if i < n_dup:  # tiny jitter: pairwise cosine stays >= 0.99
+            v = v * (1.0 + 0.002 * rng.standard_normal(len(v)))
+        else:  # same signs (same orthant), cosine pushed < 0.99
+            # 1.5x magnitude spread measured: decoy-decoy max cosine
+            # 0.985, decoy-dup max 0.984 — clean margin under the 0.99
+            # verify threshold (0.6x leaked decoy pairs at 0.994)
+            v = v * (1.0 + 1.5 * rng.rand(len(v)))
+        rows.append((5_000_000 + i, [float(x) for x in v]))
+    planted = spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<double>"
+    ).withColumn("label", F.lit(-1))
+    full = corpus.unionByName(planted)
+
+    def lsh_pairs(c):
+        cb = c.withColumn(
+            "bucket", sim.coordinate_sign_bucket(F.col("embedding"), 8)
+        )
+        return dd.embedding_near_dup_pairs(
+            cb, id_col="vec_id", vec_col="embedding", block_col="bucket",
+            min_cosine=0.99, max_block=cap,
+        ).select("id_a", "id_b")
+
+    base_pairs = sorted(map(tuple, lsh_pairs(corpus).collect()))
+    planted_pairs = sorted(map(tuple, lsh_pairs(full).collect()))
+    # collateral loss: NATURAL vectors sharing the plant's orthant are in
+    # the over-cap bucket too — their previously-emitted pairs drop with
+    # it; pairs in every OTHER bucket must be untouched
+    hot_bucket = (
+        planted.withColumn(
+            "bucket", sim.coordinate_sign_bucket(F.col("embedding"), 8)
+        )
+        .select("bucket")
+        .first()["bucket"]
+    )
+    hot_ids = {
+        r["vec_id"]
+        for r in bucketed.filter(F.col("bucket") == hot_bucket)
+        .select("vec_id")
+        .collect()
+    }
+    lost_natural = [p for p in base_pairs if p[0] in hot_ids]
+    expected_after = [p for p in base_pairs if p[0] not in hot_ids]
+
+    # exact-verify a member sample of the planted (skipped) bucket
+    m = 200
+    sample = planted.orderBy(F.md5(F.col("vec_id").cast("string"))).limit(m)
+    sampled_true = (
+        dd.embedding_near_dup_pairs(
+            sample.withColumn("blk", F.lit(1)),
+            id_col="vec_id", vec_col="embedding", block_col="blk",
+            min_cosine=0.99,
+        )
+    ).count()
+    rate = sampled_true / (m * (m - 1) // 2)
+    capacity = plant * (plant - 1) // 2
+    return {
+        "cap": cap,
+        "natural_capped_buckets": natural_over,
+        "planted_bucket_size": plant,
+        "planted_true_members": n_dup,
+        "sampled_members": m,
+        "sampled_true_rate": round(rate, 4),
+        "est_lost_true_pairs": int(rate * capacity),
+        "natural_pairs_lost_in_hot_bucket": len(lost_natural),
+        "other_buckets_unaffected": planted_pairs == expected_after,
+        "baseline_true_pairs": len(base_pairs),
+    }
+
+
+def capped_recall_fuzzy(spark, sf_dir: str, plant: int = 1500) -> dict:
+    """Quantify fuzzy_name_linkage's block-cap SKIP recall trade (VERDICT
+    r11 ask #2).  No natural sf0.1 block exceeds the ≤1000 guard
+    (reported), so the leg plants ONE hot block — ``plant`` names sharing
+    the blocking prefix, seeded with known edit-distance-1 pairs — and
+    exact-verifies a member sample with the query's own levenshtein ≤ 1
+    predicate.  The skip loses the whole block: measured rate ×
+    capacity = the recall bound; under-cap blocks are asserted
+    unaffected."""
+    from meerkat_abacus_spark.queries import QUERIES, _t
+
+    cust = _t(spark, sf_dir, "customer")
+    natural_over = (
+        cust.groupBy(F.substring("c_name", 10, 7).alias("blk"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1000)
+        .count()
+    )
+    # planted names: Customer#HOTBLOCK prefix → one shared blk "HOTBLOC";
+    # pairs (2g, 2g+1) differ by one trailing char → levenshtein 1
+    rows = []
+    for i in range(plant):
+        g, variant = divmod(i, 2)
+        rows.append(
+            (9_000_000 + i, f"Customer#HOTBLOCKnm{g:05d}{'x' if variant else 'y'}")
+        )
+    planted = spark.createDataFrame(rows, schema="c_custkey long, c_name string")
+    planted_dir = tempfile.gettempdir() + "/msa_fuzzy_hot"
+    shutil.rmtree(planted_dir, ignore_errors=True)
+    os.makedirs(planted_dir)
+    cust.select("c_custkey", "c_name").unionByName(planted).write.parquet(
+        planted_dir + "/customer.parquet"
+    )
+
+    base_rows = sorted(
+        map(tuple, QUERIES["fuzzy_name_linkage"](spark, sf_dir).collect())
+    )
+    hot_rows = sorted(
+        map(tuple, QUERIES["fuzzy_name_linkage"](spark, planted_dir).collect())
+    )
+    # exact-verify a sample of the planted block with the same predicate
+    m = 400
+    sample = planted.orderBy(F.md5(F.col("c_custkey").cast("string"))).limit(m)
+    sampled_true = (
+        sample.alias("a")
+        .join(
+            sample.alias("b"),
+            F.col("a.c_custkey") < F.col("b.c_custkey"),
+        )
+        .filter(
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1
+        )
+        .count()
+    )
+    rate = sampled_true / (m * (m - 1) // 2)
+    capacity = plant * (plant - 1) // 2
+    shutil.rmtree(planted_dir, ignore_errors=True)
+    return {
+        "cap": 1000,
+        "natural_capped_blocks": natural_over,
+        "planted_block_size": plant,
+        # the x/y variants seed distance-1 pairs, but near-identical
+        # serials (nm00001x vs nm00002x) are ALSO within distance 1 —
+        # the sampled rate measures the block's REAL pair population
+        # under the query's own predicate, which is the point
+        "seeded_variant_pairs": plant // 2,
+        "sampled_members": m,
+        "sampled_true_rate": round(rate, 6),
+        "est_lost_true_pairs": int(round(rate * capacity)),
+        "under_cap_blocks_unaffected": base_rows == hot_rows,
+        "baseline_blocks": len(base_rows),
+    }
+
+
+def cc_profile_leg(spark, sf_dirs: dict) -> dict:
+    """Per-iteration connected-components breakdown (VERDICT r11 ask #4):
+    for each labelled corpus, materialize the verified LSH pairs FIRST
+    (so candidate generation is excluded from the CC wall — r11's 215 s
+    "CC" number conflated the two), then run
+    ``connected_components_star`` with its stats hook and publish
+    iterations, per-round wall/probe and the contracting edge counts."""
+    from meerkat_abacus_spark.datapipe import dedup as dd
+    from meerkat_abacus_spark.queries._shared import _doc_corpus3
+    from meerkat_abacus_spark.queries.dedup import _verified_candidates
+
+    out = {}
+    for label, d in sf_dirs.items():
+        corpus = _doc_corpus3(spark, d)
+        v = _verified_candidates(spark, d, corpus, "corpus3")
+        t0 = time.time()
+        n_edges = v.count()  # force the cached candidates frame
+        gen_sec = round(time.time() - t0, 2)
+        stats: dict = {}
+        t0 = time.time()
+        comps = dd.connected_components_star(v, stats=stats)
+        nodes = comps.count()
+        out[label] = {
+            "candidates_materialize_sec": gen_sec,
+            "cc_wall_sec": round(time.time() - t0, 2),
+            "verified_edges": n_edges,
+            "component_nodes": nodes,
+            **stats,
+        }
+    # worst-case STRUCTURE demo: a 20k-node path (diameter 20k) must
+    # converge in O(log n) alternation rounds, where label propagation
+    # would need 20k hops — the property that makes the operator safe on
+    # arbitrary 100 TB near-dup graphs, not just diameter-2 LSH output
+    path = spark.range(20_000).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    stats = {}
+    t0 = time.time()
+    n = dd.connected_components_star(path, stats=stats).count()
+    out["deep_path_20k"] = {
+        "cc_wall_sec": round(time.time() - t0, 2),
+        "nodes": n,
+        "iterations": stats.get("iterations"),
+        "edges_by_round": [r["edges"] for r in stats.get("rounds", [])],
+    }
+    return out
+
+
 def main() -> None:
     from meerkat_abacus_spark.session import get_spark
 
@@ -595,43 +963,58 @@ def main() -> None:
     report["pipeline_scale_ratio_100x_data"] = round(b / a, 2) if a else None
     shutil.rmtree(dest100, ignore_errors=True)
 
-    # --- 100x-docs dedup leg (env-gated: ~5 min extra; run once per
-    # round, not on every verify_all pass) --- the question it answers is
-    # the 1000x one: the 10x legs show ratios, this shows the SAME
-    # bucket-cap discipline holding two decades up, with the waterfall
-    # proving candidate growth stays pair-bounded, not quadratic.
-    if os.environ.get("SPARK_GRAFT_DEDUP_100X"):
-        dest100d = tempfile.gettempdir() + "/msa_scale_docs100"
-        shutil.rmtree(dest100d, ignore_errors=True)
-        build_docs_100x(spark, src, dest100d)
-        from meerkat_abacus_spark.queries import QUERIES
-        from meerkat_abacus_spark.queries.dedup import clear_candidate_cache
+    # --- 100x-docs dedup leg (un-gated r12, VERDICT r11 ask #5 — ~5 min;
+    # every round publishes it now) --- the question it answers is the
+    # 1000x one: the 10x legs show ratios, this shows the SAME bucket-cap
+    # discipline holding two decades up, with the waterfall proving
+    # candidate growth stays pair-bounded, not quadratic.
+    dest100d = tempfile.gettempdir() + "/msa_scale_docs100"
+    shutil.rmtree(dest100d, ignore_errors=True)
+    build_docs_100x(spark, src, dest100d)
+    from meerkat_abacus_spark.queries import QUERIES
+    from meerkat_abacus_spark.queries.dedup import clear_candidate_cache
 
-        # The earlier corpora's candidate caches are dead weight here and
-        # their storage pressure is what pushes Spark's CacheManager into
-        # its flaky rebuild path (observed: NPE in tryRebuildCacheEntry /
-        # CachedRDDBuilder.copy under GC pressure on the 1.5M-doc leg).
-        # Release them before the biggest corpus runs.
-        clear_candidate_cache()
-        spark.catalog.clearCache()
+    # The earlier corpora's candidate caches are dead weight here and
+    # their storage pressure is what pushes Spark's CacheManager into
+    # its flaky rebuild path (observed: NPE in tryRebuildCacheEntry /
+    # CachedRDDBuilder.copy under GC pressure on the 1.5M-doc leg).
+    # Release them before the biggest corpus runs.
+    clear_candidate_cache()
+    spark.catalog.clearCache()
 
-        leg: dict = {}
-        for name in ("dedup_minhash_lsh", "dedup_clusters"):
-            t0 = time.time()
-            n = QUERIES[name](spark, dest100d).count()
-            leg[name] = {"sec": round(time.time() - t0, 2), "rows": n}
-        leg.update(bucket_stats(spark, dest100d))
-        report["dedup_100x"] = {
-            "sf~10_docs": leg,
-            "clusters_waterfall": candidate_waterfall(spark, dest100d),
-        }
-        for name in ("dedup_minhash_lsh", "dedup_clusters"):
-            a = report["sf0.1"][name]["sec"]
-            b = leg[name]["sec"]
-            report[f"{name}_scale_ratio_100x_data"] = (
-                round(b / a, 2) if a else None
-            )
-        shutil.rmtree(dest100d, ignore_errors=True)
+    leg: dict = {}
+    for name in ("dedup_minhash_lsh", "dedup_clusters"):
+        t0 = time.time()
+        n = QUERIES[name](spark, dest100d).count()
+        leg[name] = {"sec": round(time.time() - t0, 2), "rows": n}
+    leg.update(bucket_stats(spark, dest100d))
+    report["dedup_100x"] = {
+        "sf~10_docs": leg,
+        "clusters_waterfall": candidate_waterfall(spark, dest100d),
+    }
+    for name in ("dedup_minhash_lsh", "dedup_clusters"):
+        a = report["sf0.1"][name]["sec"]
+        b = leg[name]["sec"]
+        report[f"{name}_scale_ratio_100x_data"] = (
+            round(b / a, 2) if a else None
+        )
+
+    # --- CC per-iteration profile (VERDICT r11 ask #4): splits the
+    # dedup_clusters wall into candidate generation vs the star
+    # contraction proper, with per-round wall/probe/edge counts, plus a
+    # worst-case 20k-diameter path demo ---
+    report["cc_profile"] = cc_profile_leg(
+        spark, {"sf0.1": src, "sf~10_docs": dest100d}
+    )
+
+    # --- over-cap recall quantification (VERDICT r11 ask #2): what the
+    # three cap policies actually cost in true pairs ---
+    report["capped_recall"] = {
+        "minhash_star": capped_recall_minhash(spark, dest100d),
+        "embedding_skip": capped_recall_embedding(spark, src),
+        "fuzzy_skip": capped_recall_fuzzy(spark, src),
+    }
+    shutil.rmtree(dest100d, ignore_errors=True)
 
     print(json.dumps(report))
     shutil.rmtree(dest, ignore_errors=True)
