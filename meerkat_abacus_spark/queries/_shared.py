@@ -63,6 +63,96 @@ def _scratch_ready(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
+def _proc_scratch_tag(sf_dir: str) -> str:
+    """Per-PROCESS variant of :func:`_scratch_tag` for rebuild-per-call
+    fixtures (streaming replays, upsert targets): those sites ``rmtree``
+    their scratch at the top of every invocation, so a dataset-shared path
+    buys no reuse — it only lets two concurrent verification processes
+    (e.g. the driver's bench alongside a compare run) delete each other's
+    live checkpoints mid-stream.  The pid suffix makes each process's
+    fixture private; within one process the path is still stable, so the
+    rmtree-then-rebuild lifecycle is unchanged."""
+    import os
+
+    return f"{_scratch_tag(sf_dir)}_p{os.getpid()}"
+
+
+class ScratchBuildTimeout(RuntimeError):
+    """Waited too long for another process's shared-scratch build."""
+
+
+def build_shared_scratch(
+    lock_base: str,
+    ready_fn,
+    build_fn,
+    stale_sec: float = 1800.0,
+    wait_timeout: float = 1200.0,
+    poll_sec: float = 0.25,
+) -> None:
+    """Cross-process-safe gated build of a SHARED scratch artifact (the
+    persisted ANN indexes, the csv/orc/jsonl round-trip fixtures).
+
+    The unguarded pattern ``if not ready(): rmtree(); build(); mark()``
+    races under concurrent processes: both see not-ready, both build into
+    the same path, and one rmtree lands on the other's half-written tree
+    (observed this round: two verification runs colliding on a streaming
+    fixture).  Same failure class as the compaction race closed by
+    ``similarity._CompactLock`` (ADVICE r11 #2) — this is the BUILD-side
+    lock, with wait-for-ready semantics instead of raise-on-contention:
+
+    - fast path: ``ready_fn()`` true → return, no lock traffic;
+    - O_EXCL lock acquired → re-check ``ready_fn`` UNDER the lock (the
+      previous holder may have finished the build), run ``build_fn``;
+      the lock is released in a finally, so a crashed build leaves the
+      path not-ready and the next caller rebuilds;
+    - lock held by another process → poll until it releases or the
+      artifact turns ready; a lock older than ``stale_sec`` is presumed
+      crashed and broken (O_EXCL re-arbitrates racing breakers).
+
+    ``build_fn`` must leave the artifact in a state ``ready_fn`` accepts
+    (write the marker last); ``ready_fn`` must be cheap — it runs once per
+    poll tick while waiting."""
+    import os
+    import time
+
+    lock = lock_base + ".build.lock"
+    deadline = time.time() + wait_timeout
+    while True:
+        if ready_fn():
+            return
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(lock)
+            except OSError:
+                continue  # holder just released; retry immediately
+            if age > stale_sec:
+                try:
+                    os.unlink(lock)  # breakers re-race on O_EXCL
+                except OSError:
+                    pass
+                continue
+            if time.time() > deadline:
+                raise ScratchBuildTimeout(
+                    f"waited {wait_timeout:.0f}s for another process's "
+                    f"build lock at {lock}; artifact still not ready"
+                )
+            time.sleep(poll_sec)
+            continue
+        try:
+            os.write(fd, f"{os.getpid()} {time.time()}".encode())
+            os.close(fd)
+            if not ready_fn():  # re-check under the lock
+                build_fn()
+        finally:
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
+        return
+
+
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -86,7 +86,7 @@ def _lsh_index_path(
     ann_lsh_* call afterwards serves from the partition-pruned index."""
     import tempfile
 
-    from ._shared import _scratch_ready, _scratch_tag
+    from ._shared import _scratch_tag, build_shared_scratch
 
     # _v4: the build now rehearses the full MAINTENANCE lifecycle the
     # serving path must survive (VERDICT r9 ask #4) — base overwrite
@@ -109,7 +109,8 @@ def _lsh_index_path(
         # bench.py's index_build_sec metric: measure the REAL lifecycle
         # each round instead of reporting 0 when a scratch build survives
         os.remove(marker)
-    if not os.path.exists(marker):
+
+    def _build() -> None:
         shutil.rmtree(path, ignore_errors=True)
         shutil.rmtree(path + "_byid", ignore_errors=True)
         emb = _t(spark, sf_dir, "embeddings").select(
@@ -127,6 +128,12 @@ def _lsh_index_path(
         )
         sim.compact_index(spark, path)
         open(marker, "w").close()
+
+    # build-locked (same race class as similarity._CompactLock): two
+    # concurrent processes both seeing no marker must not rmtree each
+    # other's half-built index — one builds, the other waits on the lock
+    # and serves the finished tree
+    build_shared_scratch(path, lambda: os.path.exists(marker), _build)
     return path
 
 
@@ -236,7 +243,7 @@ def incremental_lsh_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from meerkat_abacus_spark.datapipe.curation import split_assignment
 
-    from ._shared import _scratch_tag
+    from ._shared import _scratch_tag, build_shared_scratch
 
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -249,7 +256,8 @@ def incremental_lsh_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = tagged.filter(F.col("__split") == "new").drop("__split")
     path = tempfile.gettempdir() + f"/msa_lshinc_v2_{_scratch_tag(sf_dir)}"
     marker = os.path.join(path, "_DELTA_APPENDED")
-    if not os.path.exists(marker):
+
+    def _build() -> None:
         shutil.rmtree(path, ignore_errors=True)
         shutil.rmtree(path + "_byid", ignore_errors=True)
         sim.write_lsh_index(
@@ -261,6 +269,8 @@ def incremental_lsh_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             nbits=_NBITS, mode="append",
         )
         open(marker, "w").close()
+
+    build_shared_scratch(path, lambda: os.path.exists(marker), _build)
     out = sim.lsh_topk_from_index_by_id(
         spark, path, list(range(20)), k=3, nbits=_NBITS, radius=2,
     )
@@ -496,19 +506,10 @@ def _recall_core_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("hits") / F.col("truth_n"), 4).alias("recall"),
     )
 
-@_register("ann_ivf_indexed", _ORACLES["ann_ivf_topk"])
-def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ivf_topk_from_index over the write_ivf_index layout: the probe's
-    list ids prune partitions at file-listing time (PartitionFilters in
-    the scan — tests/test_similarity_training.py asserts it).  Identical
-    fixture centroids and probes as ann_ivf_topk, so the driver's hash
-    compare certifies that the persisted serving path returns exactly the
-    in-memory answer."""
-    import os
-    import tempfile
-
-    from ._shared import _scratch_ready, _scratch_tag
-
+def _ivf_fixture(spark: SparkSession, sf_dir: str):
+    """The shared IVF serving fixture: (emb, centroids, probe queries) —
+    identical across ann_ivf_topk/indexed/dpp so they can share one
+    oracle and one persisted index."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -516,19 +517,30 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
     queries_df = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120))
+    return emb, centroids, queries_df
+
+
+def _ivf_index_path(spark: SparkSession, sf_dir: str, emb, centroids) -> str:
+    """Build-once path of the persisted IVF index for this dataset.
+
+    The _v4 build rehearses the maintenance lifecycle (VERDICT r9 ask #4):
+    base overwrite + delta append + compact_index — row/rank-preserving,
+    so the shared ann_ivf_topk oracle certifies the compacted tree.  A
+    _LIFECYCLE_DONE marker (written only after compaction) gates reuse:
+    parquet's _SUCCESS lands at the FIRST step, so a crash mid-lifecycle
+    would otherwise leave a partial index that later runs silently serve.
+    Build-locked (r12): concurrent processes serialize on the build lock
+    instead of rmtree-ing each other's half-built tree."""
     import os
     import shutil
+    import tempfile
 
-    # _v4 build rehearses the maintenance lifecycle (VERDICT r9 ask #4):
-    # base overwrite + delta append + compact_index — row/rank-preserving,
-    # so the shared ann_ivf_topk oracle certifies the compacted tree.
-    # A _LIFECYCLE_DONE marker (written only after compaction) gates
-    # reuse: parquet's _SUCCESS lands at the FIRST step, so a crash
-    # mid-lifecycle would otherwise leave a partial index that later runs
-    # silently serve.
+    from ._shared import _scratch_tag, build_shared_scratch
+
     path = tempfile.gettempdir() + f"/msa_ivfidx_v4_{_scratch_tag(sf_dir)}"
     lifecycle_marker = os.path.join(path, "_LIFECYCLE_DONE")
-    if not os.path.exists(lifecycle_marker):
+
+    def _build() -> None:
         shutil.rmtree(path, ignore_errors=True)
         sim.write_ivf_index(
             emb.filter(F.col("vec_id") % 5 != 0), centroids, path,
@@ -540,6 +552,23 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sim.compact_index(spark, path)
         open(lifecycle_marker, "w").close()
+
+    build_shared_scratch(
+        path, lambda: os.path.exists(lifecycle_marker), _build
+    )
+    return path
+
+
+@_register("ann_ivf_indexed", _ORACLES["ann_ivf_topk"])
+def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ivf_topk_from_index over the write_ivf_index layout: the probe's
+    list ids prune partitions at file-listing time (PartitionFilters in
+    the scan — tests/test_similarity_training.py asserts it).  Identical
+    fixture centroids and probes as ann_ivf_topk, so the driver's hash
+    compare certifies that the persisted serving path returns exactly the
+    in-memory answer."""
+    emb, centroids, queries_df = _ivf_fixture(spark, sf_dir)
+    path = _ivf_index_path(spark, sf_dir, emb, centroids)
     out = sim.ivf_topk_from_index(
         spark, path, queries_df, centroids,
         id_col="vec_id", vec_col="embedding", k=3, n_probe=2,
@@ -560,41 +589,8 @@ def ann_ivf_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the hash compare certifies the DPP path returns exactly the
     in-memory answer; tests/test_similarity_training.py asserts the
     dynamicpruning subquery is actually in the plan."""
-    import tempfile
-
-    from ._shared import _scratch_ready, _scratch_tag
-
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
-    centroids = emb.filter(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("centroid_id"), "embedding"
-    )
-    queries_df = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120))
-    import os
-    import shutil
-
-    # _v4 build rehearses the maintenance lifecycle (VERDICT r9 ask #4):
-    # base overwrite + delta append + compact_index — row/rank-preserving,
-    # so the shared ann_ivf_topk oracle certifies the compacted tree.
-    # A _LIFECYCLE_DONE marker (written only after compaction) gates
-    # reuse: parquet's _SUCCESS lands at the FIRST step, so a crash
-    # mid-lifecycle would otherwise leave a partial index that later runs
-    # silently serve.
-    path = tempfile.gettempdir() + f"/msa_ivfidx_v4_{_scratch_tag(sf_dir)}"
-    lifecycle_marker = os.path.join(path, "_LIFECYCLE_DONE")
-    if not os.path.exists(lifecycle_marker):
-        shutil.rmtree(path, ignore_errors=True)
-        sim.write_ivf_index(
-            emb.filter(F.col("vec_id") % 5 != 0), centroids, path,
-            id_col="vec_id", vec_col="embedding",
-        )
-        sim.write_ivf_index(
-            emb.filter(F.col("vec_id") % 5 == 0), centroids, path,
-            id_col="vec_id", vec_col="embedding", mode="append",
-        )
-        sim.compact_index(spark, path)
-        open(lifecycle_marker, "w").close()
+    emb, centroids, queries_df = _ivf_fixture(spark, sf_dir)
+    path = _ivf_index_path(spark, sf_dir, emb, centroids)
     out = sim.ivf_topk_from_index_join(
         spark, path, queries_df, centroids,
         id_col="vec_id", vec_col="embedding", k=3, n_probe=2,
@@ -626,7 +622,7 @@ def incremental_ann_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from meerkat_abacus_spark.datapipe.curation import split_assignment
 
-    from ._shared import _scratch_tag
+    from ._shared import _scratch_tag, build_shared_scratch
 
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -643,7 +639,8 @@ def incremental_ann_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = tagged.filter(F.col("__split") == "new").drop("__split")
     path = tempfile.gettempdir() + f"/msa_ivfinc_v3_{_scratch_tag(sf_dir)}"
     marker = os.path.join(path, "_DELTA_APPENDED")
-    if not os.path.exists(marker):
+
+    def _build() -> None:
         shutil.rmtree(path, ignore_errors=True)
         sim.write_ivf_index(
             old, centroids, path, id_col="vec_id", vec_col="embedding"
@@ -653,6 +650,8 @@ def incremental_ann_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             mode="append",
         )
         open(marker, "w").close()
+
+    build_shared_scratch(path, lambda: os.path.exists(marker), _build)
     out = sim.ivf_topk_from_index(
         spark, path, queries_df, centroids,
         id_col="vec_id", vec_col="embedding", k=3, n_probe=2,

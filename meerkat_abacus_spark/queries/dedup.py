@@ -739,7 +739,7 @@ def incremental_dedup_equals_batch(spark: SparkSession, sf_dir: str) -> DataFram
     old = tagged.filter(F.col("__split") == "old").drop("__split")
     new = tagged.filter(F.col("__split") == "new").drop("__split")
 
-    from ._shared import _scratch_ready, _scratch_tag
+    from ._shared import _scratch_ready, _scratch_tag, build_shared_scratch
 
     # _v5: the stored band keys changed with the r10 per-slot-independent
     # reduction in minhash_signature (ADVICE r9 #1) — a _v3 store from the
@@ -747,7 +747,8 @@ def incremental_dedup_equals_batch(spark: SparkSession, sf_dir: str) -> DataFram
     # for the r9 bit mix).
     base = tempfile.gettempdir() + f"/msa_incdedup_v5_{_scratch_tag(sf_dir)}"
     bands_p, pairs_p = base + "/bands_old", base + "/pairs_old"
-    if not (_scratch_ready(bands_p) and _scratch_ready(pairs_p)):
+
+    def _build_yesterday() -> None:
         # "yesterday's run": persist the band index and its verified pairs
         dd.lsh_band_key_rows(
             old, id_col="doc_id", text_col="text", **cfg
@@ -758,6 +759,14 @@ def incremental_dedup_equals_batch(spark: SparkSession, sf_dir: str) -> DataFram
         ).filter(F.col("jaccard") >= 0.4).select(
             "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
         ).write.mode("overwrite").parquet(pairs_p)
+
+    # both trees build under ONE lock on the shared base so a concurrent
+    # process can't read bands_p while pairs_p is still being written
+    build_shared_scratch(
+        base,
+        lambda: _scratch_ready(bands_p) and _scratch_ready(pairs_p),
+        _build_yesterday,
+    )
 
     bands_old = spark.read.parquet(bands_p)
     bands_new = dd.lsh_band_key_rows(

@@ -11,7 +11,7 @@ from meerkat_abacus_spark.functions.epi_week import (
 from meerkat_abacus_spark.operators.links import LinkDef, add_links, link_aggregate
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from ._shared import ORACLES, _register, _scratch_tag, _t
+from ._shared import ORACLES, _proc_scratch_tag, _register, _t
 from .surveillance import _ORDER_LINES_LINK
 from .warehouse import _UPS_W_SQL
 
@@ -46,7 +46,7 @@ def streaming_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerkat_abacus_spark.streaming.foreach_batch import stream_pipeline
 
     events = _t(spark, sf_dir, "events")
-    tag = _scratch_tag(sf_dir)
+    tag = _proc_scratch_tag(sf_dir)
     src = tempfile.gettempdir() + f"/msa_stream_src_{tag}"
     out = tempfile.gettempdir() + f"/msa_stream_out_{tag}"
     ckpt = tempfile.gettempdir() + f"/msa_stream_ckpt_{tag}"
@@ -148,7 +148,7 @@ def streaming_alerts_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame
     from meerkat_abacus_spark.streaming.foreach_batch import envelope_schema
 
     events = _t(spark, sf_dir, "events")
-    tag = _scratch_tag(sf_dir)
+    tag = _proc_scratch_tag(sf_dir)
     src = tempfile.gettempdir() + f"/msa_salerts_src_{tag}"
     out = tempfile.gettempdir() + f"/msa_salerts_out_{tag}"
     ckpt = tempfile.gettempdir() + f"/msa_salerts_ckpt_{tag}"
@@ -292,7 +292,7 @@ def incremental_links_equals_batch(spark: SparkSession, sf_dir: str) -> DataFram
     lineitem = _t(spark, sf_dir, "lineitem")
     li_old = lineitem.filter(F.col("l_linenumber") <= 3)
     li_new = lineitem.filter(F.col("l_linenumber") > 3)
-    path = tempfile.gettempdir() + f"/msa_increm_{_scratch_tag(sf_dir)}"
+    path = tempfile.gettempdir() + f"/msa_increm_{_proc_scratch_tag(sf_dir)}"
     shutil.rmtree(path, ignore_errors=True)
 
     def project(linked: DataFrame) -> DataFrame:
@@ -566,10 +566,10 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     src, ckpt = stage_replay_files(
-        tempfile.gettempdir() + f"/msa_sess_{_scratch_tag(sf_dir)}",
+        tempfile.gettempdir() + f"/msa_sess_{_proc_scratch_tag(sf_dir)}",
         time_quartile_slices(events),
     )
-    name = f"sess_{_scratch_tag(sf_dir)}"
+    name = f"sess_{_proc_scratch_tag(sf_dir)}"
     return run_sessionize_over_files(spark, src, ckpt, queryName=name)
 
 
@@ -651,7 +651,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("event_id", F.col("event_id") + 20_000_000)
 
     src, ckpt = stage_replay_files(
-        tempfile.gettempdir() + f"/msa_wincnt_{_scratch_tag(sf_dir)}",
+        tempfile.gettempdir() + f"/msa_wincnt_{_proc_scratch_tag(sf_dir)}",
         [
             events.filter(F.unix_micros("ts") <= mid),
             events.filter(F.unix_micros("ts") > mid),
@@ -659,7 +659,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return run_windowed_counts_over_files(
-        spark, src, ckpt, queryName=f"wincnt_{_scratch_tag(sf_dir)}"
+        spark, src, ckpt, queryName=f"wincnt_{_proc_scratch_tag(sf_dir)}"
     )
 
 
@@ -718,7 +718,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     late_replay = events.filter(F.unix_micros("ts") < mn + 86_400_000_000)
 
     src, ckpt = stage_replay_files(
-        tempfile.gettempdir() + f"/msa_sdedup_{_scratch_tag(sf_dir)}",
+        tempfile.gettempdir() + f"/msa_sdedup_{_proc_scratch_tag(sf_dir)}",
         [
             events.filter(F.unix_micros("ts") <= mid),
             events.filter(F.unix_micros("ts") > mid).unionByName(dup_replay),
@@ -726,7 +726,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     emitted = run_dedup_over_files(
-        spark, src, ckpt, queryName=f"sdedup_{_scratch_tag(sf_dir)}"
+        spark, src, ckpt, queryName=f"sdedup_{_proc_scratch_tag(sf_dir)}"
     )
     return emitted.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_emitted"),
@@ -771,11 +771,11 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
     src, ckpt = stage_replay_files(
-        tempfile.gettempdir() + f"/msa_ijoin_{_scratch_tag(sf_dir)}",
+        tempfile.gettempdir() + f"/msa_ijoin_{_proc_scratch_tag(sf_dir)}",
         time_quartile_slices(events),
     )
     joined = run_interval_join_over_files(
-        spark, src, ckpt, queryName=f"ijoin_{_scratch_tag(sf_dir)}"
+        spark, src, ckpt, queryName=f"ijoin_{_proc_scratch_tag(sf_dir)}"
     )
     return joined.groupBy((F.col("k") % 32).alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_pairs")
@@ -921,11 +921,11 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
     src, ckpt = stage_replay_files(
-        tempfile.gettempdir() + f"/msa_sesswin_{_scratch_tag(sf_dir)}",
+        tempfile.gettempdir() + f"/msa_sesswin_{_proc_scratch_tag(sf_dir)}",
         time_quartile_slices(events),
     )
     return run_session_window_over_files(
-        spark, src, ckpt, queryName=f"sesswin_{_scratch_tag(sf_dir)}"
+        spark, src, ckpt, queryName=f"sesswin_{_proc_scratch_tag(sf_dir)}"
     )
 
 

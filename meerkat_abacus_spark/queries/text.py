@@ -660,14 +660,17 @@ def jsonl_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from ._shared import _scratch_ready, _scratch_tag
+    from ._shared import _scratch_ready, _scratch_tag, build_shared_scratch
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
     path = tempfile.gettempdir() + f"/msa_jsonl_v1_{_scratch_tag(sf_dir)}"
-    if not _scratch_ready(path):
-        docs.write.mode("overwrite").json(path)
+    build_shared_scratch(
+        path,
+        lambda: _scratch_ready(path),
+        lambda: docs.write.mode("overwrite").json(path),
+    )
     back = spark.read.schema(
         "doc_id long, text string, lang string, source string, n_chars long"
     ).json(path)

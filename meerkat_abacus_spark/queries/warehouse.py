@@ -9,7 +9,7 @@ from meerkat_abacus_spark.functions.epi_week import (
 )
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from ._shared import _register, _scratch_tag, _t
+from ._shared import _proc_scratch_tag, _register, _scratch_tag, _t
 
 
 
@@ -219,7 +219,7 @@ def upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value", F.col("value") * 2
     )
 
-    path = tempfile.gettempdir() + f"/msa_upsert_{_scratch_tag(sf_dir)}"
+    path = tempfile.gettempdir() + f"/msa_upsert_{_proc_scratch_tag(sf_dir)}"
     shutil.rmtree(path, ignore_errors=True)
     keys = ["event_id", "event_type"]
     parts = ["event_type", "epi_week"]
@@ -284,7 +284,7 @@ def upsert_partition_move(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("value", F.col("value") * 2)
     )
 
-    path = tempfile.gettempdir() + f"/msa_upsmove_{_scratch_tag(sf_dir)}"
+    path = tempfile.gettempdir() + f"/msa_upsmove_{_proc_scratch_tag(sf_dir)}"
     shutil.rmtree(path, ignore_errors=True)
     shutil.rmtree(path + ".staging", ignore_errors=True)
     keys = ["event_id", "event_type"]
@@ -604,7 +604,7 @@ def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the scan a single pass with casts in codegen."""
     import tempfile
 
-    from ._shared import _scratch_ready
+    from ._shared import _scratch_ready, build_shared_scratch
 
     events = _t(spark, sf_dir, "events").select(
         "event_id",
@@ -619,8 +619,14 @@ def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "props",
     )
     path = tempfile.gettempdir() + f"/msa_csv_v2_{_scratch_tag(sf_dir)}"
-    if not _scratch_ready(path):
-        events.write.mode("overwrite").option("header", "true").csv(path)
+    # shared across processes: gate the overwrite behind the build lock so
+    # two concurrent verification runs can't interleave writes (the ready
+    # re-check under the lock makes the second caller a reader)
+    build_shared_scratch(
+        path,
+        lambda: _scratch_ready(path),
+        lambda: events.write.mode("overwrite").option("header", "true").csv(path),
+    )
     back = spark.read.schema(
         "event_id string, ts string, user_id string, event_type string, "
         "value string, props string"
@@ -987,14 +993,17 @@ def orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     end to end."""
     import tempfile
 
-    from ._shared import _scratch_ready, _scratch_tag
+    from ._shared import _scratch_ready, _scratch_tag, build_shared_scratch
 
     events = _t(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
     path = tempfile.gettempdir() + f"/msa_orc_v1_{_scratch_tag(sf_dir)}"
-    if not _scratch_ready(path):
-        events.write.mode("overwrite").orc(path)
+    build_shared_scratch(
+        path,
+        lambda: _scratch_ready(path),
+        lambda: events.write.mode("overwrite").orc(path),
+    )
     back = spark.read.orc(path)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
