@@ -704,21 +704,59 @@ def simhash_wide_pairs(
     ).filter(F.col("hamming") <= F.lit(max_hamming))
 
 
-def _apply_block_cap(base: DataFrame, max_block: int | None) -> DataFrame:
-    """Pre-join over-cap guard shared by the blocked pair generators: when
-    ``max_block`` is set, semi-join ``base`` (must carry a ``block``
-    column) against the ≤cap blocks so BOTH sides of the downstream
-    self-join are filtered before any pair forms.
+def _apply_block_cap(
+    base: DataFrame,
+    max_block: int | None,
+    policy: str = "skip",
+    order_col: str = "id",
+) -> DataFrame:
+    """Pre-join over-cap guard shared by the blocked pair generators:
+    when ``max_block`` is set, bound every block of ``base`` (must carry
+    a ``block`` column) BEFORE the downstream self-join so no over-cap
+    block can explode into block² pairs.
 
-    This is the SKIP policy — an over-cap block contributes nothing.
-    :func:`minhash_lsh_candidates` and the SimHash slice pairs implement
-    the sibling STAR policy (anti-join over-cap buckets, then emit star
-    edges to the bucket minimum) because THEIR consumer is connected
-    components, where dropping a bucket would split clusters; pairwise
-    verifiers have no connectivity to preserve, so skip is the right
-    recall trade here.  Two policies on purpose — don't unify them."""
+    Three policies across the repo — chosen per consumer, on purpose:
+
+    - ``policy="skip"``: semi-join against the ≤cap blocks — an over-cap
+      block contributes NOTHING.  Right when an over-cap block is noise
+      by domain semantics (basket_pairs: a 10^5-item basket carries no
+      co-occurrence signal).
+    - ``policy="sample"``: keep a deterministic ≤cap member subset of
+      EVERY block — ``row_number() OVER (PARTITION BY block ORDER BY
+      md5(order_col), order_col) <= cap``.  A hot block contributes
+      cap²/n² of its pairs instead of zero; the md5 order is a seedless
+      uniform shuffle both Spark and ANSI SQL oracles compute
+      identically.  Physical cost is the SAME shuffle the pair self-join
+      needs anyway (the window's hash partitioning and block-prefix sort
+      are reused by the sort-merge self-join), and Spark's
+      WindowGroupLimit runs the rank filter map-side (Partial) so a hot
+      block is bounded to ~cap rows per mapper BEFORE the shuffle.
+      Measured on the planted hot blocks of SCALE_r12 ``capped_recall``:
+      the embedding orthant cap recovers ~69% of the pairs skip lost,
+      the fuzzy block cap ~44% (cap²/n² of a 6000/5000 resp. 1500/1000
+      block), with every under-cap block byte-identical.
+    - STAR (:func:`minhash_lsh_candidates`, SimHash slice pairs): anti-
+      join over-cap buckets, then emit star edges to the bucket minimum
+      — THEIR consumer is connected components, where dropping or
+      sampling a bucket would split clusters; measured 0.0 missed-pair
+      fraction (other bands re-emit, SCALE_r12 ``capped_recall``).
+
+    Pairwise verifiers with real recall value (embedding/fuzzy) use
+    sample; domain-noise caps use skip; CC feeders use star."""
     if max_block is None:
         return base
+    if policy == "sample":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("block").orderBy(
+            F.md5(F.encode(F.col(order_col).cast("string"), "UTF-8")),
+            F.col(order_col),
+        )
+        return (
+            base.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_block)
+            .drop("__rn")
+        )
     sized = (
         base.groupBy("block")
         .agg(F.count(F.lit(1)).alias("__bn"))
@@ -736,21 +774,27 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     min_jaccard: float = 0.0,
     max_block: int | None = None,
+    cap_policy: str = "skip",
 ) -> DataFrame:
     """Exact word-k-gram Jaccard for all pairs *within a blocking key*.
 
     The block column bounds the quadratic term: pairs only form inside one
     shuffle partition's worth of same-key rows.  Use LSH candidates or a
     cheap attribute (language × length bucket) as the block; at scale set
-    ``max_block`` so a degenerate hot block is skipped (pre-join semi
-    guard on both inputs) rather than exploded into block² pairs.
+    ``max_block`` so a degenerate hot block is bounded BEFORE the pair
+    join (``cap_policy``: skip the block whole, or sample a
+    deterministic ≤cap subset — see :func:`_apply_block_cap`) rather
+    than exploded into block² pairs.
     """
     # Apply the cap on the CHEAP (block,id,text) projection, before the
     # tokenize+shingle Generates — counting rows per block must not pay
     # the shingle pipeline twice (the count branch can't prune a Generate
     # that determines cardinality).
     df = _apply_block_cap(
-        df.withColumn("block", F.col(block_col)), max_block
+        df.withColumn("block", F.col(block_col)),
+        max_block,
+        policy=cap_policy,
+        order_col=id_col,
     )
     # Generate barriers bind tokens then shingles to one evaluation each —
     # plain select staging collapses and re-splits per shingle element.
@@ -827,19 +871,23 @@ def embedding_near_dup_pairs(
     block_col: str,
     min_cosine: float = 0.95,
     max_block: int | None = None,
+    cap_policy: str = "skip",
 ) -> DataFrame:
     """Embedding near-duplicates within a blocking key (label, LSH bucket, …).
 
     Same discipline as :func:`ngram_jaccard_pairs`: the block bounds the
     pairwise term; at scale feed it sign-LSH buckets from
     :mod:`meerkat_abacus_spark.datapipe.similarity` AND set ``max_block``
-    — blocks over the cap are semi-join-filtered out of BOTH self-join
-    inputs BEFORE the pair join (the pre-join cap discipline of
+    — blocks over the cap are bounded on BOTH self-join inputs BEFORE
+    the pair join (the pre-join cap discipline of
     :func:`minhash_lsh_candidates` and r11's basket_pairs fix), so one
-    degenerate bucket (an orthant hot with templated embeddings) skips
-    its pairs instead of exploding into block² rows first.  ``None``
-    keeps all blocks — only for attribute blocks known small by
-    construction.
+    degenerate bucket (an orthant hot with templated embeddings) never
+    explodes into block² rows.  ``cap_policy="sample"`` keeps a
+    deterministic ≤cap subset of a hot bucket (recovers cap²/n² of its
+    pairs — ~69% on SCALE_r12's planted 6000-vector orthant — because
+    sign-LSH gives a skipped bucket NO second chance, unlike banded
+    MinHash); ``"skip"`` drops it whole.  ``None`` keeps all blocks —
+    only for attribute blocks known small by construction.
     """
     # Cap on the CHEAP projection first (ADVICE r11 #3, matching
     # ngram_jaccard_pairs' documented discipline): the cap's count branch
@@ -852,6 +900,7 @@ def embedding_near_dup_pairs(
             F.col(vec_col).alias("v"),
         ),
         max_block,
+        policy=cap_policy,
     ).withColumn("n", l2_norm(F.col("v")))
     a, b = base.alias("a"), base.alias("b")
     # norms precomputed per ROW (one fold each) instead of per PAIR —

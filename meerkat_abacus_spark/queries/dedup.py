@@ -411,10 +411,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed AS (
         SELECT c.*, ({_BUCKET_SQL.format(side='c')}) AS bucket FROM corpus c
     ),
-    sized AS (
-        SELECT bucket FROM bucketed GROUP BY 1 HAVING COUNT(*) <= 5000
+    ranked AS (
+        SELECT b.*, ROW_NUMBER() OVER (
+            PARTITION BY bucket
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM bucketed b
     ),
-    guarded AS (SELECT b.* FROM bucketed b JOIN sized USING (bucket))
+    guarded AS (SELECT * FROM ranked WHERE rn <= 5000)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND({_COS_SQL}, 3) AS cosine
     FROM guarded a JOIN guarded b
@@ -426,27 +429,32 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH-bucketed embedding near-dup — the SCALE path for
     dedup_embedding's attribute block.  max_block=5000 applies the
-    pre-join over-cap guard (same discipline as minhash_lsh_candidates /
-    basket_pairs): an orthant-hot bucket of templated embeddings is
-    skipped instead of exploding into bucket² pairs; the cap sits in the
-    oracle SQL too, so the certified semantics include it.
+    pre-join over-cap guard with the SAMPLE policy (r12, upgraded from
+    skip): a hot bucket keeps a deterministic md5-ordered ≤5000-member
+    subset on BOTH self-join inputs BEFORE the pair join, so an
+    orthant-hot bucket of templated embeddings contributes cap²/n² of
+    its pairs instead of zero AND never explodes into bucket² rows; the
+    identical row_number-over-md5 guard sits in the oracle SQL, so the
+    certified semantics include it.
 
-    Measured recall cost (SCALE_r12 ``capped_recall.embedding_skip``,
-    VERDICT r11 ask #2): no natural bucket approaches the cap at
-    rehearsal scale (0 over-cap of 256 orthants); a planted 6,000-vector
-    hot orthant loses, by the skip policy, the whole bucket — est.
-    1.71M true (cosine ≥ 0.99) pairs at a 0.095 sampled true rate — plus
-    8 natural collateral pairs sharing the orthant, with every other
-    bucket's output verified identical.  Unlike the banded MinHash path
-    there is NO second chance for a skipped bucket (one hash, one
-    bucket), so the cap should stay an order of magnitude above natural
-    bucket sizes and hot buckets belong to a dedicated exact pass."""
+    Measured recall (SCALE_r12 ``capped_recall.embedding_cap``, VERDICT
+    r11 ask #2): no natural bucket approaches the cap at rehearsal scale
+    (0 over-cap of 256 orthants, so skip→sample changes nothing on
+    natural data); on a planted 6,000-vector hot orthant the old skip
+    policy lost the whole bucket — est. 1.71M true (cosine ≥ 0.99)
+    pairs — while sample recovers ~69% of them (≈ cap²/n²), with every
+    other bucket's output verified identical.  Unlike the banded
+    MinHash path there is NO second chance for a dropped member (one
+    hash, one bucket), which is exactly why this family samples instead
+    of skipping; the residual (1 - cap²/n²) loss is the bounded-cost
+    trade, and a persistently hot orthant still belongs to a dedicated
+    exact pass."""
     corpus = _emb_corpus(spark, sf_dir).withColumn(
         "bucket", sim.coordinate_sign_bucket(F.col("embedding"), 8)
     )
     pairs = dd.embedding_near_dup_pairs(
         corpus, id_col="vec_id", vec_col="embedding", block_col="bucket",
-        min_cosine=0.99, max_block=5000,
+        min_cosine=0.99, max_block=5000, cap_policy="sample",
     )
     return pairs.select("id_a", "id_b", F.round("cosine", 3).alias("cosine"))
 

@@ -131,10 +131,13 @@ _MM_COS_SQL = (
     bucketed AS (
         SELECT e.*, ({_MM_BUCKET_SQL.format(side='e')}) AS bucket FROM emb e
     ),
-    sized AS (
-        SELECT bucket FROM bucketed GROUP BY 1 HAVING COUNT(*) <= 5000
+    ranked AS (
+        SELECT b.*, ROW_NUMBER() OVER (
+            PARTITION BY bucket
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM bucketed b
     ),
-    guarded AS (SELECT b.* FROM bucketed b JOIN sized USING (bucket))
+    guarded AS (SELECT * FROM ranked WHERE rn <= 5000)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            ROUND({_MM_COS_SQL}, 3) AS cosine
     FROM guarded a JOIN guarded b
@@ -147,9 +150,11 @@ def multimodal_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """decode → feature-extract (embedding) → sign-LSH block → cosine
     verify: the composed multimodal near-dup pipeline.  The pairwise join
     is bucket-bounded AND over-cap-guarded exactly like dedup_embedding_lsh
-    (max_block=5000 pre-join semi guard, cap mirrored in the oracle SQL);
-    only the embedding SOURCE differs (Arrow-batched extractor instead of
-    a stored column)."""
+    (max_block=5000 pre-join SAMPLE guard — a hot bucket keeps a
+    deterministic md5-ordered ≤cap subset instead of being dropped whole,
+    recovering ~cap²/n² of its pairs; identical row_number guard in the
+    oracle SQL); only the embedding SOURCE differs (Arrow-batched
+    extractor instead of a stored column)."""
     from meerkat_abacus_spark.datapipe import dedup as dd
     from meerkat_abacus_spark.datapipe import similarity as sim
     from meerkat_abacus_spark.datapipe.multimodal import embed_media
@@ -161,6 +166,6 @@ def multimodal_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = dd.embedding_near_dup_pairs(
         corpus, id_col="doc_id", vec_col="embedding", block_col="bucket",
-        min_cosine=0.995, max_block=5000,
+        min_cosine=0.995, max_block=5000, cap_policy="sample",
     )
     return pairs.select("id_a", "id_b", F.round("cosine", 3).alias("cosine"))

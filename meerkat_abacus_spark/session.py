@@ -55,6 +55,14 @@ def get_spark(
         # type across the engine.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # The sample-policy block caps (dedup._apply_block_cap) rely on
+        # InferWindowGroupLimit turning `row_number() <= cap` into a
+        # map-side per-block top-k (Partial WindowGroupLimit) so a hot
+        # block never reaches the shuffle in full.  The rule only fires
+        # for caps below this threshold (Spark default 1000); our largest
+        # cap is 5000 and a 5000-row per-block heap per mapper is
+        # trivially cheap next to the block² pair join it prevents.
+        .config("spark.sql.optimizer.windowGroupLimitThreshold", "100000")
         # Production-sized codes files (hundreds of rules) compile into deep
         # Catalyst trees; the default JVM thread stack overflows in analysis.
         .config("spark.driver.extraJavaOptions", "-Xss64m")

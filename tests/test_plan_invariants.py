@@ -141,25 +141,22 @@ def test_basket_pairs_guard_precedes_self_join(spark):
     _assert_guard_precedes_pair_join(plan)
 
 
-def _assert_guard_precedes_pair_join(plan: str) -> None:
-    """The pair Inner join (the one with the `<` tie-break condition) must
-    have a LeftSemi guard inside EACH of its two input subtrees — not two
-    guards on one side, and never a guard on its output."""
+def _pair_join_input_spans(plan: str):
+    """Locate the pair Inner join (the one with the `<` tie-break
+    condition) and the line spans of its two input subtrees.
+
+    Subtree spans from the indent structure: a node's content column is
+    where its operator name starts; its two direct children's content
+    sits exactly 3 columns deeper, and its subtree ends at the first
+    line whose content column is <= its own.  Tree prints root-first:
+    upstream (input) operators are LATER lines."""
     lines = plan.splitlines()
     pair_join = [
         i for i, ln in enumerate(lines) if "Join Inner" in ln and " < " in ln
     ]
-    semi = [i for i, ln in enumerate(lines) if "Join LeftSemi" in ln]
     assert len(pair_join) == 1, plan
     pi = pair_join[0]
-    # tree prints root-first: upstream (input) operators are LATER lines —
-    # no semi guard may sit ABOVE (before) the pair join (= on its output)
-    assert all(s > pi for s in semi), plan
 
-    # Subtree spans from the indent structure: a node's content column is
-    # where its operator name starts; its two direct children's content
-    # sits exactly 3 columns deeper, and its subtree ends at the first
-    # line whose content column is <= its own.
     def _content_col(ln: str) -> int:
         return len(ln) - len(ln.lstrip(": +-"))
 
@@ -173,18 +170,52 @@ def _assert_guard_precedes_pair_join(plan: str) -> None:
         i for i in range(pi + 1, end) if _content_col(lines[i]) == cc + 3
     ]
     assert len(kids) == 2, plan  # the pair join has exactly two inputs
-    left_span = range(kids[0], kids[1])
-    right_span = range(kids[1], end)
+    return lines, pi, range(kids[0], kids[1]), range(kids[1], end)
+
+
+def _assert_guard_precedes_pair_join(plan: str) -> None:
+    """SKIP-policy shape: the pair join must have a LeftSemi guard inside
+    EACH of its two input subtrees — not two guards on one side, and
+    never a guard on its output."""
+    lines, pi, left_span, right_span = _pair_join_input_spans(plan)
+    semi = [i for i, ln in enumerate(lines) if "Join LeftSemi" in ln]
+    # no semi guard may sit ABOVE (before) the pair join (= on its output)
+    assert all(s > pi for s in semi), plan
     # one guard inside EACH input — two guards on one side don't count
     assert any(s in left_span for s in semi), plan
     assert any(s in right_span for s in semi), plan
 
 
+def _assert_sample_cap_precedes_pair_join(plan: str, cap: int) -> None:
+    """SAMPLE-policy shape (r12): EACH pair-join input subtree must carry
+    the rank filter AND the optimizer-inferred WindowGroupLimit — the
+    node that bounds a hot block map-side (Partial) before the shuffle,
+    so over-cap rows never reach the pair join OR the exchange in full."""
+    lines, pi, left_span, right_span = _pair_join_input_spans(plan)
+    wgl = [
+        i
+        for i, ln in enumerate(lines)
+        if "WindowGroupLimit" in ln and f"row_number(), {cap}" in ln
+    ]
+    rank_filter = [
+        i
+        for i, ln in enumerate(lines)
+        if "Filter" in ln and f"<= {cap})" in ln
+    ]
+    assert all(w > pi for w in wgl), plan
+    for span in (left_span, right_span):
+        assert any(w in span for w in wgl), plan
+        assert any(f in span for f in rank_filter), plan
+
+
 def test_fuzzy_linkage_block_cap_precedes_self_join(spark):
-    """Same pre-join cap discipline for the blocked-levenshtein linkage:
-    the ≤1000-member block guard must semi-join BOTH self-join inputs
-    upstream of the pair join, so a degenerate hot block (shared surname
-    at 100 TB) is skipped instead of exploded into block² pairs."""
+    """Same pre-join cap discipline for the blocked-levenshtein linkage,
+    SAMPLE policy since r12: BOTH self-join inputs must carry the
+    ≤1000-member rank filter with its map-side WindowGroupLimit upstream
+    of the pair join, so a degenerate hot block (shared surname at
+    100 TB) is bounded to a deterministic cap-size subset instead of
+    exploded into block² pairs (and instead of being dropped whole, the
+    old skip policy)."""
     import pytest
 
     if not os.path.isdir(SF_DIR):
@@ -197,13 +228,15 @@ def test_fuzzy_linkage_block_cap_precedes_self_join(spark):
         .optimizedPlan()
         .toString()
     )
-    _assert_guard_precedes_pair_join(plan)
+    _assert_sample_cap_precedes_pair_join(plan, 1000)
 
 
 def test_embedding_lsh_bucket_cap_precedes_self_join(spark):
     """The sign-LSH-bucketed embedding near-dup (the scale path) must
-    apply its 5000-row bucket cap as pre-join semi guards on both
-    self-join inputs — an orthant-hot bucket skips, never explodes."""
+    bound its buckets pre-join on both self-join inputs — SAMPLE policy
+    since r12: rank filter + map-side WindowGroupLimit at 5000, so an
+    orthant-hot bucket contributes a deterministic cap-size subset,
+    never explodes, and no longer vanishes whole."""
     import pytest
 
     if not os.path.isdir(SF_DIR):
@@ -216,4 +249,4 @@ def test_embedding_lsh_bucket_cap_precedes_self_join(spark):
         .optimizedPlan()
         .toString()
     )
-    _assert_guard_precedes_pair_join(plan)
+    _assert_sample_cap_precedes_pair_join(plan, 5000)

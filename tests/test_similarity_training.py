@@ -1152,3 +1152,46 @@ def test_block_cap_boundary_semantics(spark):
     ).collect()
     tids = {r["id_a"] for r in tp} | {r["id_b"] for r in tp}
     assert len(tp) == 3 and tids == {0, 1, 2}, tp
+
+
+def test_block_cap_sample_policy_deterministic_subset(spark):
+    """cap_policy="sample" (r12): an over-cap block contributes exactly
+    the pairs among its md5-ordered top-``cap`` members — the SAME
+    members a pure-Python md5 model (and hence the DuckDB oracle's
+    ``ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id)``)
+    selects — and the choice is invariant to physical partitioning.
+    Under-cap blocks are untouched."""
+    import hashlib
+
+    from meerkat_abacus_spark.datapipe import dedup as dd
+
+    cap = 3
+    hot_ids = list(range(100, 108))  # 8 identical vectors, cap 3
+    rows = [(i, "ok", [1.0, 0.0, 0.0, float(i) * 1e-4]) for i in range(cap)]
+    rows += [(i, "hot", [0.0, 1.0, 0.0, 0.0]) for i in hot_ids]
+    df = spark.createDataFrame(
+        rows, "vec_id int, blk string, embedding array<double>"
+    )
+
+    expected_kept = sorted(
+        hot_ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:cap]
+
+    def run(frame):
+        got = dd.embedding_near_dup_pairs(
+            frame, id_col="vec_id", vec_col="embedding", block_col="blk",
+            min_cosine=0.9, max_block=cap, cap_policy="sample",
+        ).collect()
+        return sorted((r["id_a"], r["id_b"]) for r in got)
+
+    pairs = run(df)
+    hot_pairs = [p for p in pairs if p[0] >= 100]
+    ok_pairs = [p for p in pairs if p[0] < 100]
+    assert len(ok_pairs) == 3, pairs  # under-cap block untouched
+    # over-cap block: exactly C(cap,2) pairs, all among the md5-top-cap
+    assert len(hot_pairs) == cap * (cap - 1) // 2, pairs
+    hot_members = {i for p in hot_pairs for i in p}
+    assert hot_members == set(expected_kept), (hot_members, expected_kept)
+    # physical partitioning must not change the kept subset
+    assert run(df.repartition(7)) == pairs
+    assert run(df.coalesce(1)) == pairs

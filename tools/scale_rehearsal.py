@@ -670,16 +670,18 @@ def capped_recall_minhash(
 
 
 def capped_recall_embedding(spark, sf_dir: str, plant: int = 6000) -> dict:
-    """Quantify the sign-LSH embedding cap's SKIP-policy recall trade
-    (VERDICT r11 ask #2).  dedup_embedding_lsh drops an over-cap orthant
-    bucket whole (max_block=5000) — on this corpus no natural bucket is
+    """Quantify the sign-LSH embedding cap's recall trade under BOTH
+    policies (VERDICT r11 ask #2).  On this corpus no natural bucket is
     over-cap (reported), so the leg PLANTS one: ``plant`` vectors sharing
     one base vector's orthant, a third of them near-identical jitters
-    (pairwise cosine ≥ 0.99 — true dups the skip loses) and the rest
+    (pairwise cosine ≥ 0.99 — true dups at risk) and the rest
     magnitude-perturbed decoys (same signs, cosine < 0.99).  A sampled
     exact-cosine pass measures the bucket's true-pair rate, extrapolated
-    to the bucket's pair capacity = the measured recall loss; the natural
-    under-cap pairs are unaffected (asserted identical)."""
+    to the bucket's pair capacity = what the old SKIP policy lost whole;
+    the shipped SAMPLE policy (r12: dedup_embedding_lsh keeps a
+    deterministic md5-ordered ≤cap subset) is then run for real and its
+    emitted hot-bucket pairs counted — the recovered fraction — with the
+    natural under-cap pairs asserted identical under both policies."""
     import numpy as np
 
     from meerkat_abacus_spark.datapipe import dedup as dd
@@ -716,17 +718,18 @@ def capped_recall_embedding(spark, sf_dir: str, plant: int = 6000) -> dict:
     ).withColumn("label", F.lit(-1))
     full = corpus.unionByName(planted)
 
-    def lsh_pairs(c):
+    def lsh_pairs(c, policy):
         cb = c.withColumn(
             "bucket", sim.coordinate_sign_bucket(F.col("embedding"), 8)
         )
         return dd.embedding_near_dup_pairs(
             cb, id_col="vec_id", vec_col="embedding", block_col="bucket",
-            min_cosine=0.99, max_block=cap,
+            min_cosine=0.99, max_block=cap, cap_policy=policy,
         ).select("id_a", "id_b")
 
-    base_pairs = sorted(map(tuple, lsh_pairs(corpus).collect()))
-    planted_pairs = sorted(map(tuple, lsh_pairs(full).collect()))
+    base_pairs = sorted(map(tuple, lsh_pairs(corpus, "skip").collect()))
+    planted_pairs = sorted(map(tuple, lsh_pairs(full, "skip").collect()))
+    sample_pairs = sorted(map(tuple, lsh_pairs(full, "sample").collect()))
     # collateral loss: NATURAL vectors sharing the plant's orthant are in
     # the over-cap bucket too — their previously-emitted pairs drop with
     # it; pairs in every OTHER bucket must be untouched
@@ -758,6 +761,13 @@ def capped_recall_embedding(spark, sf_dir: str, plant: int = 6000) -> dict:
     ).count()
     rate = sampled_true / (m * (m - 1) // 2)
     capacity = plant * (plant - 1) // 2
+    est_lost = int(rate * capacity)
+    # the shipped SAMPLE policy, measured for real: pairs whose endpoints
+    # live in the hot bucket (planted ∪ natural co-orthant members) are
+    # the recovered ones; everything else must match the skip run
+    hot_member = hot_ids | {5_000_000 + i for i in range(plant)}
+    sample_hot = [p for p in sample_pairs if p[0] in hot_member]
+    sample_rest = [p for p in sample_pairs if p[0] not in hot_member]
     return {
         "cap": cap,
         "natural_capped_buckets": natural_over,
@@ -765,22 +775,38 @@ def capped_recall_embedding(spark, sf_dir: str, plant: int = 6000) -> dict:
         "planted_true_members": n_dup,
         "sampled_members": m,
         "sampled_true_rate": round(rate, 4),
-        "est_lost_true_pairs": int(rate * capacity),
-        "natural_pairs_lost_in_hot_bucket": len(lost_natural),
-        "other_buckets_unaffected": planted_pairs == expected_after,
+        "skip_est_lost_true_pairs": est_lost,
+        "natural_pairs_lost_in_hot_bucket_skip": len(lost_natural),
+        "other_buckets_unaffected_skip": planted_pairs == expected_after,
         "baseline_true_pairs": len(base_pairs),
+        "sample_policy": {
+            "kept_hot_members": min(cap, plant + len(hot_ids)),
+            "emitted_hot_bucket_pairs": len(sample_hot),
+            "recovered_fraction_vs_skip_loss": round(
+                len(sample_hot) / est_lost, 3
+            )
+            if est_lost
+            else None,
+            "expected_fraction_cap_sq_over_n_sq": round(
+                (cap * cap) / ((plant + len(hot_ids)) ** 2), 3
+            ),
+            "other_buckets_unaffected": sample_rest == expected_after,
+        },
     }
 
 
 def capped_recall_fuzzy(spark, sf_dir: str, plant: int = 1500) -> dict:
-    """Quantify fuzzy_name_linkage's block-cap SKIP recall trade (VERDICT
-    r11 ask #2).  No natural sf0.1 block exceeds the ≤1000 guard
-    (reported), so the leg plants ONE hot block — ``plant`` names sharing
-    the blocking prefix, seeded with known edit-distance-1 pairs — and
+    """Quantify fuzzy_name_linkage's block-cap recall trade (VERDICT r11
+    ask #2).  No natural sf0.1 block exceeds the ≤1000 guard (reported),
+    so the leg plants ONE hot block — ``plant`` names sharing the
+    blocking prefix, seeded with known edit-distance-1 pairs — and
     exact-verifies a member sample with the query's own levenshtein ≤ 1
-    predicate.  The skip loses the whole block: measured rate ×
-    capacity = the recall bound; under-cap blocks are asserted
-    unaffected."""
+    predicate.  The old SKIP policy lost the whole block: measured rate
+    × capacity = that recall bound.  The SHIPPED query (r12) uses the
+    SAMPLE policy — it keeps a deterministic md5-ordered ≤1000-member
+    subset of the hot block — so the leg runs it for real and reports
+    the hot block's emitted pair count as the recovered measure, with
+    every under-cap block's row asserted identical."""
     from meerkat_abacus_spark.queries import QUERIES, _t
 
     cust = _t(spark, sf_dir, "customer")
@@ -799,7 +825,7 @@ def capped_recall_fuzzy(spark, sf_dir: str, plant: int = 1500) -> dict:
             (9_000_000 + i, f"Customer#HOTBLOCKnm{g:05d}{'x' if variant else 'y'}")
         )
     planted = spark.createDataFrame(rows, schema="c_custkey long, c_name string")
-    planted_dir = tempfile.gettempdir() + "/msa_fuzzy_hot"
+    planted_dir = tempfile.gettempdir() + f"/msa_fuzzy_hot_{os.getpid()}"
     shutil.rmtree(planted_dir, ignore_errors=True)
     os.makedirs(planted_dir)
     cust.select("c_custkey", "c_name").unionByName(planted).write.parquet(
@@ -809,9 +835,14 @@ def capped_recall_fuzzy(spark, sf_dir: str, plant: int = 1500) -> dict:
     base_rows = sorted(
         map(tuple, QUERIES["fuzzy_name_linkage"](spark, sf_dir).collect())
     )
+    # the SHIPPED query: sample policy — the hot block emits one
+    # aggregated row for its kept ≤cap members
     hot_rows = sorted(
         map(tuple, QUERIES["fuzzy_name_linkage"](spark, planted_dir).collect())
     )
+    hot_row = [r for r in hot_rows if r[0] == "HOTBLOC"]
+    rest_rows = [r for r in hot_rows if r[0] != "HOTBLOC"]
+    recovered_pairs = int(hot_row[0][1]) if hot_row else 0
     # exact-verify a sample of the planted block with the same predicate
     m = 400
     sample = planted.orderBy(F.md5(F.col("c_custkey").cast("string"))).limit(m)
@@ -828,6 +859,7 @@ def capped_recall_fuzzy(spark, sf_dir: str, plant: int = 1500) -> dict:
     )
     rate = sampled_true / (m * (m - 1) // 2)
     capacity = plant * (plant - 1) // 2
+    est_lost = int(round(rate * capacity))
     shutil.rmtree(planted_dir, ignore_errors=True)
     return {
         "cap": 1000,
@@ -840,9 +872,21 @@ def capped_recall_fuzzy(spark, sf_dir: str, plant: int = 1500) -> dict:
         "seeded_variant_pairs": plant // 2,
         "sampled_members": m,
         "sampled_true_rate": round(rate, 6),
-        "est_lost_true_pairs": int(round(rate * capacity)),
-        "under_cap_blocks_unaffected": base_rows == hot_rows,
+        "skip_est_lost_true_pairs": est_lost,
+        "under_cap_blocks_unaffected": base_rows == sorted(rest_rows),
         "baseline_blocks": len(base_rows),
+        "sample_policy": {
+            "kept_hot_members": min(1000, plant),
+            "emitted_hot_block_pairs": recovered_pairs,
+            "recovered_fraction_vs_skip_loss": round(
+                recovered_pairs / est_lost, 3
+            )
+            if est_lost
+            else None,
+            "expected_fraction_cap_sq_over_n_sq": round(
+                (1000 * 1000) / (plant * plant), 3
+            ),
+        },
     }
 
 
@@ -1011,8 +1055,8 @@ def main() -> None:
     # three cap policies actually cost in true pairs ---
     report["capped_recall"] = {
         "minhash_star": capped_recall_minhash(spark, dest100d),
-        "embedding_skip": capped_recall_embedding(spark, src),
-        "fuzzy_skip": capped_recall_fuzzy(spark, src),
+        "embedding_cap": capped_recall_embedding(spark, src),
+        "fuzzy_cap": capped_recall_fuzzy(spark, src),
     }
     shutil.rmtree(dest100d, ignore_errors=True)
 
