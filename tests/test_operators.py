@@ -922,3 +922,54 @@ def test_location_leaf_assert_survives_same_path_overwrite(spark, tmp_path):
             spark.read.parquet(path),
             levels=("clinic", "district", "region", "country"),
         ).count()
+
+
+def test_fuzzy_cap_cross_engine_when_hot_block_fires(spark, tmp_path):
+    """The certified cap semantics are never exercised by the driver's
+    certification data (no natural block approaches the ≤1000 guard at
+    sf0.01), so a silent Spark/oracle divergence INSIDE the sample-cap
+    branch would stay green.  Plant an 1,100-member hot block and run the
+    SHIPPED query against its own REGISTERED oracle SQL: the md5-ordered
+    row_number guard must agree across engines bit-for-bit — row count,
+    columns, and value hash — while the cap is actually firing."""
+    import os
+
+    import duckdb
+
+    import tools.compare as cmp
+    from meerkat_abacus_spark.queries import ORACLES, QUERIES
+
+    src = "/root/testdata/sf0.001"
+    if not os.path.isdir(src):
+        import pytest as _pytest
+
+        _pytest.skip("driver testdata not present")
+
+    natural = spark.read.parquet(src + "/customer.parquet").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    hot = spark.createDataFrame(
+        [
+            (9_000_000 + i, f"Customer#HOTBLOCKnm{i // 2:05d}{'x' if i % 2 else 'y'}", 0)
+            for i in range(1100)
+        ],
+        "c_custkey long, c_name string, c_nationkey int",
+    )
+    d = str(tmp_path / "hotsf")
+    os.makedirs(d)
+    natural.unionByName(hot).write.parquet(d + "/customer.parquet")
+
+    sdf = QUERIES["fuzzy_name_linkage"](spark, d).toPandas()
+    # the hot block must actually be in play AND capped
+    hot_rows = sdf[sdf["block_key"] == "HOTBLOC"]
+    assert len(hot_rows) == 1 and int(hot_rows.iloc[0]["n_pairs"]) > 0
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW customer AS SELECT * FROM "
+        f"read_parquet('{d}/customer.parquet/*.parquet')"
+    )
+    odf = con.sql(ORACLES["fuzzy_name_linkage"]).df()
+    assert len(sdf) == len(odf)
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert cmp.value_hash(sdf) == cmp.value_hash(odf)
