@@ -973,3 +973,84 @@ def test_fuzzy_cap_cross_engine_when_hot_block_fires(spark, tmp_path):
     assert len(sdf) == len(odf)
     assert sorted(sdf.columns) == sorted(odf.columns)
     assert cmp.value_hash(sdf) == cmp.value_hash(odf)
+
+
+def test_embedding_cap_cross_engine_when_hot_bucket_fires(spark, tmp_path):
+    """Same certification gap as the fuzzy hot-block test, for the
+    sign-LSH embedding path: plant a 5,100-vector hot orthant so the
+    5000 sample cap FIRES, then run the shipped dedup_embedding_lsh
+    against its registered oracle SQL.  Beyond whole-result equality,
+    the pure-Python md5 model computes WHICH 100 members both engines
+    must have dropped — none may appear in any emitted pair."""
+    import hashlib
+    import os
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import tools.compare as cmp
+    from meerkat_abacus_spark.queries import ORACLES, QUERIES
+
+    src = "/root/testdata/sf0.001"
+    if not os.path.isdir(src):
+        import pytest as _pytest
+
+        _pytest.skip("driver testdata not present")
+
+    nat = pq.read_table(src + "/embeddings.parquet")
+    sch = pa.schema(
+        [nat.schema.field(i).remove_metadata() for i in range(len(nat.schema))]
+    )
+    nat = nat.cast(sch).replace_schema_metadata(None)
+    rng = np.random.RandomState(3)
+    base = np.abs(rng.standard_normal(64)) + 0.1  # all-positive orthant
+    plant, n_dup = 5100, 60
+    ids, vecs = [], []
+    for i in range(plant):
+        if i < n_dup:  # near-identical: pairwise cosine >= 0.99
+            v = base * (1.0 + 0.002 * rng.standard_normal(64))
+        else:  # same signs, magnitude-spread decoys: cosine < 0.99
+            v = base * (1.0 + 1.5 * rng.rand(64))
+        ids.append(5_000_000 + i)
+        vecs.append([float(x) for x in v])
+    hot = pa.table(
+        {
+            "vec_id": pa.array(ids, sch.field("vec_id").type),
+            "embedding": pa.array(vecs, sch.field("embedding").type),
+            "label": pa.array([-1] * plant, sch.field("label").type),
+        },
+        schema=sch,
+    )
+    d = str(tmp_path / "embhot")
+    os.makedirs(d)
+    pq.write_table(pa.concat_tables([nat, hot]), d + "/embeddings.parquet")
+
+    sdf = QUERIES["dedup_embedding_lsh"](spark, d).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet')"
+    )
+    odf = con.sql(ORACLES["dedup_embedding_lsh"]).df()
+    assert len(sdf) == len(odf)
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert cmp.value_hash(sdf) == cmp.value_hash(odf)
+
+    # The cap fired, and both engines dropped the SAME md5-bottom members.
+    # Naturals sharing the orthant compete for slots, but they can only
+    # push planted members OUT of the global md5-top-5000, never pull
+    # lower-ranked planted members in — so any planted id below the
+    # planted-only top-5000 is certainly dropped and may appear in no pair.
+    planted_kept = set(
+        sorted(
+            ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+        )[:5000]
+    )
+    emitted = set(sdf["id_a"]) | set(sdf["id_b"])
+    planted_emitted = {i for i in emitted if i >= 5_000_000}
+    assert planted_emitted, "hot bucket produced no pairs"
+    dropped = set(ids) - planted_kept
+    assert len(dropped) >= 100
+    assert not (planted_emitted & dropped), sorted(planted_emitted & dropped)[:5]
