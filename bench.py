@@ -149,6 +149,10 @@ def compact_artifact(detailed: dict) -> dict:
         "index_build_sec": detailed["index_build_sec"],
         "sf": detailed["sf"],
         "runs_per_query": detailed["runs_per_query"],
+        # the round's median sentinel: r_a/r_b cal_ref ratio is the
+        # host-speed correction when trending value across rounds (the
+        # within-round normalization can't see a uniformly slower host)
+        "cal_ref": detailed["calibration"]["ref"],
     }
     line = json.dumps(out)
     if len(line) > _COMPACT_BUDGET:
