@@ -104,6 +104,30 @@ def coordinate_sign_bucket(vec: Column, nbits: int = 8) -> Column:
     return F.concat(*bits)
 
 
+def paired_diff_sign_bucket(vec: Column, nbits: int = 8) -> Column:
+    """SECOND blocking band for near-identical vectors (VERDICT r12 ask
+    #4): sign bits of the pairwise coordinate DIFFERENCES v[2i]-v[2i+1]
+    — each bit is the 45°-rotated hyperplane in one coordinate plane, so
+    the band is a genuinely different hash from
+    :func:`coordinate_sign_bucket`'s axis-aligned signs (a vector near a
+    coordinate-sign boundary is generically FAR from the rotated
+    boundary and vice versa).  Near-identical pairs (cosine ≥ 0.99)
+    still agree per-bit with probability ~1, so the band re-collides
+    true pairs that band 1 split — and gives a capped hot bucket a
+    second, antithetically-sampled chance (see
+    ``embedding_near_dup_pairs_banded``).  Uses coordinates 1..2·nbits;
+    IEEE double subtraction is bit-deterministic, so the identical
+    ``CASE WHEN v[2i+1]-v[2i+2] >= 0`` renders in ANSI SQL oracles."""
+    bits = [
+        F.when(
+            F.element_at(vec, 2 * i + 1) - F.element_at(vec, 2 * i + 2) >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for i in range(nbits)
+    ]
+    return F.concat(*bits)
+
+
 LSH_SEED = "msa-signlsh"
 
 
@@ -640,6 +664,56 @@ def lsh_topk_from_index_join(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+# Measured isin-collect vs join-DPP crossover (SCALE_ANN r10-r12
+# ``lsh_batch_crossover``, 100x corpus): at 20 queries the collect path
+# wins (1.7 vs 1.9 s); at 2000 the join path wins decisively (35.0 vs
+# 51.6 s at r12).  The geometric midpoint of the measured bracket is the
+# default switch point; it is deliberately coarse — both paths return
+# identical rows, so the cost of a wrong pick near the middle is small.
+LSH_BATCH_SWITCH = 200
+
+
+def lsh_topk_from_index_auto(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    nbits: int = 8,
+    radius: int = 2,
+    seed: str = LSH_SEED,
+    batch_threshold: int = LSH_BATCH_SWITCH,
+    chosen: list | None = None,
+) -> DataFrame:
+    """Serving-path dispatcher for the persisted sign-LSH index (VERDICT
+    r12 ask #6): counts the query side with a BOUNDED probe —
+    ``limit(threshold + 1).count()`` never scans past threshold+1 rows —
+    and picks :func:`lsh_topk_from_index` (driver-collected probe keys as
+    a literal partition filter; wins for member/driver-sized batches) or
+    :func:`lsh_topk_from_index_join` (DPP equi-join, no driver collect;
+    wins for corpus-joined batches).  Both paths return identical rows,
+    so the dispatch changes plan shape only, never answers.
+
+    ``chosen`` is a test hook: when passed, the picked function's name is
+    appended so plan-selection tests can assert the switch without
+    parsing plans."""
+    n = queries.limit(batch_threshold + 1).count()
+    fn = (
+        lsh_topk_from_index
+        if n <= batch_threshold
+        else lsh_topk_from_index_join
+    )
+    if chosen is not None:
+        chosen.append(fn.__name__)
+    return fn(
+        spark, index_path, queries, dim,
+        id_col=id_col, vec_col=vec_col, k=k, nbits=nbits, radius=radius,
+        seed=seed,
     )
 
 

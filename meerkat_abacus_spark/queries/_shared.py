@@ -33,13 +33,27 @@ def _register(name: str, oracle: str | None = None):
 
 
 
+_SCRATCH_TAG_MEMO: dict[str, str] = {}
+
+
 def _scratch_tag(sf_dir: str) -> str:
     """Stable per-DATASET scratch-path tag: md5 of the sf_dir path plus each
     table file's (name, size, mtime) — regenerating the testdata changes the
     fingerprint, so scratch derived from an older dataset is never silently
     reused against a fresh oracle.  md5, NOT python hash(): str hash is
     salted per process, so hash()-keyed /tmp/msa_* dirs would multiply
-    across runs instead of being reused."""
+    across runs instead of being reused.
+
+    Memoized per (process, sf_dir) — VERDICT r12 ask #2: every query
+    invocation called this, so a bench warm pass paid a listdir + ~10
+    stats + md5 per call.  The memo is safe because the invalidation the
+    fingerprint exists for (driver regenerates testdata between rounds)
+    happens across PROCESSES, never mid-process: bench/compare/rehearsal
+    are all fresh interpreters per run, and nothing in this repo rewrites
+    an sf_dir it is simultaneously querying."""
+    cached = _SCRATCH_TAG_MEMO.get(sf_dir)
+    if cached is not None:
+        return cached
     import hashlib
     import os
 
@@ -50,7 +64,9 @@ def _scratch_tag(sf_dir: str) -> str:
             h.update(f"{entry}:{st.st_size}:{st.st_mtime_ns}".encode())
     except OSError:
         pass
-    return h.hexdigest()[:8]
+    tag = h.hexdigest()[:8]
+    _SCRATCH_TAG_MEMO[sf_dir] = tag
+    return tag
 
 
 def _scratch_ready(path: str) -> bool:

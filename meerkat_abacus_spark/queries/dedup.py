@@ -19,6 +19,16 @@ _BUCKET_SQL = "|| ".join(
     for i in range(8)
 )
 
+# Second band (VERDICT r12 ask #4): 45°-rotated hyperplanes — sign bits of
+# pairwise coordinate differences, mirroring similarity.paired_diff_sign_bucket.
+# IEEE double subtraction is bit-deterministic, so the expression is
+# engine-portable as-is.
+_BUCKET2_SQL = "|| ".join(
+    f"(CASE WHEN {{side}}.v[{2 * i + 1}] - {{side}}.v[{2 * i + 2}] >= 0 "
+    "THEN '1' ELSE '0' END) "
+    for i in range(8)
+)
+
 
 
 @_register(
@@ -409,20 +419,35 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH corpus AS ({_EMB_CORPUS_SQL}),
     bucketed AS (
-        SELECT c.*, ({_BUCKET_SQL.format(side='c')}) AS bucket FROM corpus c
+        SELECT c.*, ({_BUCKET_SQL.format(side='c')}) AS b1,
+               ({_BUCKET2_SQL.format(side='c')}) AS b2
+        FROM corpus c
     ),
-    ranked AS (
-        SELECT b.*, ROW_NUMBER() OVER (
-            PARTITION BY bucket
-            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-        FROM bucketed b
+    g1 AS (
+        SELECT * FROM (
+            SELECT vec_id, b1 AS bucket, ROW_NUMBER() OVER (
+                PARTITION BY b1
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+            FROM bucketed) WHERE rn <= 5000
     ),
-    guarded AS (SELECT * FROM ranked WHERE rn <= 5000)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND({_COS_SQL}, 3) AS cosine
-    FROM guarded a JOIN guarded b
-      ON a.bucket = b.bucket
-     AND a.vec_id < b.vec_id
+    g2 AS (
+        SELECT * FROM (
+            SELECT vec_id, b2 AS bucket, ROW_NUMBER() OVER (
+                PARTITION BY b2
+                ORDER BY md5(CAST(vec_id AS VARCHAR)) DESC, vec_id DESC) AS rn
+            FROM bucketed) WHERE rn <= 5000
+    ),
+    cand AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM g1 a JOIN g1 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        UNION
+        SELECT a.vec_id, b.vec_id
+        FROM g2 a JOIN g2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b, ROUND({_COS_SQL}, 3) AS cosine
+    FROM cand c
+    JOIN bucketed a ON a.vec_id = c.id_a
+    JOIN bucketed b ON b.vec_id = c.id_b
     WHERE {_COS_SQL} >= 0.99
     """,
 )
@@ -437,23 +462,28 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical row_number-over-md5 guard sits in the oracle SQL, so the
     certified semantics include it.
 
-    Measured recall (SCALE_r12 ``capped_recall.embedding_cap``, VERDICT
-    r11 ask #2): no natural bucket approaches the cap at rehearsal scale
-    (0 over-cap of 256 orthants, so skip→sample changes nothing on
-    natural data); on a planted 6,000-vector hot orthant the old skip
-    policy lost the whole bucket — est. 1.71M true (cosine ≥ 0.99)
-    pairs — while sample recovers ~69% of them (≈ cap²/n²), with every
-    other bucket's output verified identical.  Unlike the banded
-    MinHash path there is NO second chance for a dropped member (one
-    hash, one bucket), which is exactly why this family samples instead
-    of skipping; the residual (1 - cap²/n²) loss is the bounded-cost
-    trade, and a persistently hot orthant still belongs to a dedicated
-    exact pass."""
-    corpus = _emb_corpus(spark, sf_dir).withColumn(
-        "bucket", sim.coordinate_sign_bucket(F.col("embedding"), 8)
+    r13 (VERDICT r12 ask #4): the query now runs TWO bands — raw
+    coordinate signs plus the 45°-rotated paired-difference signs
+    (``similarity.paired_diff_sign_bucket``) — through
+    ``embedding_near_dup_pairs_banded``: per-band capped candidate ID
+    pairs union (narrow rows, vectors never ride the pair joins), one
+    cosine verify pass over the distinct union.  The per-band samples
+    are ANTITHETIC (band 1 keeps ascending md5 ranks, band 2
+    descending), so a hot bucket recurring in both bands loses only the
+    pairs straddling the two exclusive tails — 2·((n-cap)/n)² of the
+    block, vs 1-(cap/n)² single-band.  Measured on the planted
+    6,000-vector hot orthant (SCALE ``capped_recall.embedding_cap``):
+    single-band sample recovered ~69% of what skip lost; two antithetic
+    bands recover ≥ 90%.  The rotated band also re-collides true pairs
+    that sit across a coordinate-sign boundary in band 1.  A
+    persistently hot orthant still belongs to a dedicated exact pass."""
+    corpus = (
+        _emb_corpus(spark, sf_dir)
+        .withColumn("b1", sim.coordinate_sign_bucket(F.col("embedding"), 8))
+        .withColumn("b2", sim.paired_diff_sign_bucket(F.col("embedding"), 8))
     )
-    pairs = dd.embedding_near_dup_pairs(
-        corpus, id_col="vec_id", vec_col="embedding", block_col="bucket",
+    pairs = dd.embedding_near_dup_pairs_banded(
+        corpus, id_col="vec_id", vec_col="embedding", band_cols=["b1", "b2"],
         min_cosine=0.99, max_block=5000, cap_policy="sample",
     )
     return pairs.select("id_a", "id_b", F.round("cosine", 3).alias("cosine"))

@@ -450,6 +450,63 @@ def test_minhash_bucket_cap_star_edges(spark):
     assert full == 28
 
 
+def test_block_cap_rejects_unknown_policy(spark):
+    """ADVICE r12 #1: a mistyped cap_policy must raise, not silently fall
+    through to skip (dropping over-cap blocks whole)."""
+    import pytest
+
+    from meerkat_abacus_spark.datapipe import dedup as dd
+
+    df = spark.createDataFrame(
+        [(1, 10, [1.0, 2.0])], ["blk", "vid", "v"]
+    )
+    with pytest.raises(ValueError, match="cap_policy"):
+        dd.embedding_near_dup_pairs(
+            df, id_col="vid", vec_col="v", block_col="blk",
+            max_block=1, cap_policy="samples",  # typo
+        )
+    # max_block=None short-circuits before validation — unchanged
+    dd.embedding_near_dup_pairs(
+        df, id_col="vid", vec_col="v", block_col="blk", max_block=None
+    ).count()
+
+
+def test_banded_antithetic_cap_covers_all_members(spark):
+    """Two antithetic bands over the SAME hot block: with n ≤ 2·cap the
+    ascending and descending md5-kept subsets cover every member, so the
+    only lost pairs straddle the two exclusive tails — here n = 2·cap
+    exactly, and every member must appear in at least one emitted pair
+    (all vectors identical: every candidate verifies at cosine 1)."""
+    from meerkat_abacus_spark.datapipe import dedup as dd
+
+    n, cap = 40, 20
+    df = spark.createDataFrame(
+        [(i, "b", "b", [1.0, 2.0, 3.0]) for i in range(n)],
+        ["vid", "b1", "b2", "v"],
+    )
+    pairs = dd.embedding_near_dup_pairs_banded(
+        df, id_col="vid", vec_col="v", band_cols=["b1", "b2"],
+        min_cosine=0.99, max_block=cap, cap_policy="sample",
+    ).collect()
+    import hashlib
+
+    asc = sorted(
+        range(n), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )
+    kept1, kept2 = set(asc[:cap]), set(asc[::-1][:cap])
+    assert kept1 | kept2 == set(range(n))  # antithetic coverage
+    expect = {
+        (a, b)
+        for a in range(n)
+        for b in range(a + 1, n)
+        if (a in kept1 and b in kept1) or (a in kept2 and b in kept2)
+    }
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == expect
+    # strictly more than one band's cap²-bounded pair set, fewer than all
+    assert len(expect) > cap * (cap - 1) // 2
+    assert len(expect) < n * (n - 1) // 2
+
+
 def test_minhash_small_buckets_unaffected_by_cap(spark):
     """Below the cap, the guarded plan emits exactly the all-pairs set."""
     from meerkat_abacus_spark.datapipe.dedup import minhash_lsh_candidates
@@ -721,6 +778,40 @@ def test_star_contraction_matches_label_propagation(spark):
     assert star == lab
 
 
+def test_label_propagation_raises_on_non_convergence(spark):
+    """VERDICT r12 'what's wrong' #2: connected_components (one-hop label
+    propagation) must FAIL CLOSED when max_iterations is exhausted —
+    incomplete labels flow straight into keep-best dedup, which would
+    silently delete the wrong documents.  strict=False keeps the old
+    warn-and-return for callers who opt in to partial labels."""
+    import pytest
+
+    from meerkat_abacus_spark.datapipe.dedup import connected_components
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 140)], schema="id_a long, id_b long"
+    )
+    # 40-node path, 3 iterations: cannot converge -> raise by default
+    with pytest.raises(RuntimeError, match="connected_components_star"):
+        connected_components(path, max_iterations=3).collect()
+    # explicit opt-out: warn and return the partial labels
+    with pytest.warns(RuntimeWarning, match="max_iterations"):
+        partial = connected_components(
+            path, max_iterations=3, strict=False
+        ).collect()
+    assert len(partial) == 41  # every node labelled, labels partial
+    # a converged run is silent and unaffected by strict
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        got = {
+            (r.node, r.component)
+            for r in connected_components(path, max_iterations=60).collect()
+        }
+    assert got == {(i, 100) for i in range(100, 141)}
+
+
 def test_star_contraction_warns_on_iteration_exhaustion(spark):
     """Exhausting max_iterations before the star-forest fixed point must
     WARN (advisor r7): the leaf/root projection can otherwise silently
@@ -977,11 +1068,15 @@ def test_fuzzy_cap_cross_engine_when_hot_block_fires(spark, tmp_path):
 
 def test_embedding_cap_cross_engine_when_hot_bucket_fires(spark, tmp_path):
     """Same certification gap as the fuzzy hot-block test, for the
-    sign-LSH embedding path: plant a 5,100-vector hot orthant so the
-    5000 sample cap FIRES, then run the shipped dedup_embedding_lsh
-    against its registered oracle SQL.  Beyond whole-result equality,
-    the pure-Python md5 model computes WHICH 100 members both engines
-    must have dropped — none may appear in any emitted pair."""
+    sign-LSH embedding path: plant a 5,100-vector hot orthant (hot in
+    BOTH bands) so the 5000 sample cap FIRES, then run the shipped
+    two-band dedup_embedding_lsh against its registered oracle SQL.
+    Beyond whole-result equality, the pure-Python md5 model computes the
+    per-band kept sets: every emitted planted pair must be co-kept in
+    band 1 (ascending md5 ranks) or band 2 (descending — antithetic),
+    and the 11 dup members dropped from band 1's sample must STILL
+    appear in emitted pairs via band 2 — the r13 second-chance recovery
+    working cross-engine, not just in Spark."""
     import hashlib
     import os
 
@@ -1005,13 +1100,19 @@ def test_embedding_cap_cross_engine_when_hot_bucket_fires(spark, tmp_path):
     )
     nat = nat.cast(sch).replace_schema_metadata(None)
     rng = np.random.RandomState(3)
-    base = np.abs(rng.standard_normal(64)) + 0.1  # all-positive orthant
-    plant, n_dup = 5100, 60
+    # Paired hi/lo base: coordinate 2i ≥ 1.0, coordinate 2i+1 ≤ 0.2, so
+    # EVERY per-coordinate scaling in [1, 2.5] keeps v[2i] > v[2i+1] —
+    # all planted vectors share band 2's paired-diff bucket ('1'*8) as
+    # well as band 1's all-positive orthant: both bands go hot at once.
+    base = np.empty(64)
+    base[0::2] = np.abs(rng.standard_normal(32)) + 1.0
+    base[1::2] = 0.2 * rng.rand(32) + 0.01
+    plant, n_dup = 5100, 600
     ids, vecs = [], []
     for i in range(plant):
         if i < n_dup:  # near-identical: pairwise cosine >= 0.99
             v = base * (1.0 + 0.002 * rng.standard_normal(64))
-        else:  # same signs, magnitude-spread decoys: cosine < 0.99
+        else:  # same signs & diff-signs, magnitude-spread: cosine < 0.99
             v = base * (1.0 + 1.5 * rng.rand(64))
         ids.append(5_000_000 + i)
         vecs.append([float(x) for x in v])
@@ -1038,19 +1139,51 @@ def test_embedding_cap_cross_engine_when_hot_bucket_fires(spark, tmp_path):
     assert sorted(sdf.columns) == sorted(odf.columns)
     assert cmp.value_hash(sdf) == cmp.value_hash(odf)
 
-    # The cap fired, and both engines dropped the SAME md5-bottom members.
-    # Naturals sharing the orthant compete for slots, but they can only
-    # push planted members OUT of the global md5-top-5000, never pull
-    # lower-ranked planted members in — so any planted id below the
-    # planted-only top-5000 is certainly dropped and may appear in no pair.
-    planted_kept = set(
-        sorted(
-            ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
-        )[:5000]
+    # Both engines sampled the SAME members per band.  The corpus unions
+    # a x2 copy of every vector at vec_id + 1_000_000 (same direction —
+    # the copies share BOTH hot buckets), so the model's member set is
+    # planted originals PLUS their copies: 10,200 members, beyond 2*cap,
+    # which exercises antithetic sampling past full coverage.  Naturals
+    # sharing a bucket compete for slots, but they can only push planted
+    # members OUT of a band's md5-top-5000, never pull lower-ranked ones
+    # in — so the planted-only top-5000 per band order is a certain
+    # SUPERSET of that band's kept planted members.
+    members = ids + [i + 1_000_000 for i in ids]
+    asc = sorted(
+        members, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
     )
-    emitted = set(sdf["id_a"]) | set(sdf["id_b"])
-    planted_emitted = {i for i in emitted if i >= 5_000_000}
-    assert planted_emitted, "hot bucket produced no pairs"
-    dropped = set(ids) - planted_kept
-    assert len(dropped) >= 100
-    assert not (planted_emitted & dropped), sorted(planted_emitted & dropped)[:5]
+    band1_sup = set(asc[:5000])          # ascending md5 ranks
+    band2_sup = set(asc[::-1][:5000])    # antithetic: descending
+    pp = [
+        (a, b)
+        for a, b in zip(sdf["id_a"], sdf["id_b"])
+        if a >= 5_000_000 and b >= 5_000_000
+    ]
+    assert pp, "hot bucket produced no pairs"
+    # every emitted planted pair must be co-kept in SOME band
+    bad = [
+        (a, b)
+        for a, b in pp
+        if not (
+            (a in band1_sup and b in band1_sup)
+            or (a in band2_sup and b in band2_sup)
+        )
+    ]
+    assert not bad, bad[:5]
+    emitted_planted = {i for p in pp for i in p}
+    # the second-chance recovery must actually fire: members certainly
+    # dropped from band 1 (outside its planted-only superset) appear in
+    # emitted pairs via band 2's antithetic sample
+    dropped_band1 = set(members) - band1_sup
+    assert len(dropped_band1) >= 5000
+    recovered = emitted_planted & dropped_band1
+    assert recovered, "band 2 recovered none of band 1's dropped members"
+    # 10,200 members > 2*cap: the 200 md5-middle members fall outside
+    # BOTH bands' supersets — certainly dropped by both engines, so they
+    # may appear in no emitted pair (the old single-band drop assertion,
+    # generalized to the banded union)
+    never_kept = set(members) - band1_sup - band2_sup
+    assert len(never_kept) == 200
+    assert not (emitted_planted & never_kept), sorted(
+        emitted_planted & never_kept
+    )[:5]

@@ -150,27 +150,39 @@ def _pair_join_input_spans(plan: str):
     sits exactly 3 columns deeper, and its subtree ends at the first
     line whose content column is <= its own.  Tree prints root-first:
     upstream (input) operators are LATER lines."""
+    lines, spans = _pair_join_input_spans_multi(plan)
+    assert len(spans) == 1, plan
+    pi, left_span, right_span = spans[0]
+    return lines, pi, left_span, right_span
+
+
+def _pair_join_input_spans_multi(plan: str):
+    """Like :func:`_pair_join_input_spans` but for plans with SEVERAL
+    pair joins (the two-band embedding path has one per band): returns
+    (lines, [(join_idx, left_span, right_span), ...])."""
     lines = plan.splitlines()
-    pair_join = [
+    pair_joins = [
         i for i, ln in enumerate(lines) if "Join Inner" in ln and " < " in ln
     ]
-    assert len(pair_join) == 1, plan
-    pi = pair_join[0]
+    assert pair_joins, plan
 
     def _content_col(ln: str) -> int:
         return len(ln) - len(ln.lstrip(": +-"))
 
-    cc = _content_col(lines[pi])
-    end = next(
-        (i for i in range(pi + 1, len(lines))
-         if _content_col(lines[i]) <= cc),
-        len(lines),
-    )
-    kids = [
-        i for i in range(pi + 1, end) if _content_col(lines[i]) == cc + 3
-    ]
-    assert len(kids) == 2, plan  # the pair join has exactly two inputs
-    return lines, pi, range(kids[0], kids[1]), range(kids[1], end)
+    spans = []
+    for pi in pair_joins:
+        cc = _content_col(lines[pi])
+        end = next(
+            (i for i in range(pi + 1, len(lines))
+             if _content_col(lines[i]) <= cc),
+            len(lines),
+        )
+        kids = [
+            i for i in range(pi + 1, end) if _content_col(lines[i]) == cc + 3
+        ]
+        assert len(kids) == 2, plan  # each pair join has exactly two inputs
+        spans.append((pi, range(kids[0], kids[1]), range(kids[1], end)))
+    return lines, spans
 
 
 def _assert_guard_precedes_pair_join(plan: str) -> None:
@@ -187,25 +199,30 @@ def _assert_guard_precedes_pair_join(plan: str) -> None:
 
 
 def _assert_sample_cap_precedes_pair_join(plan: str, cap: int) -> None:
-    """SAMPLE-policy shape (r12): EACH pair-join input subtree must carry
-    the rank filter AND the optimizer-inferred WindowGroupLimit — the
-    node that bounds a hot block map-side (Partial) before the shuffle,
-    so over-cap rows never reach the pair join OR the exchange in full."""
-    lines, pi, left_span, right_span = _pair_join_input_spans(plan)
+    """SAMPLE-policy shape (r12): EACH pair-join input subtree — of
+    EVERY pair join, one per band since r13 — must carry the rank
+    filter AND the optimizer-inferred WindowGroupLimit — the node that
+    bounds a hot block map-side (Partial) before the shuffle, so
+    over-cap rows never reach the pair join OR the exchange in full."""
+    lines, spans = _pair_join_input_spans_multi(plan)
     wgl = [
         i
         for i, ln in enumerate(lines)
         if "WindowGroupLimit" in ln and f"row_number(), {cap}" in ln
     ]
+    # ADVICE r12 #4: anchor the rank filter to the row_number alias —
+    # a bare "<= {cap})" could match an unrelated predicate in a subtree
     rank_filter = [
         i
         for i, ln in enumerate(lines)
-        if "Filter" in ln and f"<= {cap})" in ln
+        if "Filter" in ln and f"<= {cap})" in ln and "__rn" in ln
     ]
-    assert all(w > pi for w in wgl), plan
-    for span in (left_span, right_span):
-        assert any(w in span for w in wgl), plan
-        assert any(f in span for f in rank_filter), plan
+    first_pi = spans[0][0]
+    assert all(w > first_pi for w in wgl), plan
+    for _, left_span, right_span in spans:
+        for span in (left_span, right_span):
+            assert any(w in span for w in wgl), plan
+            assert any(f in span for f in rank_filter), plan
 
 
 def test_fuzzy_linkage_block_cap_precedes_self_join(spark):

@@ -1195,3 +1195,62 @@ def test_block_cap_sample_policy_deterministic_subset(spark):
     # physical partitioning must not change the kept subset
     assert run(df.repartition(7)) == pairs
     assert run(df.coalesce(1)) == pairs
+
+
+def test_lsh_auto_dispatch_picks_path_and_matches(spark, tmp_path):
+    """lsh_topk_from_index_auto (VERDICT r12 ask #6): a batch at or under
+    the threshold must dispatch to the isin-collect path, one over it to
+    the join-DPP path — and both dispatches must return the identical
+    rows as the paths called directly (the dispatch changes plan shape,
+    never answers)."""
+    from meerkat_abacus_spark.datapipe.similarity import (
+        lsh_topk_from_index,
+        lsh_topk_from_index_auto,
+        lsh_topk_from_index_join,
+        write_lsh_index,
+    )
+
+    corpus = _clustered_corpus(spark).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    path = str(tmp_path / "idx")
+    write_lsh_index(corpus, path, dim=4, nbits=4)
+
+    def rows(df):
+        return {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine"], 9))
+            for r in df.collect()
+        }
+
+    small = corpus.filter(F.col("vec_id") < 5)
+    big = corpus  # 120 rows
+
+    chosen: list = []
+    got_small = rows(
+        lsh_topk_from_index_auto(
+            spark, path, small, dim=4, k=3, nbits=4, radius=2,
+            batch_threshold=10, chosen=chosen,
+        )
+    )
+    got_big = rows(
+        lsh_topk_from_index_auto(
+            spark, path, big, dim=4, k=3, nbits=4, radius=2,
+            batch_threshold=10, chosen=chosen,
+        )
+    )
+    assert chosen == ["lsh_topk_from_index", "lsh_topk_from_index_join"]
+    assert got_small == rows(
+        lsh_topk_from_index(spark, path, small, dim=4, k=3, nbits=4, radius=2)
+    )
+    assert got_big == rows(
+        lsh_topk_from_index_join(
+            spark, path, big, dim=4, k=3, nbits=4, radius=2
+        )
+    )
+    # boundary: exactly threshold rows stays on the collect path
+    chosen.clear()
+    lsh_topk_from_index_auto(
+        spark, path, corpus.filter(F.col("vec_id") < 10), dim=4, k=3,
+        nbits=4, radius=2, batch_threshold=10, chosen=chosen,
+    )
+    assert chosen == ["lsh_topk_from_index"]

@@ -320,6 +320,20 @@ def time_lsh_batch_crossover(spark, sf_dir: str) -> dict:
             out[f"{label}_{pname}"] = {
                 "sec": round(time.time() - t0, 2), "rows": n,
             }
+        # the r13 dispatcher must land on the measured-crossover side
+        from meerkat_abacus_spark.datapipe.similarity import (
+            lsh_topk_from_index_auto,
+        )
+
+        chosen: list = []
+        t0 = time.time()
+        n = lsh_topk_from_index_auto(
+            spark, path, qs, dim=64, k=3, nbits=8, radius=2, chosen=chosen,
+        ).count()
+        out[f"{label}_auto"] = {
+            "sec": round(time.time() - t0, 2), "rows": n,
+            "picked": chosen[0],
+        }
     for p in (path, path + "_byid"):
         shutil.rmtree(p, ignore_errors=True)
     return out

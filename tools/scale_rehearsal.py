@@ -727,9 +727,21 @@ def capped_recall_embedding(spark, sf_dir: str, plant: int = 6000) -> dict:
             min_cosine=0.99, max_block=cap, cap_policy=policy,
         ).select("id_a", "id_b")
 
+    def lsh_pairs_banded(c):
+        # the SHIPPED r13 path: two antithetically-sampled bands
+        cb = c.withColumn(
+            "b1", sim.coordinate_sign_bucket(F.col("embedding"), 8)
+        ).withColumn("b2", sim.paired_diff_sign_bucket(F.col("embedding"), 8))
+        return dd.embedding_near_dup_pairs_banded(
+            cb, id_col="vec_id", vec_col="embedding", band_cols=["b1", "b2"],
+            min_cosine=0.99, max_block=cap, cap_policy="sample",
+        ).select("id_a", "id_b")
+
     base_pairs = sorted(map(tuple, lsh_pairs(corpus, "skip").collect()))
     planted_pairs = sorted(map(tuple, lsh_pairs(full, "skip").collect()))
     sample_pairs = sorted(map(tuple, lsh_pairs(full, "sample").collect()))
+    banded_pairs = sorted(map(tuple, lsh_pairs_banded(full).collect()))
+    banded_base = sorted(map(tuple, lsh_pairs_banded(corpus).collect()))
     # collateral loss: NATURAL vectors sharing the plant's orthant are in
     # the over-cap bucket too — their previously-emitted pairs drop with
     # it; pairs in every OTHER bucket must be untouched
@@ -762,12 +774,24 @@ def capped_recall_embedding(spark, sf_dir: str, plant: int = 6000) -> dict:
     rate = sampled_true / (m * (m - 1) // 2)
     capacity = plant * (plant - 1) // 2
     est_lost = int(rate * capacity)
-    # the shipped SAMPLE policy, measured for real: pairs whose endpoints
-    # live in the hot bucket (planted ∪ natural co-orthant members) are
-    # the recovered ones; everything else must match the skip run
+    # the SAMPLE policy, measured for real.  ADVICE r12 #3: est_lost
+    # estimates PLANTED-only true pairs (the member sample is drawn from
+    # `planted`), so the recovered numerator counts planted-endpoint
+    # pairs only — natural co-orthant members' pairs (which skip also
+    # lost) are reported separately, not folded into the fraction.
     hot_member = hot_ids | {5_000_000 + i for i in range(plant)}
-    sample_hot = [p for p in sample_pairs if p[0] in hot_member]
-    sample_rest = [p for p in sample_pairs if p[0] not in hot_member]
+    planted_ids = {5_000_000 + i for i in range(plant)}
+
+    def _split(pairs):
+        hot = [p for p in pairs if p[0] in hot_member]
+        planted_only = [
+            p for p in hot if p[0] in planted_ids and p[1] in planted_ids
+        ]
+        rest = [p for p in pairs if p[0] not in hot_member]
+        return hot, planted_only, rest
+
+    sample_hot, sample_planted, sample_rest = _split(sample_pairs)
+    banded_hot, banded_planted, banded_rest = _split(banded_pairs)
     return {
         "cap": cap,
         "natural_capped_buckets": natural_over,
@@ -782,15 +806,48 @@ def capped_recall_embedding(spark, sf_dir: str, plant: int = 6000) -> dict:
         "sample_policy": {
             "kept_hot_members": min(cap, plant + len(hot_ids)),
             "emitted_hot_bucket_pairs": len(sample_hot),
+            "emitted_planted_only_pairs": len(sample_planted),
             "recovered_fraction_vs_skip_loss": round(
-                len(sample_hot) / est_lost, 3
+                len(sample_planted) / est_lost, 3
             )
             if est_lost
             else None,
+            "natural_hot_pairs_recovered": len(sample_hot)
+            - len(sample_planted),
             "expected_fraction_cap_sq_over_n_sq": round(
                 (cap * cap) / ((plant + len(hot_ids)) ** 2), 3
             ),
             "other_buckets_unaffected": sample_rest == expected_after,
+        },
+        # the SHIPPED r13 two-band path (VERDICT r12 ask #4): antithetic
+        # per-band samples — lost pairs must straddle the two exclusive
+        # md5-rank tails, expected 2*((n-cap)/n)^2 of the block
+        "banded_policy": {
+            "bands": 2,
+            "emitted_hot_bucket_pairs": len(banded_hot),
+            "emitted_planted_only_pairs": len(banded_planted),
+            "recovered_fraction_vs_skip_loss": round(
+                len(banded_planted) / est_lost, 3
+            )
+            if est_lost
+            else None,
+            "natural_hot_pairs_recovered": len(banded_hot)
+            - len(banded_planted),
+            "expected_fraction_antithetic": round(
+                1.0
+                - 2.0
+                * (((plant + len(hot_ids)) - cap) / (plant + len(hot_ids)))
+                ** 2,
+                3,
+            ),
+            # on natural (no over-cap) data the banded output must be a
+            # SUPERSET of single-band (band 1's candidates all survive an
+            # inactive cap); any extras are true pairs band 1 split
+            # across a coordinate-sign boundary — recall, not divergence
+            "natural_superset_of_single_band": set(banded_base)
+            >= set(base_pairs),
+            "extra_true_pairs_from_band2_natural": len(banded_base)
+            - len(base_pairs),
         },
     }
 
@@ -825,9 +882,25 @@ def capped_recall_fuzzy(spark, sf_dir: str, plant: int = 1500) -> dict:
             (9_000_000 + i, f"Customer#HOTBLOCKnm{g:05d}{'x' if variant else 'y'}")
         )
     planted = spark.createDataFrame(rows, schema="c_custkey long, c_name string")
+    # pid-suffixed AND try/finally-scoped (ADVICE r12 #2): a crashed run
+    # must not leave /tmp/msa_fuzzy_hot_<pid> behind for no later cleanup
+    # to reclaim (the pid never recurs under the old-name sweep).
     planted_dir = tempfile.gettempdir() + f"/msa_fuzzy_hot_{os.getpid()}"
     shutil.rmtree(planted_dir, ignore_errors=True)
     os.makedirs(planted_dir)
+    try:
+        return _capped_recall_fuzzy_body(
+            spark, sf_dir, plant, cust, planted, planted_dir, natural_over
+        )
+    finally:
+        shutil.rmtree(planted_dir, ignore_errors=True)
+
+
+def _capped_recall_fuzzy_body(
+    spark, sf_dir, plant, cust, planted, planted_dir, natural_over
+) -> dict:
+    from meerkat_abacus_spark.queries import QUERIES
+
     cust.select("c_custkey", "c_name").unionByName(planted).write.parquet(
         planted_dir + "/customer.parquet"
     )
@@ -860,7 +933,6 @@ def capped_recall_fuzzy(spark, sf_dir: str, plant: int = 1500) -> dict:
     rate = sampled_true / (m * (m - 1) // 2)
     capacity = plant * (plant - 1) // 2
     est_lost = int(round(rate * capacity))
-    shutil.rmtree(planted_dir, ignore_errors=True)
     return {
         "cap": 1000,
         "natural_capped_blocks": natural_over,

@@ -198,14 +198,46 @@ def run_dedup_once(spark, label: str, n_copies: int, src: str) -> dict:
     }
 
 
-def run_ijoin_once(spark, label: str, n_copies: int, src: str) -> dict:
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def run_ijoin_once(
+    spark,
+    label: str,
+    n_copies: int,
+    src: str,
+    provider: str = "hdfs",
+    per_file_batches: bool = True,
+) -> dict:
     """Stream-stream interval join at ``n_copies``x users (r5 verdict #8 —
     the one stateful path without committed state evidence).  Both sides
     buffer rows in the state store until the OTHER side's watermark passes
     the end of their match window, so the expected shape is: peak state
     tracks in-flight volume, ``numRowsRemoved`` shows watermark-driven
     eviction actually firing, and disjoint user copies make the joined
-    output exactly ``n_copies``x the 1x run."""
+    output exactly ``n_copies``x the 1x run.
+
+    Fixed-cost knobs (VERDICT r12 ask #7 — the leg pinned at ~19 s
+    regardless of scale, micro-batch overhead-bound):
+
+    - ``provider="rocksdb"`` swaps the state store for
+      RocksDBStateStoreProvider (set for the query's lifetime via session
+      conf, restored after; the checkpoint is fresh per run so the
+      provider switch is safe) — the two-sided join keeps FOUR state
+      stores per partition, and the HDFS-backed provider snapshots each
+      per commit;
+    - ``per_file_batches=False`` drops maxFilesPerTrigger so availableNow
+      replays the backlog in ONE large micro-batch instead of one per
+      file slice — fewer commits, same rows (the certified
+      streaming_interval_join query keeps per-file slicing because
+      straddling pairs across batch boundaries is exactly what it
+      certifies).
+
+    Per-batch maintenance time is recorded from the progress events so
+    the fixed cost is attributed, not guessed."""
     from meerkat_abacus_spark.streaming.join_stream import interval_join_stream
 
     base = tempfile.gettempdir() + f"/msa_ijoin_scale_{n_copies}x"
@@ -213,32 +245,47 @@ def run_ijoin_once(spark, label: str, n_copies: int, src: str) -> dict:
     os.makedirs(base)
     build_user_copies(spark, src, base + "/src", n_copies)
 
-    t0 = time.time()
-    stream = (
-        spark.readStream.schema("event_id long, user_id long, ts timestamp")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(base + "/src/slice=*")
-    )
-    out = interval_join_stream(
-        stream.filter(F.col("event_id") % 2 == 0),
-        stream.filter(F.col("event_id") % 2 == 1),
-    )
-    q = (
-        out.writeStream.format("memory")
-        .queryName(f"ijoin_{label}")
-        .outputMode("append")
-        .option("checkpointLocation", base + "/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    wall = round(time.time() - t0, 2)
-    progresses = [p["stateOperators"][0] for p in q.recentProgress
-                  if p.get("stateOperators")]
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(conf_key, None)
+    if provider == "rocksdb":
+        spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
+    try:
+        t0 = time.time()
+        reader = spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp"
+        )
+        if per_file_batches:
+            reader = reader.option("maxFilesPerTrigger", 1)
+        stream = reader.parquet(base + "/src/slice=*")
+        out = interval_join_stream(
+            stream.filter(F.col("event_id") % 2 == 0),
+            stream.filter(F.col("event_id") % 2 == 1),
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(f"ijoin_{label}")
+            .outputMode("append")
+            .option("checkpointLocation", base + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = round(time.time() - t0, 2)
+    finally:
+        if provider == "rocksdb":
+            if prior is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prior)
+    batches = [p for p in q.recentProgress if p.get("stateOperators")]
+    progresses = [p["stateOperators"][0] for p in batches]
     joined = spark.table(f"ijoin_{label}").count()
     shutil.rmtree(base, ignore_errors=True)
     return {
         "sec": wall,
+        "provider": provider,
+        "per_file_batches": per_file_batches,
+        "n_batches": len(batches),
         "joined_rows": joined,
         "state_rows_peak": max(
             (p["numRowsTotal"] for p in progresses), default=None
@@ -249,6 +296,17 @@ def run_ijoin_once(spark, label: str, n_copies: int, src: str) -> dict:
         "state_rows_removed": sum(
             p.get("numRowsRemoved") or 0 for p in progresses
         ),
+        # the fixed cost, attributed per batch: state commit + update +
+        # removal walls in ms, straight from the progress events
+        "per_batch_state_ms": [
+            {
+                "commit": p.get("commitTimeMs"),
+                "updates": p.get("allUpdatesTimeMs"),
+                "removals": p.get("allRemovalsTimeMs"),
+            }
+            for p in progresses
+        ],
+        "batch_durations_ms": [p.get("batchDuration") for p in batches],
     }
 
 
@@ -276,6 +334,15 @@ def main() -> None:
     run_ijoin_once(spark, "warm", 1, src)
     ij_one = run_ijoin_once(spark, "one", 1, src)
     ij_ten = run_ijoin_once(spark, "ten", 10, src)
+    # VERDICT r12 ask #7: the fixed-cost variants — RocksDB state store
+    # and the one-big-batch availableNow replay — measured at 1x (where
+    # the fixed cost dominates) plus RocksDB at 10x for the ratio
+    ij_one_rocks = run_ijoin_once(spark, "one_rocks", 1, src,
+                                  provider="rocksdb")
+    ij_ten_rocks = run_ijoin_once(spark, "ten_rocks", 10, src,
+                                  provider="rocksdb")
+    ij_one_coarse = run_ijoin_once(spark, "one_coarse", 1, src,
+                                   per_file_batches=False)
     report = {
         "1x_users": one,
         "10x_users": ten,
@@ -313,6 +380,20 @@ def main() -> None:
         "ijoin_note": "wall is micro-batch-overhead-bound: "
                       "4 availableNow batches x ~3s two-sided state "
                       "maintenance dominates; rows scale 10x, wall flat",
+        "ijoin_1x_rocksdb": ij_one_rocks,
+        "ijoin_10x_rocksdb": ij_ten_rocks,
+        "ijoin_1x_one_big_batch": ij_one_coarse,
+        "ijoin_rocksdb_rows_equal": (
+            ij_one_rocks["joined_rows"] == ij_one["joined_rows"]
+            and ij_ten_rocks["joined_rows"] == ij_ten["joined_rows"]
+        ),
+        "ijoin_one_big_batch_rows_equal": (
+            ij_one_coarse["joined_rows"] == ij_one["joined_rows"]
+        ),
+        "ijoin_rocksdb_wall_ratio_10x": (
+            round(ij_ten_rocks["sec"] / ij_one_rocks["sec"], 2)
+            if ij_one_rocks["sec"] else None
+        ),
     }
     print(json.dumps(report))
 
