@@ -95,6 +95,9 @@ INTERESTING = (
     "dedup_span_removal",
     "ann_lsh_dpp",
     "incremental_lsh_equals_batch",
+    # r13 additions
+    "dedup_embedding_lsh",
+    "ann_lsh_auto",
 )
 
 
