@@ -975,6 +975,8 @@ def embedding_near_dup_pairs_banded(
     1-(cap/n)².  Measured on SCALE_r13's planted 6,000-vector orthant:
     recovered fraction ≥ 0.9 of what skip lost (was ~0.69 single-band).
     """
+    if not band_cols:
+        raise ValueError("band_cols must be a non-empty list of columns")
     cand: DataFrame | None = None
     for i, bc in enumerate(band_cols):
         base = _apply_block_cap(
@@ -990,7 +992,6 @@ def embedding_near_dup_pairs_banded(
             & (F.col("a.id") < F.col("b.id")),
         ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         cand = pairs if cand is None else cand.unionByName(pairs)
-    assert cand is not None, "band_cols must be non-empty"
     cand = cand.dropDuplicates(["id_a", "id_b"])
     vecs = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")

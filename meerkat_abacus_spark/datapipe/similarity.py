@@ -691,13 +691,21 @@ def lsh_topk_from_index_auto(
     chosen: list | None = None,
 ) -> DataFrame:
     """Serving-path dispatcher for the persisted sign-LSH index (VERDICT
-    r12 ask #6): counts the query side with a BOUNDED probe —
-    ``limit(threshold + 1).count()`` never scans past threshold+1 rows —
-    and picks :func:`lsh_topk_from_index` (driver-collected probe keys as
-    a literal partition filter; wins for member/driver-sized batches) or
+    r12 ask #6): sizes the query side with ``limit(threshold+1).count()``
+    — the LocalLimit reaches a plain scan so simple batches stop early
+    (a batch behind an aggregate/join still computes its upstream once;
+    the probe is bounded in ROWS RETURNED, not upstream work) — then
+    picks :func:`lsh_topk_from_index` (driver-collected probe keys as a
+    literal partition filter; wins for member/driver-sized batches) or
     :func:`lsh_topk_from_index_join` (DPP equi-join, no driver collect;
-    wins for corpus-joined batches).  Both paths return identical rows,
-    so the dispatch changes plan shape only, never answers.
+    wins for corpus-joined batches).  Both paths return identical rows
+    for whatever batch they evaluate, so the dispatch changes plan shape
+    only, never answers.  Caveat: ``queries`` is evaluated once for the
+    count and once by the chosen path — a NONDETERMINISTIC batch (e.g.
+    an unseeded sample) can therefore be dispatched on a count that
+    disagrees with the batch served; the answer is still correct for the
+    served batch, but the path pick may be suboptimal — pass a
+    deterministic batch, or call the specific path directly.
 
     ``chosen`` is a test hook: when passed, the picked function's name is
     appended so plan-selection tests can assert the switch without

@@ -321,16 +321,19 @@ def ann_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id", vec_col="embedding", k=3, nbits=_NBITS, radius=2,
         chosen=chosen,
     ).withColumn("regime", F.lit("small"))
+    # a 20-query batch is under the threshold at EVERY sf — fail loudly
+    # if a threshold regression ever routes it to the join path
+    if chosen != ["lsh_topk_from_index"]:
+        raise AssertionError(f"small-batch dispatch regressed: {chosen}")
     large = sim.lsh_topk_from_index_auto(
         spark, path, emb, dim=_DIM,
         id_col="vec_id", vec_col="embedding", k=3, nbits=_NBITS, radius=2,
-        chosen=chosen,
     ).withColumn("regime", F.lit("large"))
     # NOTE: which path "large" lands on is data-dependent (sf0.01's 500
     # queries cross the 200 threshold; sf0.001's 50 do not) — the oracle
     # certifies the answer either way BECAUSE the paths are equivalent;
-    # tests/test_ann.py asserts the dispatch itself on synthetic batches.
-    del chosen
+    # tests/test_similarity_training.py asserts the large-batch dispatch
+    # on synthetic batches where the size is controlled.
     out = small.unionByName(large)
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 3).alias("cosine"),

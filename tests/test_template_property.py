@@ -160,7 +160,10 @@ def test_random_templates_render_identically_to_jinja(spark):
         (ci,) + tuple(str(ctx[k]) if k in ctx else None for k in KEYS)
         for ci, ctx in enumerate(contexts)
     ]
-    df = spark.createDataFrame(rows, schema=["ci"] + safe)
+    # explicit schema: a key absent from ALL contexts would make its
+    # column all-None and break type inference for an unlucky seed
+    schema = "ci long, " + ", ".join(f"{c} string" for c in safe)
+    df = spark.createDataFrame(rows, schema=schema)
     got_rows = {r["ci"]: r for r in df.select("ci", *cols).collect()}
 
     for ci in range(len(contexts)):

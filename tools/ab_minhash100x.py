@@ -97,15 +97,19 @@ def ab(tree_a: str, tree_b: str, reps: int) -> None:
             r["rep"] = i
             results.append(r)
             print(json.dumps(r))
+    import statistics
+
     summary: dict = {}
     for tree in (tree_a, tree_b):
         rows = [r for r in results if r["tree"] == tree]
+        summary.setdefault(tree, {})["completed_reps"] = len(rows)
+        summary[tree]["failed_reps"] = reps - len(rows)
         for q in ("dedup_minhash_lsh", "dedup_clusters"):
             vals = sorted(r[q]["sec"] for r in rows)
-            summary.setdefault(tree, {})[q] = {
+            summary[tree][q] = {
                 "runs": vals,
                 "min": vals[0] if vals else None,
-                "median": vals[len(vals) // 2] if vals else None,
+                "median": round(statistics.median(vals), 2) if vals else None,
             }
         sents = sorted(
             s for r in rows

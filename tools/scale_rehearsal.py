@@ -783,11 +783,20 @@ def capped_recall_embedding(spark, sf_dir: str, plant: int = 6000) -> dict:
     planted_ids = {5_000_000 + i for i in range(plant)}
 
     def _split(pairs):
-        hot = [p for p in pairs if p[0] in hot_member]
+        # EITHER-endpoint membership: band-2 (paired-diff) buckets can
+        # legitimately join a hot-orthant member to a vector OUTSIDE the
+        # band-1 hot bucket, so p[0]-only classification would undercount
+        # the banded path's hot-involving pairs
+        hot = [
+            p for p in pairs if p[0] in hot_member or p[1] in hot_member
+        ]
         planted_only = [
             p for p in hot if p[0] in planted_ids and p[1] in planted_ids
         ]
-        rest = [p for p in pairs if p[0] not in hot_member]
+        rest = [
+            p for p in pairs
+            if p[0] not in hot_member and p[1] not in hot_member
+        ]
         return hot, planted_only, rest
 
     sample_hot, sample_planted, sample_rest = _split(sample_pairs)
@@ -860,6 +869,10 @@ def capped_recall_embedding(spark, sf_dir: str, plant: int = 6000) -> dict:
             >= set(base_pairs),
             "extra_true_pairs_from_band2_natural": len(banded_base)
             - len(base_pairs),
+            # pairs touching no hot member must be unperturbed by the
+            # plant: every one appears in the banded no-plant baseline
+            "non_hot_pairs_unaffected": set(banded_rest)
+            <= set(banded_base),
         },
     }
 
