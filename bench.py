@@ -153,6 +153,9 @@ def compact_artifact(detailed: dict) -> dict:
         # host-speed correction when trending value across rounds (the
         # within-round normalization can't see a uniformly slower host)
         "cal_ref": detailed["calibration"]["ref"],
+        # max/min sentinel ratio: >~2 means the run was contended and
+        # round-over-round drift conclusions need an A/B, not this line
+        "cal_spread": detailed["calibration"].get("spread"),
     }
     line = json.dumps(out)
     if len(line) > _COMPACT_BUDGET:
@@ -239,6 +242,14 @@ def main() -> None:
             "pre": cal_pre,
             "post": cal_post,
             "ref": cal_ref,
+            # contention index (r13, after the BENCH_AB_r13 adjudication
+            # showed a single median can't flag mid-suite load): the
+            # max/min sentinel ratio across the run.  ~1.0-1.5 on a quiet
+            # host; the r12 "drift" round would have shown >3 here and
+            # self-flagged as noise instead of costing an A/B to settle.
+            "spread": round(max(sentinels) / min(sentinels), 2)
+            if min(sentinels) > 0
+            else None,
             "sentinels": sentinels,
         },
     }

@@ -62,6 +62,7 @@ def _fake_detailed(bench) -> dict:
             "pre": 0.0441,
             "post": 0.0448,
             "ref": 0.0445,
+            "spread": 1.05,
             "sentinels": [0.0441 + i * 1e-4 for i in range(n_sent)],
         },
     }
