@@ -128,6 +128,24 @@ def paired_diff_sign_bucket(vec: Column, nbits: int = 8) -> Column:
     return F.concat(*bits)
 
 
+def diff_sign_bucket(vec: Column, pairs: list[tuple[int, int]]) -> Column:
+    """Generalized rotated-sign band: one bit per ``(i, j)`` coordinate
+    pair (1-indexed), the sign of ``v[i] - v[j]``.  For LOW-dimensional
+    embeddings (e.g. the 8-D multimodal extractor) the fixed stride-1
+    pairing of :func:`paired_diff_sign_bucket` yields too few planes —
+    here the caller names the pairings (e.g. stride-1 plus stride-2) so a
+    second band keeps full bucket-count parity with the coordinate-sign
+    band.  Same portability contract: IEEE double subtraction renders
+    identically as ``CASE WHEN v[i] - v[j] >= 0`` in ANSI SQL."""
+    bits = [
+        F.when(
+            F.element_at(vec, i) - F.element_at(vec, j) >= 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for i, j in pairs
+    ]
+    return F.concat(*bits)
+
+
 LSH_SEED = "msa-signlsh"
 
 

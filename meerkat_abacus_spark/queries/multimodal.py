@@ -116,6 +116,16 @@ _MM_BUCKET_SQL = "|| ".join(
     f"(CASE WHEN {{side}}.v[{i + 1}] >= 0 THEN '1' ELSE '0' END) "
     for i in range(8)
 )
+
+# Second band (r13, the dedup_embedding_lsh pattern at dim 8): rotated
+# hyperplanes from coordinate differences at stride 1 AND stride 2 — 8
+# planes, so the band keeps bucket-count parity with the sign band.
+_MM_DIFF_PAIRS = [(1, 2), (3, 4), (5, 6), (7, 8), (1, 3), (2, 4), (5, 7), (6, 8)]
+_MM_BUCKET2_SQL = "|| ".join(
+    f"(CASE WHEN {{side}}.v[{i}] - {{side}}.v[{j}] >= 0 "
+    "THEN '1' ELSE '0' END) "
+    for i, j in _MM_DIFF_PAIRS
+)
 _MM_COS_SQL = (
     "(list_dot_product(a.v, b.v) / "
     "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))"
@@ -129,31 +139,48 @@ _MM_COS_SQL = (
         SELECT doc_id, [{', '.join(_EMB_DIM_SQL)}] AS v FROM documents
     ),
     bucketed AS (
-        SELECT e.*, ({_MM_BUCKET_SQL.format(side='e')}) AS bucket FROM emb e
+        SELECT e.*, ({_MM_BUCKET_SQL.format(side='e')}) AS b1,
+               ({_MM_BUCKET2_SQL.format(side='e')}) AS b2
+        FROM emb e
     ),
-    ranked AS (
-        SELECT b.*, ROW_NUMBER() OVER (
-            PARTITION BY bucket
-            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
-        FROM bucketed b
+    g1 AS (
+        SELECT * FROM (
+            SELECT doc_id, b1 AS bucket, ROW_NUMBER() OVER (
+                PARTITION BY b1
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM bucketed) WHERE rn <= 5000
     ),
-    guarded AS (SELECT * FROM ranked WHERE rn <= 5000)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND({_MM_COS_SQL}, 3) AS cosine
-    FROM guarded a JOIN guarded b
-      ON a.bucket = b.bucket
-     AND a.doc_id < b.doc_id
+    g2 AS (
+        SELECT * FROM (
+            SELECT doc_id, b2 AS bucket, ROW_NUMBER() OVER (
+                PARTITION BY b2
+                ORDER BY md5(CAST(doc_id AS VARCHAR)) DESC, doc_id DESC) AS rn
+            FROM bucketed) WHERE rn <= 5000
+    ),
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM g1 a JOIN g1 b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id
+        FROM g2 a JOIN g2 b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b, ROUND({_MM_COS_SQL}, 3) AS cosine
+    FROM cand c
+    JOIN bucketed a ON a.doc_id = c.id_a
+    JOIN bucketed b ON b.doc_id = c.id_b
     WHERE {_MM_COS_SQL} >= 0.995
     """,
 )
 def multimodal_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """decode → feature-extract (embedding) → sign-LSH block → cosine
-    verify: the composed multimodal near-dup pipeline.  The pairwise join
-    is bucket-bounded AND over-cap-guarded exactly like dedup_embedding_lsh
-    (max_block=5000 pre-join SAMPLE guard — a hot bucket keeps a
-    deterministic md5-ordered ≤cap subset instead of being dropped whole,
-    recovering ~cap²/n² of its pairs; identical row_number guard in the
-    oracle SQL); only the embedding SOURCE differs (Arrow-batched
+    verify: the composed multimodal near-dup pipeline, sharing
+    dedup_embedding_lsh's TWO-BAND cap discipline (r13): coordinate signs
+    plus rotated coordinate-difference signs (stride 1 + stride 2 pairs
+    at dim 8, keeping 2⁸ bucket parity per band), antithetic md5 sample
+    caps per band, one cosine verify pass over the distinct candidate
+    union.  A capped hot bucket therefore gets a second,
+    complementary-sampled chance instead of single-band cap²/n²; only the
+    embedding SOURCE differs from the dedup family (Arrow-batched
     extractor instead of a stored column)."""
     from meerkat_abacus_spark.datapipe import dedup as dd
     from meerkat_abacus_spark.datapipe import similarity as sim
@@ -161,11 +188,21 @@ def multimodal_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     emb = embed_media(attach_binary_payload(docs, text_col="text"))
-    corpus = emb.withColumn(
-        "bucket", sim.coordinate_sign_bucket(F.col("embedding"), 8)
+    corpus = (
+        emb.withColumn("b1", sim.coordinate_sign_bucket(F.col("embedding"), 8))
+        .withColumn(
+            "b2", sim.diff_sign_bucket(F.col("embedding"), _MM_DIFF_PAIRS)
+        )
+        .select("doc_id", "embedding", "b1", "b2")
+        # The banded generator scans its input once per band side plus
+        # twice for the verify join; embeddings here come from the Arrow
+        # extractor (the expensive stage at scale), so EXTRACT ONCE and
+        # pin the narrow (id, 8-double, 2 keys) projection — the same
+        # compute-embeddings-once staging a real encoder would force.
+        .localCheckpoint()
     )
-    pairs = dd.embedding_near_dup_pairs(
-        corpus, id_col="doc_id", vec_col="embedding", block_col="bucket",
+    pairs = dd.embedding_near_dup_pairs_banded(
+        corpus, id_col="doc_id", vec_col="embedding", band_cols=["b1", "b2"],
         min_cosine=0.995, max_block=5000, cap_policy="sample",
     )
     return pairs.select("id_a", "id_b", F.round("cosine", 3).alias("cosine"))
