@@ -118,14 +118,9 @@ def paired_diff_sign_bucket(vec: Column, nbits: int = 8) -> Column:
     ``embedding_near_dup_pairs_banded``).  Uses coordinates 1..2·nbits;
     IEEE double subtraction is bit-deterministic, so the identical
     ``CASE WHEN v[2i+1]-v[2i+2] >= 0`` renders in ANSI SQL oracles."""
-    bits = [
-        F.when(
-            F.element_at(vec, 2 * i + 1) - F.element_at(vec, 2 * i + 2) >= 0,
-            F.lit("1"),
-        ).otherwise(F.lit("0"))
-        for i in range(nbits)
-    ]
-    return F.concat(*bits)
+    return diff_sign_bucket(
+        vec, [(2 * i + 1, 2 * i + 2) for i in range(nbits)]
+    )
 
 
 def diff_sign_bucket(vec: Column, pairs: list[tuple[int, int]]) -> Column:

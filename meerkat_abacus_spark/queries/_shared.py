@@ -242,6 +242,57 @@ _COS_SQL = (
 )
 
 
+def render_two_band_oracle(
+    corpus_sql: str,
+    id_col: str,
+    b1_sql: str,
+    b2_sql: str,
+    cos_sql: str,
+    cap: int,
+    min_cosine: float,
+) -> str:
+    """ONE renderer for every two-band near-dup oracle (r13 review
+    follow-up): dedup_embedding_lsh and multimodal_embed_neardup share
+    the identical band/cap/union/verify SQL shape, and a fix applied to
+    one hand-copied oracle but not the other would silently de-certify
+    the twin.  ``corpus_sql`` must yield ``({id_col}, v)``; the band
+    expressions are ``str.format``-templated on ``side``; the antithetic
+    discipline is fixed here — g1 ascending md5 ranks, g2 descending —
+    mirroring ``dedup._apply_block_cap(descending=bool(band % 2))``."""
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    bucketed AS (
+        SELECT c.*, ({b1_sql.format(side='c')}) AS b1,
+               ({b2_sql.format(side='c')}) AS b2
+        FROM corpus c
+    ),
+    g1 AS (
+        SELECT * FROM (
+            SELECT {id_col}, b1 AS bucket, ROW_NUMBER() OVER (
+                PARTITION BY b1
+                ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}) AS rn
+            FROM bucketed) WHERE rn <= {cap}
+    ),
+    g2 AS (
+        SELECT * FROM (
+            SELECT {id_col}, b2 AS bucket, ROW_NUMBER() OVER (
+                PARTITION BY b2
+                ORDER BY md5(CAST({id_col} AS VARCHAR)) DESC, {id_col} DESC) AS rn
+            FROM bucketed) WHERE rn <= {cap}
+    ),
+    cand AS (
+        SELECT a.{id_col} AS id_a, b.{id_col} AS id_b
+        FROM g1 a JOIN g1 b ON a.bucket = b.bucket AND a.{id_col} < b.{id_col}
+        UNION
+        SELECT a.{id_col}, b.{id_col}
+        FROM g2 a JOIN g2 b ON a.bucket = b.bucket AND a.{id_col} < b.{id_col}
+    )
+    SELECT c.id_a, c.id_b, ROUND({cos_sql}, 3) AS cosine
+    FROM cand c
+    JOIN bucketed a ON a.{id_col} = c.id_a
+    JOIN bucketed b ON b.{id_col} = c.id_b
+    WHERE {cos_sql} >= {min_cosine}
+    """
 
 
 def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -9,7 +9,7 @@ from meerkat_abacus_spark.datapipe import similarity as sim
 from meerkat_abacus_spark.datapipe import text as tx
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from ._shared import _COS_SQL, _DOC_CORPUS3_SQL, _DOC_CORPUS_SQL, _EMB_CORPUS_SQL, _doc_corpus, _doc_corpus3, _emb_corpus, _register, _t
+from ._shared import _COS_SQL, _DOC_CORPUS3_SQL, _DOC_CORPUS_SQL, _EMB_CORPUS_SQL, _doc_corpus, _doc_corpus3, _emb_corpus, _register, _t, render_two_band_oracle
 # Raw coordinate-sign blocking key (NOT the hyperplane ANN index — see
 # similarity.coordinate_sign_bucket): at the dedup operating point
 # (cosine >= 0.99) candidate pairs are near-identical, so raw signs agree
@@ -416,40 +416,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "dedup_embedding_lsh",
-    f"""
-    WITH corpus AS ({_EMB_CORPUS_SQL}),
-    bucketed AS (
-        SELECT c.*, ({_BUCKET_SQL.format(side='c')}) AS b1,
-               ({_BUCKET2_SQL.format(side='c')}) AS b2
-        FROM corpus c
+    render_two_band_oracle(
+        _EMB_CORPUS_SQL, "vec_id", _BUCKET_SQL, _BUCKET2_SQL, _COS_SQL,
+        cap=5000, min_cosine=0.99,
     ),
-    g1 AS (
-        SELECT * FROM (
-            SELECT vec_id, b1 AS bucket, ROW_NUMBER() OVER (
-                PARTITION BY b1
-                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-            FROM bucketed) WHERE rn <= 5000
-    ),
-    g2 AS (
-        SELECT * FROM (
-            SELECT vec_id, b2 AS bucket, ROW_NUMBER() OVER (
-                PARTITION BY b2
-                ORDER BY md5(CAST(vec_id AS VARCHAR)) DESC, vec_id DESC) AS rn
-            FROM bucketed) WHERE rn <= 5000
-    ),
-    cand AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM g1 a JOIN g1 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        UNION
-        SELECT a.vec_id, b.vec_id
-        FROM g2 a JOIN g2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    )
-    SELECT c.id_a, c.id_b, ROUND({_COS_SQL}, 3) AS cosine
-    FROM cand c
-    JOIN bucketed a ON a.vec_id = c.id_a
-    JOIN bucketed b ON b.vec_id = c.id_b
-    WHERE {_COS_SQL} >= 0.99
-    """,
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH-bucketed embedding near-dup — the SCALE path for

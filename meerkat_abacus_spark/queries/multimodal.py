@@ -6,7 +6,7 @@ from __future__ import annotations
 from meerkat_abacus_spark.datapipe.multimodal import attach_binary_payload, decode_media
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from ._shared import _register, _t
+from ._shared import _register, _t, render_two_band_oracle
 
 
 
@@ -134,42 +134,11 @@ _MM_COS_SQL = (
 
 @_register(
     "multimodal_embed_neardup",
-    f"""
-    WITH emb AS (
-        SELECT doc_id, [{', '.join(_EMB_DIM_SQL)}] AS v FROM documents
+    render_two_band_oracle(
+        f"SELECT doc_id, [{', '.join(_EMB_DIM_SQL)}] AS v FROM documents",
+        "doc_id", _MM_BUCKET_SQL, _MM_BUCKET2_SQL, _MM_COS_SQL,
+        cap=5000, min_cosine=0.995,
     ),
-    bucketed AS (
-        SELECT e.*, ({_MM_BUCKET_SQL.format(side='e')}) AS b1,
-               ({_MM_BUCKET2_SQL.format(side='e')}) AS b2
-        FROM emb e
-    ),
-    g1 AS (
-        SELECT * FROM (
-            SELECT doc_id, b1 AS bucket, ROW_NUMBER() OVER (
-                PARTITION BY b1
-                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
-            FROM bucketed) WHERE rn <= 5000
-    ),
-    g2 AS (
-        SELECT * FROM (
-            SELECT doc_id, b2 AS bucket, ROW_NUMBER() OVER (
-                PARTITION BY b2
-                ORDER BY md5(CAST(doc_id AS VARCHAR)) DESC, doc_id DESC) AS rn
-            FROM bucketed) WHERE rn <= 5000
-    ),
-    cand AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM g1 a JOIN g1 b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-        UNION
-        SELECT a.doc_id, b.doc_id
-        FROM g2 a JOIN g2 b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-    )
-    SELECT c.id_a, c.id_b, ROUND({_MM_COS_SQL}, 3) AS cosine
-    FROM cand c
-    JOIN bucketed a ON a.doc_id = c.id_a
-    JOIN bucketed b ON b.doc_id = c.id_b
-    WHERE {_MM_COS_SQL} >= 0.995
-    """,
 )
 def multimodal_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """decode → feature-extract (embedding) → sign-LSH block → cosine
@@ -199,7 +168,14 @@ def multimodal_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # extractor (the expensive stage at scale), so EXTRACT ONCE and
         # pin the narrow (id, 8-double, 2 keys) projection — the same
         # compute-embeddings-once staging a real encoder would force.
-        .localCheckpoint()
+        # persist(), NOT localCheckpoint(): lazy (building the DataFrame
+        # must not run the extractor — tools/explain.py constructs plans
+        # for every INTERESTING query) and the cached plan stays visible
+        # to the plan-invariant checks (a checkpoint truncates the tree
+        # at an ExistingRDD scan, hiding the documents FileScan pruning
+        # evidence).  Spark's CacheManager dedups by logical plan, so
+        # repeated invocations reuse one tiny cache entry.
+        .persist()
     )
     pairs = dd.embedding_near_dup_pairs_banded(
         corpus, id_col="doc_id", vec_col="embedding", band_cols=["b1", "b2"],

@@ -1187,3 +1187,101 @@ def test_embedding_cap_cross_engine_when_hot_bucket_fires(spark, tmp_path):
     assert not (emitted_planted & never_kept), sorted(
         emitted_planted & never_kept
     )[:5]
+
+
+def test_multimodal_cap_cross_engine_when_hot_bucket_fires(spark, tmp_path):
+    """The r13 two-band cap semantics of multimodal_embed_neardup are
+    never exercised by certification data (no natural extractor bucket
+    approaches 5000 docs), so a Spark/oracle divergence inside the cap
+    branch — e.g. the DESC md5 keep-order of the rotated band — would
+    stay green.  Plant 5,100 documents sharing one 64-byte prefix (the
+    extractor embeds only the first 64 payload bytes, so they are exact
+    embedding duplicates, hot in BOTH bands at cosine 1.0) and run the
+    shipped query against its registered oracle while the cap fires;
+    then check the pure-Python antithetic model: every emitted planted
+    pair co-kept in some band, band 1's dropped members recovered via
+    band 2, and — since n ≤ 2·cap — every planted member emitted."""
+    import hashlib
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import tools.compare as cmp
+    from meerkat_abacus_spark.queries import ORACLES, QUERIES
+
+    src = "/root/testdata/sf0.001"
+    if not os.path.isdir(src):
+        import pytest as _pytest
+
+        _pytest.skip("driver testdata not present")
+
+    nat = pq.read_table(src + "/documents.parquet")
+    sch = pa.schema(
+        [nat.schema.field(i).remove_metadata() for i in range(len(nat.schema))]
+    )
+    nat = nat.cast(sch).replace_schema_metadata(None)
+    # 8 repeats of an 8-char block: emb[d] = 8*(ord(B[d]) - 105), every
+    # coordinate and every stride-1/stride-2 difference sign has a
+    # nonzero margin, so both band keys are stable and shared
+    prefix = "zqpmwcak" * 8
+    plant = 5100
+    ids = [5_000_000 + i for i in range(plant)]
+    hot = pa.table(
+        {
+            "doc_id": pa.array(ids, sch.field("doc_id").type),
+            "text": pa.array(
+                [f"{prefix} planted doc {i}" for i in range(plant)],
+                sch.field("text").type,
+            ),
+            "lang": pa.array(["en"] * plant, sch.field("lang").type),
+            "source": pa.array(["hot"] * plant, sch.field("source").type),
+            "n_chars": pa.array(
+                [len(prefix) + 14] * plant, sch.field("n_chars").type
+            ),
+        },
+        schema=sch,
+    )
+    d = str(tmp_path / "mmhot")
+    os.makedirs(d)
+    pq.write_table(pa.concat_tables([nat, hot]), d + "/documents.parquet")
+
+    sdf = QUERIES["multimodal_embed_neardup"](spark, d).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    odf = con.sql(ORACLES["multimodal_embed_neardup"]).df()
+    assert len(sdf) == len(odf)
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert cmp.value_hash(sdf) == cmp.value_hash(odf)
+
+    asc = sorted(
+        ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )
+    band1_sup = set(asc[:5000])
+    band2_sup = set(asc[::-1][:5000])
+    pp = [
+        (a, b)
+        for a, b in zip(sdf["id_a"], sdf["id_b"])
+        if a >= 5_000_000 and b >= 5_000_000
+    ]
+    assert pp, "hot bucket produced no pairs"
+    bad = [
+        (a, b)
+        for a, b in pp
+        if not (
+            (a in band1_sup and b in band1_sup)
+            or (a in band2_sup and b in band2_sup)
+        )
+    ]
+    assert not bad, bad[:5]
+    emitted = {i for p in pp for i in p}
+    dropped_band1 = set(ids) - band1_sup
+    assert len(dropped_band1) == 100
+    assert dropped_band1 <= emitted  # band-2 recovery fired, cross-engine
+    # n = 5100 ≤ 2*cap: the antithetic union covers every member, and all
+    # planted docs are exact duplicates — so NO planted doc may vanish
+    assert emitted == set(ids)
