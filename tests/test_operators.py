@@ -1072,10 +1072,12 @@ def test_embedding_cap_cross_engine_when_hot_bucket_fires(spark, tmp_path):
     BOTH bands) so the 5000 sample cap FIRES, then run the shipped
     two-band dedup_embedding_lsh against its registered oracle SQL.
     Beyond whole-result equality, the pure-Python md5 model computes the
-    per-band kept sets: every emitted planted pair must be co-kept in
-    band 1 (ascending md5 ranks) or band 2 (descending — antithetic),
-    and the 11 dup members dropped from band 1's sample must STILL
-    appear in emitted pairs via band 2 — the r13 second-chance recovery
+    per-band kept sets over the FULL member set (originals plus their
+    corpus ×2 copies — 10,200 members, past 2·cap): every emitted
+    planted pair must be co-kept in band 1 (ascending md5 ranks) or
+    band 2 (descending — antithetic), members dropped from band 1 must
+    still appear via band 2, and the 200 md5-middle members outside
+    BOTH bands may appear in no pair — the r13 second-chance recovery
     working cross-engine, not just in Spark."""
     import hashlib
     import os
