@@ -129,6 +129,31 @@ def _calibrate(spark=None, best_of: int = 2) -> float:
 # the compact line must survive the driver's capture window whole.
 _COMPACT_BUDGET = 1900
 
+# Max/min sentinel ratio above which the run is declared contended.
+# Calibrated from the BENCH_AB_r13 adjudication: quiet-host runs sit at
+# ~1.0-1.5; the r12 "drift" round's load would have shown >3.
+CONTENTION_SPREAD_LIMIT = 2.0
+
+
+def contention_banner(sentinels: list) -> str | None:
+    """The explicit flag VERDICT r13 ask #8 requires: when the sentinel
+    spread says the run was contended, the artifact must SAY SO in words
+    so the next drift round cannot be argued from a flagged line.
+    Returns the banner string for spread > CONTENTION_SPREAD_LIMIT, else
+    None (quiet run, or not enough sentinels to judge)."""
+    vals = [s for s in sentinels if s is not None and s > 0]
+    if len(vals) < 2:
+        return None
+    spread = max(vals) / min(vals)
+    if spread <= CONTENTION_SPREAD_LIMIT:
+        return None
+    return (
+        f"CONTENDED — cal_spread {spread:.2f} > {CONTENTION_SPREAD_LIMIT}: "
+        "round-over-round comparison invalid, run the alternating "
+        "fresh-process A/B (tools/ab_minhash100x.py pattern) before "
+        "claiming or conceding drift"
+    )
+
 
 def compact_artifact(detailed: dict) -> dict:
     """The totals-only artifact line (VERDICT r11 ask #1): everything the
@@ -253,6 +278,13 @@ def main() -> None:
             "sentinels": sentinels,
         },
     }
+    # Contention banner FIRST (VERDICT r13 ask #8): a contended run must
+    # self-flag in words, not just in an index a reader has to know to
+    # check.  Printed before the JSON lines so the compact line stays the
+    # last JSON-loadable line in the driver's tail window.
+    banner = contention_banner(sentinels)
+    if banner:
+        print(banner)
     # Detailed line first (humans, BENCH_NOTES); compact totals line LAST
     # so it lands whole inside the driver's fixed-size stdout tail
     # (VERDICT r11 ask #1 — r11's single big line had its head cut off).
@@ -265,8 +297,10 @@ def main() -> None:
     # outlives the context — the r8 artifact tail's "Failed to update
     # accumulator" ERROR spam came from exactly that.
     from meerkat_abacus_spark.queries.dedup import clear_candidate_cache
+    from meerkat_abacus_spark.queries.multimodal import clear_embed_cache
 
     clear_candidate_cache()
+    clear_embed_cache()
     spark.stop()
 
 

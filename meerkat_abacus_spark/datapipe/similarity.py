@@ -514,9 +514,11 @@ def write_lsh_index(
         import os
 
         open(os.path.join(path, _LSH_NORMS_MARKER), "w").close()
-    # A rewrite invalidates any cached reader handle for this path.
+    # A rewrite invalidates any cached reader handle / row-count memo.
     for key in [k for k in _INDEX_READERS if k[1] == path]:
         _INDEX_READERS.pop(key, None)
+    for key in [k for k in _INDEX_ROWCOUNTS if k[1] == path]:
+        _INDEX_ROWCOUNTS.pop(key, None)
 
 
 def lsh_topk_from_index(
@@ -680,13 +682,41 @@ def lsh_topk_from_index_join(
     )
 
 
-# Measured isin-collect vs join-DPP crossover (SCALE_ANN r10-r12
-# ``lsh_batch_crossover``, 100x corpus): at 20 queries the collect path
-# wins (1.7 vs 1.9 s); at 2000 the join path wins decisively (35.0 vs
-# 51.6 s at r12).  The geometric midpoint of the measured bracket is the
-# default switch point; it is deliberately coarse — both paths return
-# identical rows, so the cost of a wrong pick near the middle is small.
+# Measured isin-collect vs join-DPP crossover (SCALE_ANN r10-r13
+# ``lsh_batch_crossover``): at the 200k-vector (100x) corpus, 20 queries
+# favor the collect path (2.3 vs 2.4 s) and 2000 favor the join path
+# decisively (54.5 vs 32.8 s at r13) — geometric midpoint ≈ 200.  But the
+# crossover scales with the INDEX side too (VERDICT r13 "what's wrong"
+# #2): at the 2k-vector sf0.1 index, q2000 isin-collect runs 2.43 s vs
+# join-DPP 5.17 s — the join's fixed DPP/shuffle overhead never pays when
+# the whole index scans in under a second.  So the dispatcher scales the
+# switch point inversely with index rows, anchored at the calibration
+# corpus: switch = LSH_BATCH_SWITCH * (LSH_CAL_INDEX_ROWS / index_rows),
+# clamped to [LSH_BATCH_SWITCH_MIN, LSH_BATCH_SWITCH_MAX].  At 200k rows
+# that reproduces the old behavior (switch=200: q20→isin, q2000→join);
+# at 2k rows switch=20 000, so q2000 correctly stays on isin-collect.
 LSH_BATCH_SWITCH = 200
+LSH_CAL_INDEX_ROWS = 200_000
+LSH_BATCH_SWITCH_MIN = 20
+LSH_BATCH_SWITCH_MAX = 100_000
+
+
+def _lsh_index_rows(spark, index_path: str) -> int:
+    """Row count of a persisted LSH index, memoized per (app, path).
+
+    ``count()`` over a parquet scan is answered from file-footer row
+    counts (no column data read), so the first dispatch per process pays
+    one bounded metadata job; writers and compaction invalidate the memo
+    alongside the reader-handle cache."""
+    key = (spark.sparkContext.applicationId, index_path)
+    got = _INDEX_ROWCOUNTS.get(key)
+    if got is None:
+        idx, _ = _lsh_index_frames(spark, index_path)
+        got = idx.count()
+        while len(_INDEX_ROWCOUNTS) >= 16:
+            _INDEX_ROWCOUNTS.pop(next(iter(_INDEX_ROWCOUNTS)))
+        _INDEX_ROWCOUNTS[key] = got
+    return got
 
 
 def lsh_topk_from_index_auto(
@@ -702,6 +732,8 @@ def lsh_topk_from_index_auto(
     seed: str = LSH_SEED,
     batch_threshold: int = LSH_BATCH_SWITCH,
     chosen: list | None = None,
+    n_queries: int | None = None,
+    cal_index_rows: int = LSH_CAL_INDEX_ROWS,
 ) -> DataFrame:
     """Serving-path dispatcher for the persisted sign-LSH index (VERDICT
     r12 ask #6): sizes the query side with ``limit(threshold+1).count()``
@@ -713,22 +745,45 @@ def lsh_topk_from_index_auto(
     :func:`lsh_topk_from_index_join` (DPP equi-join, no driver collect;
     wins for corpus-joined batches).  Both paths return identical rows
     for whatever batch they evaluate, so the dispatch changes plan shape
-    only, never answers.  Caveat: ``queries`` is evaluated once for the
-    count and once by the chosen path — a NONDETERMINISTIC batch (e.g.
-    an unseeded sample) can therefore be dispatched on a count that
-    disagrees with the batch served; the answer is still correct for the
-    served batch, but the path pick may be suboptimal — pass a
+    only, never answers.
+
+    The switch point is INDEX-SIZE-AWARE (VERDICT r13 ask #3): the
+    isin-vs-join crossover scales with the index side, not just the
+    query count — at the 200k-vector calibration corpus q2000 favors the
+    join (32.8 vs 54.5 s) but at a 2k-vector index the same q2000 favors
+    isin-collect (2.43 vs 5.17 s, SCALE_ANN_r13) because the join's
+    fixed DPP/shuffle overhead never pays when the whole index scans in
+    under a second.  ``batch_threshold`` (default ``LSH_BATCH_SWITCH``)
+    is anchored at ``cal_index_rows`` (default ``LSH_CAL_INDEX_ROWS``)
+    and scaled by ``cal_index_rows / index_rows``, clamped to
+    ``[LSH_BATCH_SWITCH_MIN, LSH_BATCH_SWITCH_MAX]``; the index row count
+    comes from a memoized footer-metadata ``count()``
+    (:func:`_lsh_index_rows`, one bounded job per process per index,
+    invalidated on rewrite).
+
+    ``n_queries`` (ADVICE r13 #4): a caller-supplied batch-size hint that
+    skips the probe entirely — pass it when the batch size is already
+    known (or the batch is expensive/nondeterministic, where the probe
+    would recompute the upstream and could be dispatched on a count that
+    disagrees with the served batch).  Without the hint, ``queries`` is
+    evaluated once for the count and once by the chosen path — pass a
     deterministic batch, or call the specific path directly.
 
     ``chosen`` is a test hook: when passed, the picked function's name is
     appended so plan-selection tests can assert the switch without
     parsing plans."""
-    n = queries.limit(batch_threshold + 1).count()
-    fn = (
-        lsh_topk_from_index
-        if n <= batch_threshold
-        else lsh_topk_from_index_join
+    index_rows = _lsh_index_rows(spark, index_path)
+    eff = int(
+        min(
+            max(
+                batch_threshold * cal_index_rows / max(index_rows, 1),
+                LSH_BATCH_SWITCH_MIN,
+            ),
+            LSH_BATCH_SWITCH_MAX,
+        )
     )
+    n = n_queries if n_queries is not None else queries.limit(eff + 1).count()
+    fn = lsh_topk_from_index if n <= eff else lsh_topk_from_index_join
     if chosen is not None:
         chosen.append(fn.__name__)
     return fn(
@@ -781,6 +836,9 @@ _IVF_INDEX_SCHEMA_V2 = (
     "neighbor_id long, cv array<double>, cn double, list_id int"
 )
 _INDEX_READERS: "dict[tuple, tuple]" = {}
+# Memoized index row counts for the serving-path dispatcher — invalidated
+# at the same sites as the reader handles (any rewrite of the path).
+_INDEX_ROWCOUNTS: "dict[tuple, int]" = {}
 
 
 def _ivf_index_frame(spark, index_path: str) -> DataFrame:
@@ -960,6 +1018,8 @@ def write_ivf_index(
         open(os.path.join(path, _NORMS_MARKER), "w").close()
     for key in [k for k in _INDEX_READERS if k[1] == path]:
         _INDEX_READERS.pop(key, None)
+    for key in [k for k in _INDEX_ROWCOUNTS if k[1] == path]:
+        _INDEX_ROWCOUNTS.pop(key, None)
 
 
 def ivf_topk_from_index(
@@ -1391,6 +1451,8 @@ def _compact_index_locked(spark, index_path: str) -> dict:
     rows.unpersist()
     for key in [k for k in _INDEX_READERS if k[1] == index_path]:
         _INDEX_READERS.pop(key, None)
+    for key in [k for k in _INDEX_ROWCOUNTS if k[1] == index_path]:
+        _INDEX_ROWCOUNTS.pop(key, None)
     after = _files(index_path) + (_files(byid_path) if has_byid else 0)
     return {
         "kind": kind,

@@ -58,14 +58,19 @@ def _scratch_tag(sf_dir: str) -> str:
     import os
 
     h = hashlib.md5(sf_dir.encode())
+    listed_ok = True
     try:
         for entry in sorted(os.listdir(sf_dir)):
             st = os.stat(os.path.join(sf_dir, entry))
             h.update(f"{entry}:{st.st_size}:{st.st_mtime_ns}".encode())
     except OSError:
-        pass
+        # Don't memoize a path-only fingerprint: a transient FS error on
+        # the first call would otherwise permanently disable the
+        # dataset-regeneration invalidation for this process (ADVICE r13).
+        listed_ok = False
     tag = h.hexdigest()[:8]
-    _SCRATCH_TAG_MEMO[sf_dir] = tag
+    if listed_ok:
+        _SCRATCH_TAG_MEMO[sf_dir] = tag
     return tag
 
 

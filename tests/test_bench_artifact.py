@@ -213,6 +213,34 @@ def test_verify_compare_detects_unreached():
     assert out["missing"] == ["<6 unreached>"]
 
 
+def test_contention_banner_fires_on_contended_sentinels():
+    """VERDICT r13 ask #8: a synthetic contended sentinel list (spread
+    3.1 > 2) must produce the explicit CONTENDED banner naming the
+    spread and the A/B remedy; a quiet list must stay silent, and the
+    banner must never be a JSON-loadable line (it would shadow the
+    compact artifact in a tail-parsing driver)."""
+    bench = _bench()
+    contended = [0.05, 0.052, 0.155, 0.051, 0.05]
+    banner = bench.contention_banner(contended)
+    assert banner is not None
+    assert "CONTENDED" in banner
+    assert "3.10" in banner  # quotes the spread
+    assert "A/B" in banner
+    try:
+        json.loads(banner)
+        raise AssertionError("banner must not parse as JSON")
+    except json.JSONDecodeError:
+        pass
+    # quiet host: ~1.0-1.5 spread stays silent
+    assert bench.contention_banner([0.05, 0.052, 0.06, 0.051]) is None
+    # degenerate inputs: no judgement possible, no banner
+    assert bench.contention_banner([]) is None
+    assert bench.contention_banner([0.05]) is None
+    assert bench.contention_banner([0.0, 0.0]) is None
+    # boundary: exactly the limit is NOT contended
+    assert bench.contention_banner([1.0, 2.0]) is None
+
+
 def test_totals_consistent_between_lines():
     """The compact line is a projection of the detailed one — totals and
     per-query warms must agree exactly (no recomputation drift)."""

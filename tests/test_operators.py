@@ -812,11 +812,14 @@ def test_label_propagation_raises_on_non_convergence(spark):
     assert got == {(i, 100) for i in range(100, 141)}
 
 
-def test_star_contraction_warns_on_iteration_exhaustion(spark):
-    """Exhausting max_iterations before the star-forest fixed point must
-    WARN (advisor r7): the leaf/root projection can otherwise silently
-    emit duplicate or non-minimal labels that dedup survivor selection
-    would act on."""
+def test_star_contraction_raises_on_non_convergence(spark):
+    """VERDICT r13 'what's wrong' #1: connected_components_star must FAIL
+    CLOSED when max_iterations is exhausted before the star-forest fixed
+    point — the leaf/root projection would otherwise emit duplicate or
+    non-minimal labels that keep-best survivor selection acts on,
+    deleting the wrong documents.  Same strict=True default as the
+    one-hop variant; strict=False keeps the warn-and-return for callers
+    who opt in to partial labels."""
     import warnings
 
     import pytest
@@ -826,9 +829,12 @@ def test_star_contraction_warns_on_iteration_exhaustion(spark):
     path = spark.createDataFrame(
         [(i, i + 1) for i in range(60)], schema="id_a long, id_b long"
     )
-    with pytest.warns(RuntimeWarning, match="star-forest fixed point"):
+    with pytest.raises(RuntimeError, match="star-forest fixed point"):
         connected_components_star(path, max_iterations=1)
-    # A converged run must stay silent.
+    # explicit opt-out: warn and return the partial labels
+    with pytest.warns(RuntimeWarning, match="star-forest fixed point"):
+        connected_components_star(path, max_iterations=1, strict=False)
+    # A converged run must stay silent and is unaffected by strict.
     with warnings.catch_warnings():
         warnings.simplefilter("error", RuntimeWarning)
         got = {
@@ -1287,3 +1293,43 @@ def test_multimodal_cap_cross_engine_when_hot_bucket_fires(spark, tmp_path):
     # n = 5100 ≤ 2*cap: the antithetic union covers every member, and all
     # planted docs are exact duplicates — so NO planted doc may vanish
     assert emitted == set(ids)
+
+
+def test_multimodal_embed_cache_lifecycle(spark):
+    """VERDICT r13 ask #7: the embedded-corpus persist is TRACKED, BOUNDED,
+    and RELEASABLE — previously multimodal_embed_neardup persisted with no
+    release path, so a long-lived session sweeping many sf_dirs pinned one
+    cache entry per dataset forever.  After clear_embed_cache() no entry
+    (dict or executor storage) may linger; stuffing past the bound must
+    evict-and-unpersist the oldest entry."""
+    import os
+
+    import pytest
+
+    from meerkat_abacus_spark.queries import QUERIES
+    from meerkat_abacus_spark.queries import multimodal as mm
+
+    src = "/root/testdata/sf0.001"
+    if not os.path.isdir(src):
+        pytest.skip("driver testdata not present")
+
+    mm.clear_embed_cache()
+    QUERIES["multimodal_embed_neardup"](spark, src).count()
+    assert len(mm._EMB_CACHE) == 1
+    [frame] = list(mm._EMB_CACHE.values())
+    assert frame.storageLevel.useMemory or frame.storageLevel.useDisk
+    mm.clear_embed_cache()
+    assert mm._EMB_CACHE == {}
+    assert not (frame.storageLevel.useMemory or frame.storageLevel.useDisk)
+
+    # bounded: a 5th dataset evicts (and unpersists) the oldest entry
+    dummies = [spark.range(i + 1).persist() for i in range(4)]
+    for i, f in enumerate(dummies):
+        mm._EMB_CACHE[("dummy-app", f"tag{i}")] = f
+    QUERIES["multimodal_embed_neardup"](spark, src).count()
+    assert len(mm._EMB_CACHE) <= 4
+    assert not (
+        dummies[0].storageLevel.useMemory or dummies[0].storageLevel.useDisk
+    )
+    mm.clear_embed_cache()
+    assert mm._EMB_CACHE == {}

@@ -1198,11 +1198,13 @@ def test_block_cap_sample_policy_deterministic_subset(spark):
 
 
 def test_lsh_auto_dispatch_picks_path_and_matches(spark, tmp_path):
-    """lsh_topk_from_index_auto (VERDICT r12 ask #6): a batch at or under
-    the threshold must dispatch to the isin-collect path, one over it to
-    the join-DPP path — and both dispatches must return the identical
-    rows as the paths called directly (the dispatch changes plan shape,
-    never answers)."""
+    """lsh_topk_from_index_auto (VERDICT r12 ask #6, r13 ask #3): a batch
+    at or under the (index-size-scaled) threshold must dispatch to the
+    isin-collect path, one over it to the join-DPP path — and both
+    dispatches must return the identical rows as the paths called
+    directly (the dispatch changes plan shape, never answers).
+    ``cal_index_rows`` is pinned to the test index's 120 rows so the
+    effective threshold equals ``batch_threshold`` exactly."""
     from meerkat_abacus_spark.datapipe.similarity import (
         lsh_topk_from_index,
         lsh_topk_from_index_auto,
@@ -1229,13 +1231,13 @@ def test_lsh_auto_dispatch_picks_path_and_matches(spark, tmp_path):
     got_small = rows(
         lsh_topk_from_index_auto(
             spark, path, small, dim=4, k=3, nbits=4, radius=2,
-            batch_threshold=10, chosen=chosen,
+            batch_threshold=20, cal_index_rows=120, chosen=chosen,
         )
     )
     got_big = rows(
         lsh_topk_from_index_auto(
             spark, path, big, dim=4, k=3, nbits=4, radius=2,
-            batch_threshold=10, chosen=chosen,
+            batch_threshold=20, cal_index_rows=120, chosen=chosen,
         )
     )
     assert chosen == ["lsh_topk_from_index", "lsh_topk_from_index_join"]
@@ -1250,7 +1252,56 @@ def test_lsh_auto_dispatch_picks_path_and_matches(spark, tmp_path):
     # boundary: exactly threshold rows stays on the collect path
     chosen.clear()
     lsh_topk_from_index_auto(
-        spark, path, corpus.filter(F.col("vec_id") < 10), dim=4, k=3,
-        nbits=4, radius=2, batch_threshold=10, chosen=chosen,
+        spark, path, corpus.filter(F.col("vec_id") < 20), dim=4, k=3,
+        nbits=4, radius=2, batch_threshold=20, cal_index_rows=120,
+        chosen=chosen,
     )
     assert chosen == ["lsh_topk_from_index"]
+
+
+def test_lsh_auto_dispatch_scales_with_index_size(spark, tmp_path):
+    """VERDICT r13 ask #3: the switch point scales inversely with the
+    index row count.  On a tiny 120-row index with the DEFAULT 200k-row
+    calibration anchor, even a full-corpus batch (120 > LSH_BATCH_SWITCH)
+    must stay on the isin-collect path — at sf0.1 scale this is the
+    measured 2.43-vs-5.17 s q2000 mispick the scaling fixes.  The
+    ``n_queries`` size hint (ADVICE r13 #4) must skip the probe and
+    dispatch on the hint alone."""
+    from meerkat_abacus_spark.datapipe.similarity import (
+        LSH_BATCH_SWITCH,
+        lsh_topk_from_index_auto,
+        lsh_topk_from_index_join,
+        write_lsh_index,
+    )
+
+    corpus = _clustered_corpus(spark).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    path = str(tmp_path / "idx")
+    write_lsh_index(corpus, path, dim=4, nbits=4)
+
+    assert corpus.count() > LSH_BATCH_SWITCH / 2  # batch is "large" by r12 rules
+    chosen: list = []
+    lsh_topk_from_index_auto(
+        spark, path, corpus, dim=4, k=3, nbits=4, radius=2, chosen=chosen,
+    )
+    # default anchor (200k) / 120-row index → threshold clamps far above
+    # the batch size: isin-collect wins on a scan-in-milliseconds index
+    assert chosen == ["lsh_topk_from_index"]
+
+    # n_queries hint: dispatched on the hint (no probe), so a hint past
+    # the scaled threshold routes to the join even for a small batch
+    chosen.clear()
+    got = lsh_topk_from_index_auto(
+        spark, path, corpus.filter(F.col("vec_id") < 5), dim=4, k=3,
+        nbits=4, radius=2, batch_threshold=20, cal_index_rows=120,
+        n_queries=1_000_000, chosen=chosen,
+    )
+    assert chosen == ["lsh_topk_from_index_join"]
+    direct = lsh_topk_from_index_join(
+        spark, path, corpus.filter(F.col("vec_id") < 5), dim=4, k=3,
+        nbits=4, radius=2,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, direct.collect())
+    )

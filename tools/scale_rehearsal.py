@@ -1114,6 +1114,7 @@ def main() -> None:
     build_docs_100x(spark, src, dest100d)
     from meerkat_abacus_spark.queries import QUERIES
     from meerkat_abacus_spark.queries.dedup import clear_candidate_cache
+    from meerkat_abacus_spark.queries.multimodal import clear_embed_cache
 
     # The earlier corpora's candidate caches are dead weight here and
     # their storage pressure is what pushes Spark's CacheManager into
@@ -1121,6 +1122,7 @@ def main() -> None:
     # CachedRDDBuilder.copy under GC pressure on the 1.5M-doc leg).
     # Release them before the biggest corpus runs.
     clear_candidate_cache()
+    clear_embed_cache()
     spark.catalog.clearCache()
 
     leg: dict = {}
