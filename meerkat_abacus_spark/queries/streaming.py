@@ -570,7 +570,12 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         time_quartile_slices(events),
     )
     name = f"sess_{_proc_scratch_tag(sf_dir)}"
-    return run_sessionize_over_files(spark, src, ckpt, queryName=name)
+    # per-file slicing pinned EXPLICITLY: cross-batch session stitching is
+    # what this query certifies; the helper's replay default is
+    # one-big-batch (VERDICT r13 ask #5)
+    return run_sessionize_over_files(
+        spark, src, ckpt, queryName=name, max_files_per_trigger=1
+    )
 
 
 
@@ -774,8 +779,12 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir() + f"/msa_ijoin_{_proc_scratch_tag(sf_dir)}",
         time_quartile_slices(events),
     )
+    # per-file slicing pinned EXPLICITLY: straddling pairs across batch
+    # seams (buffered state) is what this query certifies; the helper's
+    # replay default is one-big-batch (VERDICT r13 ask #5)
     joined = run_interval_join_over_files(
-        spark, src, ckpt, queryName=f"ijoin_{_proc_scratch_tag(sf_dir)}"
+        spark, src, ckpt, queryName=f"ijoin_{_proc_scratch_tag(sf_dir)}",
+        max_files_per_trigger=1,
     )
     return joined.groupBy((F.col("k") % 32).alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_pairs")

@@ -69,15 +69,28 @@ def run_interval_join_over_files(
     gap: str = "30 minutes",
     watermark_delay: str = "1 hour",
     queryName: str = "stream_ijoin",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """Drive the interval join over time-sliced parquet files (one
-    micro-batch per file, availableNow): even event ids form the left
-    stream, odd the right.  Returns the joined rows."""
-    stream = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(source_dir)
-    )
+    """Drive the interval join over time-sliced parquet files
+    (availableNow): even event ids form the left stream, odd the right.
+    Returns the joined rows.
+
+    ``max_files_per_trigger`` sets the replay batching (VERDICT r13 ask
+    #5).  The default ``None`` replays the whole backlog as ONE large
+    micro-batch — measured on the STREAM_SCALE_r13 1x leg, per-file
+    batching cost 19.3 s against 7.74 s one-big-batch with IDENTICAL
+    joined rows, because each availableNow commit pays ~3 s of two-sided
+    state-store maintenance across every shuffle partition regardless of
+    row count (RocksDB was WORSE at this state size: 28.4 s).  Pass 1
+    (one micro-batch per file, oldest mtime first) to exercise
+    cross-batch buffered state — what the certified
+    ``streaming_interval_join`` query pins explicitly, since straddling
+    pairs across batch seams is exactly what it certifies — or any k to
+    bound per-batch input on a backlog too large for one batch."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
     out = interval_join_stream(
         stream.filter(F.col("event_id") % 2 == 0),
         stream.filter(F.col("event_id") % 2 == 1),

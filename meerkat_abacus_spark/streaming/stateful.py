@@ -181,15 +181,26 @@ def run_sessionize_over_files(
     checkpoint_dir: str,
     gap_seconds: int = 1800,
     queryName: str = "stateful_sessions",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Drive the sessionizer over a directory of time-sliced parquet files
-    (one micro-batch per file, oldest modification time first) with an
-    availableNow trigger, and return the final session table."""
-    stream = (
-        spark.readStream.schema("event_id long, user_id long, ts timestamp")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(source_dir)
+    with an availableNow trigger, and return the final session table.
+
+    ``max_files_per_trigger`` (VERDICT r13 ask #5): ``None`` (default)
+    replays the whole backlog as ONE large micro-batch — each
+    availableNow commit pays a fixed per-batch state-store maintenance
+    cost regardless of rows (measured on the interval join:
+    19.3 s → 7.74 s at 1x, rows identical), so fewer, larger batches is
+    the right replay default.  Pass 1 (one micro-batch per file, oldest
+    mtime first) to exercise cross-batch session stitching — what the
+    certified ``streaming_sessionize`` query pins explicitly — or any k
+    to bound per-batch input."""
+    reader = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp"
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
     emissions = sessionize_stream(stream, gap_seconds=gap_seconds)
     q = (
         emissions.writeStream.format("memory")

@@ -239,13 +239,24 @@ def test_interval_join_matches_across_batch_boundary(spark, tmp_path):
         os.utime(dest, (1_700_000_000 + i, 1_700_000_000 + i))
 
     joined = run_interval_join_over_files(
-        spark, src, ckpt, queryName="t_ijoin_unit",
+        spark, src, ckpt, queryName="t_ijoin_unit", max_files_per_trigger=1,
     )
     pairs = sorted(
         (r.left_id, r.right_id)
         for r in joined.select("left_id", "right_id").collect()
     )
     assert pairs == [(2, 3)], pairs
+
+    # the one-big-batch replay default (VERDICT r13 ask #5) must return
+    # the identical pairs — batching changes cost, never answers
+    joined_coarse = run_interval_join_over_files(
+        spark, src, str(tmp_path / "ckpt_coarse"), queryName="t_ijoin_coarse",
+    )
+    pairs_coarse = sorted(
+        (r.left_id, r.right_id)
+        for r in joined_coarse.select("left_id", "right_id").collect()
+    )
+    assert pairs_coarse == pairs, pairs_coarse
 
 
 def test_hot_key_spanning_many_arrow_chunks(spark, tmp_path):
