@@ -312,6 +312,56 @@ def _probe_keys_from_dots(dots: Column, nbits: int, radius: int) -> Column:
     return F.array(*keys)
 
 
+def _home_from_dots(dots: Column, nbits: int) -> Column:
+    """The home bucket BIT STRING from a staged projection-dots array —
+    one concat of ``nbits`` sign tests, computed once per row."""
+    return F.concat(*_bits_from_dots(dots, nbits))
+
+
+def _probe_keys_from_home(home: Column, nbits: int, radius: int) -> Column:
+    """The Hamming-``radius`` probe-key array derived from a STAGED home
+    bucket string by substring surgery — same keys in the same order as
+    :func:`_probe_keys_from_dots` (home first, then flips in mask order).
+
+    Why the second form exists: building every key directly from the
+    dots array costs ``keys × nbits`` sign-test CASE expressions (296 at
+    nbits=8/radius=2), which under ANSI's added checks blows Janino's
+    64 KB method limit in the Generate node's codegen — Spark falls back
+    to interpreted projection (correct, ~10× slower per row, and an
+    ERROR line in the driver log every run).  Flipping characters of the
+    once-computed home string needs only ~4 substring/concat ops per
+    key, keeping the whole probe fan-out inside whole-stage codegen.
+    The caller must stage ``home`` as its own projection (a withColumn
+    before the explode) — it is non-cheap, so CollapseProject will not
+    re-inline it into every key."""
+    import itertools
+
+    def flip_at(i: int) -> Column:  # 1-indexed char position
+        return F.when(
+            F.substring(home, i, 1) == "1", F.lit("0")
+        ).otherwise(F.lit("1"))
+
+    masks: list[tuple[int, ...]] = [()]
+    for r in range(1, radius + 1):
+        masks += list(itertools.combinations(range(nbits), r))
+    keys: list[Column] = []
+    for m in masks:
+        if not m:
+            keys.append(home)
+            continue
+        parts: list[Column] = []
+        prev = 0  # number of leading chars already emitted
+        for j in sorted(m):
+            if j > prev:
+                parts.append(F.substring(home, prev + 1, j - prev))
+            parts.append(flip_at(j + 1))
+            prev = j + 1
+        if prev < nbits:
+            parts.append(F.substring(home, prev + 1, nbits - prev))
+        keys.append(F.concat(*parts) if len(parts) > 1 else parts[0])
+    return F.array(*keys)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -349,18 +399,20 @@ def lsh_topk(
             F.concat(*_bits_from_dots(F.col("_dots"), nbits)).alias("bucket"),
         )
     )
-    staged = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).withColumn("_dots", projection_dots(F.col("qv"), dim, nbits))
+    staged = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        .withColumn("_dots", projection_dots(F.col("qv"), dim, nbits))
+        .withColumn("_home", _home_from_dots(F.col("_dots"), nbits))
+    )
     if radius <= 0:
         # fast path: the home bucket is a plain column — no probe array,
         # no Generate node on the broadcast side
-        bucket = F.concat(*_bits_from_dots(F.col("_dots"), nbits)).alias(
-            "bucket"
-        )
+        bucket = F.col("_home").alias("bucket")
     else:
         bucket = F.explode(
-            _probe_keys_from_dots(F.col("_dots"), nbits, radius)
+            _probe_keys_from_home(F.col("_home"), nbits, radius)
         ).alias("bucket")
     q = F.broadcast(
         staged.select(
@@ -545,16 +597,18 @@ def lsh_topk_from_index(
     partition column and lean on dynamic partition pruning instead, the
     :func:`ivf_topk_from_index_join` pattern).
     """
-    staged = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).withColumn("_dots", projection_dots(F.col("qv"), dim, nbits, seed))
+    staged = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        .withColumn("_dots", projection_dots(F.col("qv"), dim, nbits, seed))
+        .withColumn("_home", _home_from_dots(F.col("_dots"), nbits))
+    )
     if radius <= 0:
         probed = staged.select(
             "query_id",
             "qv",
-            F.concat(
-                F.lit("b"), *_bits_from_dots(F.col("_dots"), nbits)
-            ).alias("pbucket"),
+            F.concat(F.lit("b"), F.col("_home")).alias("pbucket"),
         )
     else:
         # explode first, prefix after — a generator cannot nest inside
@@ -563,7 +617,7 @@ def lsh_topk_from_index(
             "query_id",
             "qv",
             F.explode(
-                _probe_keys_from_dots(F.col("_dots"), nbits, radius)
+                _probe_keys_from_home(F.col("_home"), nbits, radius)
             ).alias("_k"),
         ).select(
             "query_id",
@@ -639,23 +693,25 @@ def lsh_topk_from_index_join(
     thumb: member/driver-sized batches → :func:`lsh_topk_from_index` /
     ``_by_id``; corpus-joined batches → this function.
     """
-    staged = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).withColumn("_dots", projection_dots(F.col("qv"), dim, nbits, seed))
+    staged = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        .withColumn("_dots", projection_dots(F.col("qv"), dim, nbits, seed))
+        .withColumn("_home", _home_from_dots(F.col("_dots"), nbits))
+    )
     if radius <= 0:
         probed = staged.select(
             "query_id",
             "qv",
-            F.concat(
-                F.lit("b"), *_bits_from_dots(F.col("_dots"), nbits)
-            ).alias("pbucket"),
+            F.concat(F.lit("b"), F.col("_home")).alias("pbucket"),
         )
     else:
         probed = staged.select(
             "query_id",
             "qv",
             F.explode(
-                _probe_keys_from_dots(F.col("_dots"), nbits, radius)
+                _probe_keys_from_home(F.col("_home"), nbits, radius)
             ).alias("_k"),
         ).select(
             "query_id",

@@ -1197,6 +1197,43 @@ def test_block_cap_sample_policy_deterministic_subset(spark):
     assert run(df.coalesce(1)) == pairs
 
 
+def test_probe_keys_from_home_equals_from_dots(spark):
+    """The substring-surgery probe-key form (_probe_keys_from_home — the
+    one the serving paths now stage, because the per-key sign-test form
+    blows Janino's 64 KB method limit under ANSI and drops the Generate
+    node to interpreted execution) must emit EXACTLY the keys of the
+    original _probe_keys_from_dots, in the same order, for every radius
+    in use — same keys means same buckets probed means certified results
+    unchanged by construction."""
+    from meerkat_abacus_spark.datapipe.similarity import (
+        _home_from_dots,
+        _probe_keys_from_dots,
+        _probe_keys_from_home,
+        projection_dots,
+    )
+
+    corpus = _clustered_corpus(spark).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    for nbits, radius in ((4, 0), (4, 1), (4, 2), (8, 2), (8, 3)):
+        staged = corpus.withColumn(
+            "_dots", projection_dots(F.col("v"), 4, nbits)
+        ).withColumn("_home", _home_from_dots(F.col("_dots"), nbits))
+        both = staged.select(
+            "vec_id",
+            _probe_keys_from_dots(F.col("_dots"), nbits, radius).alias("a"),
+            _probe_keys_from_home(F.col("_home"), nbits, radius).alias("b"),
+        ).collect()
+        assert both, "empty corpus"
+        for r in both:
+            assert r["a"] == r["b"], (nbits, radius, r["vec_id"], r["a"], r["b"])
+        # radius-r ball size: sum of C(nbits, i) for i <= r
+        import math
+
+        expect = sum(math.comb(nbits, i) for i in range(radius + 1))
+        assert len(both[0]["a"]) == expect
+
+
 def test_lsh_auto_dispatch_picks_path_and_matches(spark, tmp_path):
     """lsh_topk_from_index_auto (VERDICT r12 ask #6, r13 ask #3): a batch
     at or under the (index-size-scaled) threshold must dispatch to the
