@@ -279,6 +279,14 @@ def multiprobe_buckets(
     ``radius`` of the home bucket (home + single flips + double flips at
     the default radius 2).
 
+    Single-expression convenience form — fine for ad-hoc composition, but
+    the serving paths instead stage the projection dots and home string
+    as their own columns and expand the ball with
+    :func:`_probe_keys_from_home`: building every key straight from the
+    vector repeats the projection subtree per key reference, and the
+    per-key sign-test form exceeds Janino's 64 KB codegen method limit
+    under ANSI (r14).
+
     Multi-probe is what makes a SINGLE sign-LSH table usable as an index:
     a true neighbour at cosine ~0.35 agrees with the query on each
     hyperplane with p ≈ 0.61, so the all-bits home bucket alone captures
