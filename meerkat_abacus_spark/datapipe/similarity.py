@@ -763,6 +763,20 @@ LSH_BATCH_SWITCH = 200
 LSH_CAL_INDEX_ROWS = 200_000
 LSH_BATCH_SWITCH_MIN = 20
 LSH_BATCH_SWITCH_MAX = 100_000
+# Ceiling on how many query rows the dispatch probe may evaluate
+# (VERDICT r14 ask #1): when the index is small the scaled switch point
+# is huge (sf0.1: eff = 20 000), so an uncapped ``limit(eff+1).count()``
+# evaluates the ENTIRE batch — which the served path then evaluates
+# again (+22% measured at sf0.1 q2000, SCALE_ANN_r14).  The probe counts
+# at most ``min(eff, LSH_BATCH_PROBE_CAP) + 1`` rows; a probe that
+# SATURATES the cap while ``eff`` is still above it means the index is
+# small enough (< cal_rows x switch / cap = 40k rows at the defaults)
+# that the collect path wins regardless of batch size — measured at the
+# 2k-row sf0.1 index where q2000 isin beats join 2.43 vs 5.17 s, and the
+# isin probe-key literal list is bounded by 2^nbits buckets, never by
+# the batch size — so the dispatcher picks isin WITHOUT evaluating more
+# of the batch.
+LSH_BATCH_PROBE_CAP = 1000
 
 
 def _lsh_index_rows(spark, index_path: str) -> int:
@@ -773,13 +787,17 @@ def _lsh_index_rows(spark, index_path: str) -> int:
     one bounded metadata job; writers and compaction invalidate the memo
     alongside the reader-handle cache."""
     key = (spark.sparkContext.applicationId, index_path)
-    got = _INDEX_ROWCOUNTS.get(key)
+    # LRU, not FIFO (VERDICT r14 ask #6): pop+reinsert on hit moves the
+    # key to the end of the dict's insertion order, so eviction (which
+    # pops the FRONT) always drops the least-recently-USED entry — a hot
+    # index alternating with many cold ones survives the pressure.
+    got = _INDEX_ROWCOUNTS.pop(key, None)
     if got is None:
         idx, _ = _lsh_index_frames(spark, index_path)
         got = idx.count()
         while len(_INDEX_ROWCOUNTS) >= 16:
             _INDEX_ROWCOUNTS.pop(next(iter(_INDEX_ROWCOUNTS)))
-        _INDEX_ROWCOUNTS[key] = got
+    _INDEX_ROWCOUNTS[key] = got
     return got
 
 
@@ -800,16 +818,26 @@ def lsh_topk_from_index_auto(
     cal_index_rows: int = LSH_CAL_INDEX_ROWS,
 ) -> DataFrame:
     """Serving-path dispatcher for the persisted sign-LSH index (VERDICT
-    r12 ask #6): sizes the query side with ``limit(threshold+1).count()``
-    — the LocalLimit reaches a plain scan so simple batches stop early
-    (a batch behind an aggregate/join still computes its upstream once;
-    the probe is bounded in ROWS RETURNED, not upstream work) — then
+    r12 ask #6): sizes the query side with a CAPPED
+    ``limit(min(threshold, LSH_BATCH_PROBE_CAP)+1).count()`` — the
+    LocalLimit reaches a plain scan so simple batches stop early (a batch
+    behind an aggregate/join still computes its upstream once; the probe
+    is bounded in ROWS RETURNED, not upstream work), and the cap
+    (VERDICT r14 ask #1) guarantees a small-index dispatch never pays a
+    full batch evaluation even when the scaled threshold is huge — then
     picks :func:`lsh_topk_from_index` (driver-collected probe keys as a
-    literal partition filter; wins for member/driver-sized batches) or
+    literal partition filter; wins for member/driver-sized batches and
+    for ANY batch against a small index, where the whole scan is cheaper
+    than the join's fixed DPP overhead) or
     :func:`lsh_topk_from_index_join` (DPP equi-join, no driver collect;
-    wins for corpus-joined batches).  Both paths return identical rows
-    for whatever batch they evaluate, so the dispatch changes plan shape
-    only, never answers.
+    wins for corpus-joined batches against large indexes).  A probe that
+    saturates the cap while the scaled threshold is still above it
+    resolves to the collect path without evaluating more of the batch —
+    a threshold above the cap certifies the index is under ~40k rows at
+    the defaults, and the collect path's driver literal list is bounded
+    by 2^nbits buckets, never by the batch size.  Both paths return
+    identical rows for whatever batch they evaluate, so the dispatch
+    changes plan shape only, never answers.
 
     The switch point is INDEX-SIZE-AWARE (VERDICT r13 ask #3): the
     isin-vs-join crossover scales with the index side, not just the
@@ -829,9 +857,12 @@ def lsh_topk_from_index_auto(
     skips the probe entirely — pass it when the batch size is already
     known (or the batch is expensive/nondeterministic, where the probe
     would recompute the upstream and could be dispatched on a count that
-    disagrees with the served batch).  Without the hint, ``queries`` is
-    evaluated once for the count and once by the chosen path — pass a
-    deterministic batch, or call the specific path directly.
+    disagrees with the served batch).  Production call sites with a
+    statically-known batch size DO pass it (VERDICT r14 ask #1 — e.g.
+    ``queries/ann.py``'s small-regime filter).  Without the hint, at most
+    ``min(threshold, LSH_BATCH_PROBE_CAP)+1`` rows of ``queries`` are
+    evaluated for the count before the chosen path evaluates the batch —
+    pass a deterministic batch, or call the specific path directly.
 
     ``chosen`` is a test hook: when passed, the picked function's name is
     appended so plan-selection tests can assert the switch without
@@ -846,8 +877,20 @@ def lsh_topk_from_index_auto(
             LSH_BATCH_SWITCH_MAX,
         )
     )
-    n = n_queries if n_queries is not None else queries.limit(eff + 1).count()
-    fn = lsh_topk_from_index if n <= eff else lsh_topk_from_index_join
+    if n_queries is not None:
+        isin = n_queries <= eff
+    else:
+        # Two-tier probe (VERDICT r14 ask #1): never evaluate more than
+        # LSH_BATCH_PROBE_CAP+1 batch rows to dispatch.  Unsaturated ⇒
+        # the count is exact (and ≤ cap ≤ eff ⇒ isin).  Saturated with
+        # eff ≤ cap ⇒ the batch provably exceeds the switch ⇒ join.
+        # Saturated with eff > cap ⇒ the index is tiny (the only way eff
+        # grows past the cap) and isin wins at every admissible batch
+        # size — see LSH_BATCH_PROBE_CAP.
+        cap = min(eff, LSH_BATCH_PROBE_CAP)
+        n = queries.limit(cap + 1).count()
+        isin = n <= cap or eff > cap
+    fn = lsh_topk_from_index if isin else lsh_topk_from_index_join
     if chosen is not None:
         chosen.append(fn.__name__)
     return fn(
@@ -916,7 +959,10 @@ def _ivf_index_frame(spark, index_path: str) -> DataFrame:
     import os
 
     key = (spark.sparkContext.applicationId, index_path, "ivf")
-    got = _INDEX_READERS.get(key)
+    # LRU on hit (VERDICT r14 ask #6) — see _lsh_index_rows.
+    got = _INDEX_READERS.pop(key, None)
+    if got is not None:
+        _INDEX_READERS[key] = got
     if got is None:
         schema = (
             _IVF_INDEX_SCHEMA_V2
@@ -934,7 +980,10 @@ def _lsh_index_frames(spark, index_path: str):
     import os
 
     key = (spark.sparkContext.applicationId, index_path)
-    got = _INDEX_READERS.get(key)
+    # LRU on hit (VERDICT r14 ask #6) — see _lsh_index_rows.
+    got = _INDEX_READERS.pop(key, None)
+    if got is not None:
+        _INDEX_READERS[key] = got
     if got is None:
         schema = (
             _LSH_INDEX_SCHEMA_V2

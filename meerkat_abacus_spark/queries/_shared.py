@@ -51,9 +51,20 @@ def _scratch_tag(sf_dir: str) -> str:
     happens across PROCESSES, never mid-process: bench/compare/rehearsal
     are all fresh interpreters per run, and nothing in this repo rewrites
     an sf_dir it is simultaneously querying."""
+    return _scratch_tag_ok(sf_dir)[0]
+
+
+def _scratch_tag_ok(sf_dir: str) -> "tuple[str, bool]":
+    """:func:`_scratch_tag` plus a validity flag (ADVICE r14 #1): ``ok``
+    is False when the directory listing failed and the tag is therefore
+    PATH-ONLY — it no longer fingerprints the dataset's contents, so
+    caches keyed on it must not insert or serve under it (a regenerated
+    dataset behind a flaky FS would otherwise be served a stale pinned
+    frame).  The memo already skips such tags; in-process frame caches
+    (queries/multimodal._EMB_CACHE) skip them via this flag."""
     cached = _SCRATCH_TAG_MEMO.get(sf_dir)
     if cached is not None:
-        return cached
+        return cached, True
     import hashlib
     import os
 
@@ -71,7 +82,7 @@ def _scratch_tag(sf_dir: str) -> str:
     tag = h.hexdigest()[:8]
     if listed_ok:
         _SCRATCH_TAG_MEMO[sf_dir] = tag
-    return tag
+    return tag, listed_ok
 
 
 def _scratch_ready(path: str) -> bool:

@@ -320,10 +320,17 @@ def ann_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = _lsh_index_path(spark, sf_dir)
     chosen: list = []
+    # n_queries hints (VERDICT r14 ask #1): both batch sizes are known
+    # before dispatch — the small regime is a vec_id<20 filter over the
+    # contiguous-id corpus (20 rows at every sf) and the large regime IS
+    # the corpus the index was built from, whose row count the dispatcher
+    # already holds in its memoized footer-metadata count — so neither
+    # dispatch evaluates the batch for sizing and the served path
+    # evaluates it exactly once.
     small = sim.lsh_topk_from_index_auto(
         spark, path, emb.filter(F.col("vec_id") < 20), dim=_DIM,
         id_col="vec_id", vec_col="embedding", k=3, nbits=_NBITS, radius=2,
-        chosen=chosen,
+        chosen=chosen, n_queries=20,
     ).withColumn("regime", F.lit("small"))
     # a 20-query batch is under the threshold at EVERY sf — fail loudly
     # if a threshold regression ever routes it to the join path
@@ -332,6 +339,7 @@ def ann_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     large = sim.lsh_topk_from_index_auto(
         spark, path, emb, dim=_DIM,
         id_col="vec_id", vec_col="embedding", k=3, nbits=_NBITS, radius=2,
+        n_queries=sim._lsh_index_rows(spark, path),
     ).withColumn("regime", F.lit("large"))
     # NOTE: which path "large" lands on is data-dependent (the r14
     # index-size-aware scaling keeps sf0.01's 500-row index on the

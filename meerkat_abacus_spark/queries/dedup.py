@@ -202,16 +202,30 @@ _CAND_CACHE: "dict[tuple, DataFrame]" = {}
 def _verified_candidates(
     spark: SparkSession, sf_dir: str, corpus: DataFrame, kind: str
 ) -> DataFrame:
-    from ._shared import _scratch_tag
+    from ._shared import _scratch_tag_ok
 
+    tag, tag_ok = _scratch_tag_ok(sf_dir)
+    if not tag_ok:
+        # Path-only fingerprint (ADVICE r14 #1): do not cache under a tag
+        # that no longer hashes the dataset listing — see
+        # multimodal._embedded_corpus_cached.
+        return (
+            dd.minhash_lsh_candidates(
+                corpus, id_col="doc_id", text_col="text", **MINHASH_CFG
+            )
+            .filter(F.col("jaccard") >= 0.4)
+        )
     key = (
         spark.sparkContext.applicationId,
-        _scratch_tag(sf_dir),
+        tag,
         kind,
         tuple(sorted(MINHASH_CFG.items())),
     )
-    cached = _CAND_CACHE.get(key)
+    # LRU, not FIFO (VERDICT r14 ask #6): re-insert on hit so eviction
+    # (front pop) drops the least-recently-USED candidate frame.
+    cached = _CAND_CACHE.pop(key, None)
     if cached is not None:
+        _CAND_CACHE[key] = cached
         return cached
     cands = (
         dd.minhash_lsh_candidates(

@@ -152,11 +152,23 @@ _EMB_CACHE: "dict[tuple, DataFrame]" = {}
 def _embedded_corpus_cached(
     spark: SparkSession, sf_dir: str, corpus: DataFrame
 ) -> DataFrame:
-    from ._shared import _scratch_tag
+    from ._shared import _scratch_tag_ok
 
-    key = (spark.sparkContext.applicationId, _scratch_tag(sf_dir))
-    cached = _EMB_CACHE.get(key)
+    tag, tag_ok = _scratch_tag_ok(sf_dir)
+    if not tag_ok:
+        # Path-only fingerprint (ADVICE r14 #1): the tag no longer hashes
+        # the dataset's (name, size, mtime) listing, so caching under it
+        # could serve a stale pinned frame against a regenerated dataset.
+        # Skip the cache entirely — unpinned is correct, just slower —
+        # mirroring _scratch_tag's own memo skip.
+        return corpus
+    key = (spark.sparkContext.applicationId, tag)
+    # LRU, not FIFO (VERDICT r14 ask #6): re-insert on hit so eviction
+    # (front pop) drops the least-recently-USED frame — a hot dataset
+    # alternating with three cold ones must survive the pressure.
+    cached = _EMB_CACHE.pop(key, None)
     if cached is not None:
+        _EMB_CACHE[key] = cached
         return cached
     pinned = corpus.persist()
     while len(_EMB_CACHE) >= 4:

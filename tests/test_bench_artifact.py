@@ -252,3 +252,33 @@ def test_totals_consistent_between_lines():
     assert compact["value_normalized"] == detailed["value_normalized"]
     for name, t in detailed["queries"].items():
         assert compact["queries"][name] == t["warm"]
+
+
+def test_codegen_scan_catches_janino_fallbacks():
+    """VERDICT r14 ask #4: the verify harness must fail loudly on janino
+    codegen errors that do NOT fail queries (Spark logs ERROR and runs
+    interpreted).  Pins the scan used by both tools/ansi_sim.py and
+    tools/verify_all.py's ansi leg."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools"),
+    )
+    from ansi_sim import scan_codegen_errors
+
+    log = (
+        "26/08/16 12:00:00 WARN SomeOtherThing: benign\n"
+        "26/08/16 12:00:01 ERROR CodeGenerator: failed to compile: "
+        "org.codehaus.janino.InternalCompilerException: Compiling "
+        '"GeneratedClass": Code of method grows beyond 64 KB\n'
+        "OK    ann_lsh_multiprobe (1.2s)\n"
+    )
+    hits = scan_codegen_errors(log)
+    assert len(hits) == 1 and "CodeGenerator" in hits[0]
+    assert scan_codegen_errors("all queries ANSI-clean\n") == []
+    # each marker fires independently (reformatted log layouts)
+    assert scan_codegen_errors("x InternalCompilerException y")
+    assert scan_codegen_errors("... grows beyond 64 KB ...")

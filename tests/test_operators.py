@@ -1333,3 +1333,88 @@ def test_multimodal_embed_cache_lifecycle(spark):
     )
     mm.clear_embed_cache()
     assert mm._EMB_CACHE == {}
+
+
+def test_embed_cache_is_lru_and_skips_pathonly_tags(spark, tmp_path):
+    """VERDICT r14 ask #6 + ADVICE r14 #1: the embed-corpus cache evicts
+    least-recently-USED (a hot dataset alternating with three cold ones
+    survives the pressure), and a dataset whose fingerprint degraded to
+    path-only (listing failure) is never cached — the frame comes back
+    unpinned instead of risking a stale pinned frame after regeneration."""
+    from meerkat_abacus_spark.queries import multimodal as mm
+    from meerkat_abacus_spark.queries._shared import _scratch_tag
+
+    mm.clear_embed_cache()
+    dirs = []
+    for i in range(5):
+        d = tmp_path / f"ds{i}"
+        d.mkdir()
+        (d / "marker").write_text(str(i))
+        dirs.append(str(d))
+    frames = [spark.range(i + 1) for i in range(5)]
+    try:
+        hot = mm._embedded_corpus_cached(spark, dirs[0], frames[0])
+        for i in (1, 2, 3):
+            mm._embedded_corpus_cached(spark, dirs[i], frames[i])
+        assert len(mm._EMB_CACHE) == 4  # at capacity
+        # HIT on the hot dataset: served from cache, moved to MRU
+        assert mm._embedded_corpus_cached(spark, dirs[0], spark.range(99)) is hot
+        # a 5th dataset evicts the least-recently-used (ds1), NOT ds0
+        mm._embedded_corpus_cached(spark, dirs[4], frames[4])
+        tags = {k[1] for k in mm._EMB_CACHE}
+        assert _scratch_tag(dirs[0]) in tags
+        assert _scratch_tag(dirs[1]) not in tags
+    finally:
+        mm.clear_embed_cache()
+
+    # path-only fingerprint (listing fails): cache must not serve or store
+    missing = str(tmp_path / "never-created")
+    out = mm._embedded_corpus_cached(spark, missing, frames[0])
+    assert out is frames[0]  # returned as-is, unpinned
+    assert mm._EMB_CACHE == {}
+
+
+def test_candidate_cache_is_lru_and_skips_pathonly_tags(spark, tmp_path):
+    """The dedup candidate cache mirrors the embed cache's r15 fixes:
+    LRU eviction (hit re-inserts at MRU) and no caching under a path-only
+    dataset fingerprint."""
+    from pyspark.sql import Row
+
+    from meerkat_abacus_spark.queries import MINHASH_CFG
+    from meerkat_abacus_spark.queries import dedup as qd
+    from meerkat_abacus_spark.queries._shared import _scratch_tag
+
+    qd.clear_candidate_cache()
+    d = tmp_path / "ds"
+    d.mkdir()
+    (d / "marker").write_text("x")
+    sf = str(d)
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta gamma delta {i}") for i in range(4)]
+    )
+    hot_key = (
+        spark.sparkContext.applicationId,
+        _scratch_tag(sf),
+        "corpus2",
+        tuple(sorted(MINHASH_CFG.items())),
+    )
+    sentinel = spark.range(3)
+    try:
+        qd._CAND_CACHE[hot_key] = sentinel
+        for i in range(5):  # fill to capacity (6) behind the sentinel
+            qd._CAND_CACHE[("dummy-app", f"t{i}")] = spark.range(i + 1)
+        # HIT: served from cache and moved to MRU
+        assert qd._verified_candidates(spark, sf, corpus, "corpus2") is sentinel
+        assert next(iter(qd._CAND_CACHE)) == ("dummy-app", "t0")
+        # MISS (new kind) evicts the front dummy, never the hot entry
+        qd._verified_candidates(spark, sf, corpus, "corpusX")
+        assert hot_key in qd._CAND_CACHE
+        assert ("dummy-app", "t0") not in qd._CAND_CACHE
+    finally:
+        qd.clear_candidate_cache()
+
+    # path-only fingerprint: computed fresh, unpinned, not cached
+    missing = str(tmp_path / "never-created")
+    out = qd._verified_candidates(spark, missing, corpus, "corpus2")
+    assert qd._CAND_CACHE == {}
+    assert not (out.storageLevel.useMemory or out.storageLevel.useDisk)

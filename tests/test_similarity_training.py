@@ -1342,3 +1342,87 @@ def test_lsh_auto_dispatch_scales_with_index_size(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_lsh_auto_dispatch_probe_is_capped_two_tier(spark, tmp_path, monkeypatch):
+    """VERDICT r14 ask #1: the dispatch probe never evaluates more than
+    ``LSH_BATCH_PROBE_CAP + 1`` batch rows.  Three regimes: (a) eff ≤ cap
+    and the probe saturates ⇒ the batch provably exceeds the switch ⇒
+    join; (b) eff > cap and the probe saturates ⇒ the index is tiny (the
+    only way eff grows past the cap) ⇒ isin WITHOUT evaluating the rest
+    of the batch — and the answer still matches the direct path; (c) an
+    unsaturated probe is an exact count ≤ cap ≤ eff ⇒ isin.  The cap is
+    monkeypatched small so a 120-row corpus exercises saturation."""
+    from meerkat_abacus_spark.datapipe import similarity as sim
+
+    corpus = _clustered_corpus(spark).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    path = str(tmp_path / "idx")
+    sim.write_lsh_index(corpus, path, dim=4, nbits=4)
+    monkeypatch.setattr(sim, "LSH_BATCH_PROBE_CAP", 30)
+
+    # (a) eff = max(3, SWITCH_MIN 20) = 20 ≤ cap = 30: limit(21)
+    # saturates on the 120-row batch ⇒ the batch provably exceeds eff
+    chosen: list = []
+    sim.lsh_topk_from_index_auto(
+        spark, path, corpus, dim=4, k=3, nbits=4, radius=2,
+        batch_threshold=3, cal_index_rows=120, chosen=chosen,
+    )
+    assert chosen == ["lsh_topk_from_index_join"]
+
+    # (b) eff = 50 > cap = 30: limit(31) saturates, index is small ⇒ isin,
+    # and the dispatched answer is identical to the direct path
+    chosen.clear()
+    got = sim.lsh_topk_from_index_auto(
+        spark, path, corpus, dim=4, k=3, nbits=4, radius=2,
+        batch_threshold=50, cal_index_rows=120, chosen=chosen,
+    )
+    assert chosen == ["lsh_topk_from_index"]
+    direct = sim.lsh_topk_from_index(
+        spark, path, corpus, dim=4, k=3, nbits=4, radius=2
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    # (c) unsaturated probe: exact count 4 ≤ cap ⇒ isin
+    chosen.clear()
+    sim.lsh_topk_from_index_auto(
+        spark, path, corpus.filter(F.col("vec_id") < 4), dim=4, k=3,
+        nbits=4, radius=2, batch_threshold=50, cal_index_rows=120,
+        chosen=chosen,
+    )
+    assert chosen == ["lsh_topk_from_index"]
+
+
+def test_index_rowcount_memo_is_lru(spark, tmp_path):
+    """VERDICT r14 ask #6: the dispatcher's memoized index row count is
+    LRU, not FIFO — a hot index that keeps getting dispatched must
+    survive eviction pressure from a parade of cold indexes."""
+    from meerkat_abacus_spark.datapipe import similarity as sim
+
+    corpus = _clustered_corpus(spark).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    hot = str(tmp_path / "hot")
+    cold = str(tmp_path / "cold")
+    sim.write_lsh_index(corpus, hot, dim=4, nbits=4)
+    sim.write_lsh_index(corpus.limit(10), cold, dim=4, nbits=4)
+    saved = dict(sim._INDEX_ROWCOUNTS)
+    try:
+        sim._INDEX_ROWCOUNTS.clear()
+        n = sim._lsh_index_rows(spark, hot)
+        hot_key = (spark.sparkContext.applicationId, hot)
+        for i in range(15):  # fill to capacity behind the hot entry
+            sim._INDEX_ROWCOUNTS[("dummy-app", f"p{i}")] = i
+        # a HIT re-inserts at the back (most-recently-used)
+        assert sim._lsh_index_rows(spark, hot) == n
+        assert next(iter(sim._INDEX_ROWCOUNTS)) == ("dummy-app", "p0")
+        # the next MISS evicts the front dummy, never the hot entry
+        sim._lsh_index_rows(spark, cold)
+        assert hot_key in sim._INDEX_ROWCOUNTS
+        assert ("dummy-app", "p0") not in sim._INDEX_ROWCOUNTS
+    finally:
+        sim._INDEX_ROWCOUNTS.clear()
+        sim._INDEX_ROWCOUNTS.update(saved)

@@ -32,7 +32,7 @@ REHEARSED = ("ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
              "ann_recall", "ann_pq_adc", "ann_ivfpq_topk")
 
 
-def build_sf1(spark, src_dir: str, dest_dir: str) -> None:
+def build_sf1(spark, src_dir: str, dest_dir: str, n_copies=None) -> None:
     emb = spark.read.parquet(f"{src_dir}/embeddings.parquet")
 
     def _jitter(k: int):
@@ -42,7 +42,8 @@ def build_sf1(spark, src_dir: str, dest_dir: str) -> None:
             ((F.lit(k * 31) + i) % 7) - F.lit(3)
         ).cast("float")
 
-    n_copies = int(os.environ.get("ANN_SCALE_COPIES", "100"))
+    if n_copies is None:
+        n_copies = int(os.environ.get("ANN_SCALE_COPIES", "100"))
     copies = [
         emb.select(
             (F.col("vec_id") + 10_000_000 * k).alias("vec_id"),
@@ -260,17 +261,28 @@ def time_compaction(spark, sf_dir: str) -> dict:
         )
     ids = [r["vec_id"] for r in emb.select("vec_id").limit(20).collect()]
 
-    def probe() -> tuple[float, int]:
+    # Min-of-reps, not single-sample (VERDICT r14 ask #2b): the r14
+    # artifact drew probe_fragmented 1.77 s -> probe_compacted 2.53 s at
+    # sf0.1 from ONE sample each on a host whose A/B discipline documents
+    # ~2x single-sample swings; five reps per phase with the min reported
+    # (and the raw samples kept) makes the before/after comparable.
+    def probe(reps: int = 5) -> tuple[float, list, int]:
         lsh_topk_from_index_by_id(spark, path, ids, k=3, radius=2).count()
-        t0 = time.time()
-        n = lsh_topk_from_index_by_id(spark, path, ids, k=3, radius=2).count()
-        return round(time.time() - t0, 2), n
+        samples = []
+        n = 0
+        for _ in range(reps):
+            t0 = time.time()
+            n = lsh_topk_from_index_by_id(
+                spark, path, ids, k=3, radius=2
+            ).count()
+            samples.append(round(time.time() - t0, 3))
+        return min(samples), samples, n
 
-    frag_sec, frag_rows = probe()
+    frag_sec, frag_samples, frag_rows = probe()
     t0 = time.time()
     stats = compact_index(spark, path)
     compact_sec = round(time.time() - t0, 2)
-    comp_sec, comp_rows = probe()
+    comp_sec, comp_samples, comp_rows = probe()
     for p in (path, path + "_byid"):
         shutil.rmtree(p, ignore_errors=True)
     return {
@@ -278,65 +290,152 @@ def time_compaction(spark, sf_dir: str) -> dict:
         "files_fragmented": stats["files_before"],
         "files_compacted": stats["files_after"],
         "probe_fragmented_sec": frag_sec,
+        "probe_fragmented_samples": frag_samples,
         "probe_compacted_sec": comp_sec,
+        "probe_compacted_samples": comp_samples,
         "compaction_sec": compact_sec,
         "rows_equal": frag_rows == comp_rows,
     }
 
 
-def time_lsh_batch_crossover(spark, sf_dir: str) -> dict:
-    """Serving-path crossover leg (VERDICT r9 ask #6): the driver-collect
-    probe (lsh_topk_from_index — probe keys become a literal partition
-    filter, bounded by 2^nbits) vs the join probe (lsh_topk_from_index_join
-    — DPP partition filter, no collect) at a 1x (20-vector) and a 100x
-    (2000-vector) query batch.  Measures where the collect round-trip
-    stops being the cheap path so the 'collect is bounded, join for big
-    batches' claim carries a number."""
+def time_lsh_batch_crossover(
+    spark, sf_dir: str, emb=None, reps: int = 3
+) -> dict:
+    """Serving-path crossover leg (VERDICT r9 ask #6; min-of-reps +
+    auto-hint legs r14 ask #1/#2a): the driver-collect probe
+    (lsh_topk_from_index — probe keys become a literal partition filter,
+    bounded by 2^nbits) vs the join probe (lsh_topk_from_index_join —
+    DPP partition filter, no collect) at a 20-vector and a 2000-vector
+    query batch.  Each cell is min-of-``reps`` with path order
+    ALTERNATED between reps (the r14 q20 anomaly — isin 4.18 s vs join
+    1.91 s from one sample each, back-to-back in a fixed order — is
+    exactly the shape host-noise windows produce; alternation plus min
+    makes the pairwise comparison robust to intermittent load).  The
+    dispatcher is measured twice: hintless ``auto`` (pays the capped
+    two-tier probe) and ``auto_hint`` (caller passes ``n_queries``) —
+    the r15 gate is auto within ~5% of the best direct path at every
+    rehearsed scale.  ``emb`` injects a prebuilt corpus (the 3-point
+    calibration builds 20k-row intermediates that have no sf_dir)."""
     import tempfile
 
     from meerkat_abacus_spark.datapipe.similarity import (
         lsh_topk_from_index,
+        lsh_topk_from_index_auto,
         lsh_topk_from_index_join,
         write_lsh_index,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
+    if emb is None:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
     path = tempfile.gettempdir() + "/msa_lsh_xover"
     for p in (path, path + "_byid"):
         shutil.rmtree(p, ignore_errors=True)
     write_lsh_index(emb, path, dim=64, nbits=8)
-    out: dict = {}
+    out: dict = {"index_rows": emb.count()}
+
+    def timed(fn, qs, **kw) -> tuple[float, int]:
+        t0 = time.time()
+        n = fn(spark, path, qs, dim=64, k=3, nbits=8, radius=2, **kw).count()
+        return round(time.time() - t0, 3), n
+
     for label, nq in (("q20", 20), ("q2000", 2000)):
         qs = emb.filter(F.col("vec_id") < nq)
-        for pname, fn in (
-            ("isin_collect", lsh_topk_from_index),
-            ("join_dpp", lsh_topk_from_index_join),
-        ):
-            fn(spark, path, qs, dim=64, k=3, nbits=8, radius=2).count()
-            t0 = time.time()
-            n = fn(spark, path, qs, dim=64, k=3, nbits=8, radius=2).count()
-            out[f"{label}_{pname}"] = {
-                "sec": round(time.time() - t0, 2), "rows": n,
-            }
-        # the r13 dispatcher must land on the measured-crossover side
-        from meerkat_abacus_spark.datapipe.similarity import (
-            lsh_topk_from_index_auto,
-        )
-
+        cells = {
+            "isin_collect": (lsh_topk_from_index, {}),
+            "join_dpp": (lsh_topk_from_index_join, {}),
+            "auto": (lsh_topk_from_index_auto, {}),
+            "auto_hint": (lsh_topk_from_index_auto, {"n_queries": nq}),
+        }
+        for pname, (fn, kw) in cells.items():
+            fn(spark, path, qs, dim=64, k=3, nbits=8, radius=2, **kw).count()
+            out[f"{label}_{pname}"] = {"samples": []}
+        for r in range(reps):
+            order = list(cells.items())
+            if r % 2:
+                order.reverse()
+            for pname, (fn, kw) in order:
+                sec, n = timed(fn, qs, **kw)
+                cell = out[f"{label}_{pname}"]
+                cell["samples"].append(sec)
+                cell["rows"] = n
+        for pname, (fn, kw) in cells.items():
+            cell = out[f"{label}_{pname}"]
+            cell["sec"] = min(cell["samples"])
         chosen: list = []
-        t0 = time.time()
-        n = lsh_topk_from_index_auto(
+        lsh_topk_from_index_auto(
             spark, path, qs, dim=64, k=3, nbits=8, radius=2, chosen=chosen,
         ).count()
-        out[f"{label}_auto"] = {
-            "sec": round(time.time() - t0, 2), "rows": n,
-            "picked": chosen[0],
-        }
+        out[f"{label}_auto"]["picked"] = chosen[0]
+        best_direct = min(
+            out[f"{label}_isin_collect"]["sec"], out[f"{label}_join_dpp"]["sec"]
+        )
+        for pname in ("auto", "auto_hint"):
+            out[f"{label}_{pname}"]["vs_best_direct"] = round(
+                out[f"{label}_{pname}"]["sec"] / best_direct, 3
+            ) if best_direct else None
     for p in (path, path + "_byid"):
         shutil.rmtree(p, ignore_errors=True)
     return out
+
+
+def predicted_pick(index_rows: int, n_queries: int) -> str:
+    """The dispatch MODEL's pick, computed from first principles — what
+    the inverse-linear switch (switch = 200 x 200k / index_rows, clamped
+    [20, 100k]) says BEFORE any probe capping: isin when the batch is at
+    or under the scaled switch, join past it."""
+    from meerkat_abacus_spark.datapipe.similarity import (
+        LSH_BATCH_SWITCH,
+        LSH_BATCH_SWITCH_MAX,
+        LSH_BATCH_SWITCH_MIN,
+        LSH_CAL_INDEX_ROWS,
+    )
+
+    eff = int(
+        min(
+            max(
+                LSH_BATCH_SWITCH * LSH_CAL_INDEX_ROWS / max(index_rows, 1),
+                LSH_BATCH_SWITCH_MIN,
+            ),
+            LSH_BATCH_SWITCH_MAX,
+        )
+    )
+    return "isin" if n_queries <= eff else "join"
+
+
+def calibration_table(points: dict) -> dict:
+    """Three-point crossover table (VERDICT r14 ask #8): per index size
+    and batch size — the model's predicted pick, the dispatcher's actual
+    pick, the measured-best direct path, and whether they agree.  The
+    inverse-linear switch was anchored on exactly two corpus sizes (2k
+    and 200k rows); the 20k midpoint either validates the curve or bends
+    it."""
+    table = {}
+    for label, xover in points.items():
+        rows = xover["index_rows"]
+        for batch, nq in (("q20", 20), ("q2000", 2000)):
+            isin = xover[f"{batch}_isin_collect"]["sec"]
+            join = xover[f"{batch}_join_dpp"]["sec"]
+            measured_best = "isin" if isin <= join else "join"
+            picked = xover[f"{batch}_auto"]["picked"]
+            picked_short = (
+                "join" if picked.endswith("_join") else "isin"
+            )
+            predicted = predicted_pick(rows, nq)
+            table[f"{label}_{batch}"] = {
+                "index_rows": rows,
+                "n_queries": nq,
+                "isin_sec": isin,
+                "join_sec": join,
+                "measured_best": measured_best,
+                "model_predicted": predicted,
+                "dispatcher_picked": picked_short,
+                "model_matches_measured": predicted == measured_best,
+                "dispatcher_matches_measured": picked_short == measured_best,
+            }
+    return table
 
 
 def time_index_build(spark, sf_dir: str) -> dict:
@@ -375,6 +474,23 @@ def main() -> None:
         "sf0.1": time_queries(spark, src),
         "100x": time_queries(spark, dest),
     }
+    # Third calibration point (VERDICT r14 ask #8): a ~20k-row index
+    # midway between the two anchors; the 1x and 100x crossovers above
+    # are reused so only the midpoint pays a fresh index build.
+    dest10 = tempfile.gettempdir() + "/msa_ann_scale_10x"
+    shutil.rmtree(dest10, ignore_errors=True)
+    build_sf1(spark, src, dest10, n_copies=10)
+    emb10 = spark.read.parquet(f"{dest10}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    xover10 = time_lsh_batch_crossover(spark, src, emb=emb10)
+    shutil.rmtree(dest10, ignore_errors=True)
+    report["10x_crossover"] = xover10
+    report["dispatch_calibration"] = calibration_table({
+        "1x": report["sf0.1"]["lsh_batch_crossover"],
+        "10x": xover10,
+        "100x": report["100x"]["lsh_batch_crossover"],
+    })
     for name in REHEARSED + ("ivf_train", "ivf_probe_indexed"):
         a = report["sf0.1"][name]["sec"]
         b = report["100x"][name]["sec"]

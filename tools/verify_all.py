@@ -149,8 +149,20 @@ def run_ansi_sim() -> dict:
     for line in proc.stdout.splitlines():
         if line.startswith("ANSI_RESULT "):
             failures = json.loads(line[len("ANSI_RESULT "):])
+    # Standing codegen gate (VERDICT r14 ask #4): janino compile failures
+    # do NOT fail queries — Spark logs an ERROR and silently falls back
+    # to interpreted execution (~10x slower on the r14 probe-fan-out
+    # incident).  Scan the captured session log; ANY hit fails the gate
+    # even when every query returned rows.  tools/ansi_sim.py applies the
+    # same markers for standalone runs.
+    if os.path.join(REPO, "tools") not in sys.path:
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+    from ansi_sim import scan_codegen_errors
+
+    codegen_errors = scan_codegen_errors(proc.stdout + "\n" + proc.stderr)
     return {
         "failures": failures if failures is not None else [["harness", "no result line"]],
+        "codegen_errors": codegen_errors,
         "sec": round(time.time() - t0, 1),
     }
 
@@ -225,6 +237,7 @@ def main() -> int:
         and not report["compare"]["missing"]
         and report["pytest"]["failed"] == 0
         and not report["ansi_sim"]["failures"]
+        and not report["ansi_sim"]["codegen_errors"]
         and not report["readme_counts"]["drifted"]
     )
     report["green"] = ok
