@@ -779,26 +779,45 @@ LSH_BATCH_SWITCH_MAX = 100_000
 LSH_BATCH_PROBE_CAP = 1000
 
 
+def _index_success_fp(index_path: str):
+    """Content fingerprint of a persisted index: the ``_SUCCESS``
+    marker's mtime (ADVICE r14 #4).  Every write path that mutates the
+    tree — base write, delta append, compaction swap — recommits the
+    marker, so a rewrite by ANOTHER process changes the fingerprint and
+    invalidates this process's memoized state on the next hit (in-process
+    writers already invalidate eagerly).  ``None`` (marker unreadable)
+    never matches a stored fingerprint, so a mid-rewrite window falls
+    back to recomputation rather than serving stale state."""
+    import os
+
+    try:
+        return os.stat(os.path.join(index_path, "_SUCCESS")).st_mtime_ns
+    except OSError:
+        return None
+
+
 def _lsh_index_rows(spark, index_path: str) -> int:
     """Row count of a persisted LSH index, memoized per (app, path).
 
     ``count()`` over a parquet scan is answered from file-footer row
     counts (no column data read), so the first dispatch per process pays
     one bounded metadata job; writers and compaction invalidate the memo
-    alongside the reader-handle cache."""
+    alongside the reader-handle cache, and the stored ``_SUCCESS``
+    fingerprint catches rewrites by OTHER processes (ADVICE r14 #4)."""
     key = (spark.sparkContext.applicationId, index_path)
+    fp = _index_success_fp(index_path)
     # LRU, not FIFO (VERDICT r14 ask #6): pop+reinsert on hit moves the
     # key to the end of the dict's insertion order, so eviction (which
     # pops the FRONT) always drops the least-recently-USED entry — a hot
     # index alternating with many cold ones survives the pressure.
     got = _INDEX_ROWCOUNTS.pop(key, None)
-    if got is None:
+    if got is None or got[0] != fp or fp is None:
         idx, _ = _lsh_index_frames(spark, index_path)
-        got = idx.count()
+        got = (fp, idx.count())
         while len(_INDEX_ROWCOUNTS) >= 16:
             _INDEX_ROWCOUNTS.pop(next(iter(_INDEX_ROWCOUNTS)))
     _INDEX_ROWCOUNTS[key] = got
-    return got
+    return got[1]
 
 
 def lsh_topk_from_index_auto(
@@ -959,32 +978,34 @@ def _ivf_index_frame(spark, index_path: str) -> DataFrame:
     import os
 
     key = (spark.sparkContext.applicationId, index_path, "ivf")
-    # LRU on hit (VERDICT r14 ask #6) — see _lsh_index_rows.
+    fp = _index_success_fp(index_path)
+    # LRU on hit + cross-process rewrite detection via the _SUCCESS
+    # fingerprint (VERDICT r14 ask #6 / ADVICE r14 #4) — see
+    # _lsh_index_rows.
     got = _INDEX_READERS.pop(key, None)
-    if got is not None:
-        _INDEX_READERS[key] = got
-    if got is None:
+    if got is None or got[0] != fp or fp is None:
         schema = (
             _IVF_INDEX_SCHEMA_V2
             if os.path.exists(os.path.join(index_path, _NORMS_MARKER))
             else _IVF_INDEX_SCHEMA
         )
-        got = (spark.read.schema(schema).parquet(index_path),)
+        got = (fp, (spark.read.schema(schema).parquet(index_path),))
         while len(_INDEX_READERS) >= 16:
             _INDEX_READERS.pop(next(iter(_INDEX_READERS)))
-        _INDEX_READERS[key] = got
-    return got[0]
+    _INDEX_READERS[key] = got
+    return got[1][0]
 
 
 def _lsh_index_frames(spark, index_path: str):
     import os
 
     key = (spark.sparkContext.applicationId, index_path)
-    # LRU on hit (VERDICT r14 ask #6) — see _lsh_index_rows.
+    fp = _index_success_fp(index_path)
+    # LRU on hit + cross-process rewrite detection via the _SUCCESS
+    # fingerprint (VERDICT r14 ask #6 / ADVICE r14 #4) — see
+    # _lsh_index_rows.
     got = _INDEX_READERS.pop(key, None)
-    if got is not None:
-        _INDEX_READERS[key] = got
-    if got is None:
+    if got is None or got[0] != fp or fp is None:
         schema = (
             _LSH_INDEX_SCHEMA_V2
             if os.path.exists(os.path.join(index_path, _LSH_NORMS_MARKER))
@@ -996,9 +1017,9 @@ def _lsh_index_frames(spark, index_path: str):
         )
         while len(_INDEX_READERS) >= 16:
             _INDEX_READERS.pop(next(iter(_INDEX_READERS)))
-        got = (idx, byid)
-        _INDEX_READERS[key] = got
-    return got
+        got = (fp, (idx, byid))
+    _INDEX_READERS[key] = got
+    return got[1]
 
 
 def lsh_topk_from_index_by_id(

@@ -1426,3 +1426,41 @@ def test_index_rowcount_memo_is_lru(spark, tmp_path):
     finally:
         sim._INDEX_ROWCOUNTS.clear()
         sim._INDEX_ROWCOUNTS.update(saved)
+
+
+def test_index_memos_detect_cross_process_rewrite(spark, tmp_path):
+    """ADVICE r14 #4: the serving memos (row count + reader handles) are
+    fingerprinted on the index's _SUCCESS mtime, so a rewrite by ANOTHER
+    process — which cannot run this process's eager invalidation — is
+    caught on the next hit.  A memo entry with a matching fingerprint is
+    trusted; a stale fingerprint forces recomputation."""
+    from meerkat_abacus_spark.datapipe import similarity as sim
+
+    corpus = _clustered_corpus(spark).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    path = str(tmp_path / "idx")
+    sim.write_lsh_index(corpus, path, dim=4, nbits=4)
+    n = sim._lsh_index_rows(spark, path)
+    fp = sim._index_success_fp(path)
+    assert fp is not None
+    key = (spark.sparkContext.applicationId, path)
+
+    # matching fingerprint: the memo is trusted verbatim
+    sim._INDEX_ROWCOUNTS[key] = (fp, 999_999)
+    assert sim._lsh_index_rows(spark, path) == 999_999
+    # stale fingerprint (external rewrite): recomputed, not served
+    sim._INDEX_ROWCOUNTS[key] = (fp - 1, 999_999)
+    assert sim._lsh_index_rows(spark, path) == n
+
+    # reader handles: same contract
+    frames = sim._lsh_index_frames(spark, path)
+    sentinel = (spark.range(1), spark.range(2))
+    sim._INDEX_READERS[key] = (fp, sentinel)
+    assert sim._lsh_index_frames(spark, path) is sentinel
+    sim._INDEX_READERS[key] = (fp - 1, sentinel)
+    rebuilt = sim._lsh_index_frames(spark, path)
+    assert rebuilt is not sentinel
+    assert rebuilt[0].count() == n
+    sim._INDEX_ROWCOUNTS.pop(key, None)
+    sim._INDEX_READERS.pop(key, None)
