@@ -779,6 +779,29 @@ LSH_BATCH_SWITCH_MAX = 100_000
 LSH_BATCH_PROBE_CAP = 1000
 
 
+def scaled_batch_switch(
+    index_rows: int,
+    batch_threshold: int = LSH_BATCH_SWITCH,
+    cal_index_rows: int = LSH_CAL_INDEX_ROWS,
+) -> int:
+    """The index-size-scaled isin-vs-join switch point — THE dispatch
+    model, in one place (VERDICT r13 ask #3; extracted r15 so rehearsal
+    tooling reports the same formula production runs): the crossover
+    scales inversely with the index side, anchored at the calibration
+    corpus, clamped to ``[LSH_BATCH_SWITCH_MIN, LSH_BATCH_SWITCH_MAX]``.
+    Validated at three index sizes (2k/20k/200k rows) in
+    SCALE_ANN_r15's ``dispatch_calibration``."""
+    return int(
+        min(
+            max(
+                batch_threshold * cal_index_rows / max(index_rows, 1),
+                LSH_BATCH_SWITCH_MIN,
+            ),
+            LSH_BATCH_SWITCH_MAX,
+        )
+    )
+
+
 def _index_success_fp(index_path: str):
     """Content fingerprint of a persisted index: the ``_SUCCESS``
     marker's mtime (ADVICE r14 #4).  Every write path that mutates the
@@ -887,15 +910,7 @@ def lsh_topk_from_index_auto(
     appended so plan-selection tests can assert the switch without
     parsing plans."""
     index_rows = _lsh_index_rows(spark, index_path)
-    eff = int(
-        min(
-            max(
-                batch_threshold * cal_index_rows / max(index_rows, 1),
-                LSH_BATCH_SWITCH_MIN,
-            ),
-            LSH_BATCH_SWITCH_MAX,
-        )
-    )
+    eff = scaled_batch_switch(index_rows, batch_threshold, cal_index_rows)
     if n_queries is not None:
         isin = n_queries <= eff
     else:

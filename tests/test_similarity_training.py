@@ -1464,3 +1464,24 @@ def test_index_memos_detect_cross_process_rewrite(spark, tmp_path):
     assert rebuilt[0].count() == n
     sim._INDEX_ROWCOUNTS.pop(key, None)
     sim._INDEX_READERS.pop(key, None)
+
+
+def test_scaled_batch_switch_anchors_and_clamps():
+    """The extracted dispatch model (scaled_batch_switch) reproduces the
+    anchored/clamped values the dispatcher and the calibration table both
+    depend on: identity at the calibration corpus, inverse-linear in
+    index rows, clamped at both rails."""
+    from meerkat_abacus_spark.datapipe.similarity import (
+        LSH_BATCH_SWITCH_MAX,
+        LSH_BATCH_SWITCH_MIN,
+        scaled_batch_switch,
+    )
+
+    assert scaled_batch_switch(200_000) == 200      # anchor: identity
+    assert scaled_batch_switch(20_000) == 2_000     # 10x smaller -> 10x switch
+    assert scaled_batch_switch(2_000) == 20_000     # the sf0.1 regime
+    assert scaled_batch_switch(100) == LSH_BATCH_SWITCH_MAX   # upper rail
+    assert scaled_batch_switch(10**9) == LSH_BATCH_SWITCH_MIN  # lower rail
+    # empty index: guarded (no div-zero) and clamps to the UPPER rail —
+    # a zero-row index should always take the whole-scan isin path
+    assert scaled_batch_switch(0) == LSH_BATCH_SWITCH_MAX

@@ -382,27 +382,14 @@ def time_lsh_batch_crossover(
 
 
 def predicted_pick(index_rows: int, n_queries: int) -> str:
-    """The dispatch MODEL's pick, computed from first principles — what
-    the inverse-linear switch (switch = 200 x 200k / index_rows, clamped
-    [20, 100k]) says BEFORE any probe capping: isin when the batch is at
-    or under the scaled switch, join past it."""
-    from meerkat_abacus_spark.datapipe.similarity import (
-        LSH_BATCH_SWITCH,
-        LSH_BATCH_SWITCH_MAX,
-        LSH_BATCH_SWITCH_MIN,
-        LSH_CAL_INDEX_ROWS,
-    )
+    """The dispatch MODEL's pick — computed by the SAME
+    ``scaled_batch_switch`` production dispatches through (extracted
+    r15 so this table cannot drift from the shipped formula): isin when
+    the batch is at or under the scaled switch, join past it, BEFORE any
+    probe capping."""
+    from meerkat_abacus_spark.datapipe.similarity import scaled_batch_switch
 
-    eff = int(
-        min(
-            max(
-                LSH_BATCH_SWITCH * LSH_CAL_INDEX_ROWS / max(index_rows, 1),
-                LSH_BATCH_SWITCH_MIN,
-            ),
-            LSH_BATCH_SWITCH_MAX,
-        )
-    )
-    return "isin" if n_queries <= eff else "join"
+    return "isin" if n_queries <= scaled_batch_switch(index_rows) else "join"
 
 
 def calibration_table(points: dict) -> dict:
