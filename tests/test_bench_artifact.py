@@ -282,3 +282,153 @@ def test_codegen_scan_catches_janino_fallbacks():
     # each marker fires independently (reformatted log layouts)
     assert scan_codegen_errors("x InternalCompilerException y")
     assert scan_codegen_errors("... grows beyond 64 KB ...")
+
+
+def test_artifact_stamp_and_staleness_classification():
+    """VERDICT r15 ask #7: rehearsal artifacts carry a commit stamp and
+    the verify gate classifies them mechanically — current (code diff vs
+    HEAD empty), stale (code changed since, or produced on a dirty code
+    tree, or unresolvable commit).  Pins the pieces: the code-path
+    filter, the live-repo stamp, and the unknown-sha fallback."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools"),
+    )
+    from _stamp import _code_only, artifact_stamp, code_diff_vs_head
+
+    # code-path filter: docs/artifacts never count, code always does
+    assert _code_only(
+        ["VERDICT.md", "SCALE_r16.json", "PLANS.md", "notes/x.md"]
+    ) == []
+    assert _code_only(
+        ["meerkat_abacus_spark/datapipe/similarity.py", "bench.py",
+         "tools/verify_all.py", "tests/test_coding.py", "BENCH_r16.json"]
+    ) == [
+        "bench.py",
+        "meerkat_abacus_spark/datapipe/similarity.py",
+        "tests/test_coding.py",
+        "tools/verify_all.py",
+    ]
+    # prefix discipline: "toolsmith.py" is not under "tools/"
+    assert _code_only(["toolsmith.py", "benchmark.py"]) == []
+
+    # live stamp: resolves HEAD, diff-vs-self is empty (current)
+    stamp = artifact_stamp()
+    assert stamp["commit"] and len(stamp["commit"]) == 40
+    assert code_diff_vs_head(stamp["commit"]) == []
+
+    # unknown sha / empty commit: unverifiable, must read as stale
+    assert code_diff_vs_head("0" * 40) is None
+    assert code_diff_vs_head("") is None
+
+
+def test_verify_artifact_stamp_gate_rows():
+    """The verify_all classification over synthetic artifact files:
+    unstamped ⇒ stale, stamped-at-HEAD ⇒ current, missing ⇒ reported but
+    not stale (the pre-rehearsal verify pass runs before they exist)."""
+    import importlib.util
+    import json
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "tools"))
+    spec = importlib.util.spec_from_file_location(
+        "verify_all", os.path.join(root, "tools", "verify_all.py")
+    )
+    va = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(va)
+
+    n = va.current_round()
+    assert n >= 16  # this repo carries CORRECTNESS_r01..r{n-1}
+
+    out = va.run_artifact_stamps()
+    assert out["round"] == n
+    # every classified artifact is exactly one of current/stale/missing
+    names = {
+        f"SCALE_r{n:02d}.json",
+        f"SCALE_ANN_r{n:02d}.json",
+        f"STREAM_SCALE_r{n:02d}.json",
+    }
+    classified = set(out["artifacts"]) | set(out["missing"])
+    assert classified == names
+    for fname, row in out["artifacts"].items():
+        is_stale = fname in out["stale"]
+        current = (
+            row.get("commit")
+            and row.get("code_diff_vs_head") == []
+            and not row.get("dirty_code_paths")
+        )
+        assert bool(current) != is_stale
+
+
+def test_dispatch_gate_decisive_vs_coinflip_cells():
+    """VERDICT r15 ask #3: the restated dispatch gate — decisive cells
+    (direct paths >20% apart) hold auto to 1.05x of best; coin-flip
+    cells hold it to the paths' own observed spread (floored at 1.05x).
+    r15's sf0.1 q20 cell (auto 1.27x, paths within 20%, spreads ~1.4x)
+    must PASS under the restated gate; a genuine dispatch miss in a
+    decisive cell must still FAIL."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools"),
+    )
+    from ann_scale_rehearsal import dispatch_gate
+
+    def cell(isin, join, auto, hint, isin_samples=None, join_samples=None):
+        best = min(min(isin_samples or [isin]), min(join_samples or [join]))
+        return {
+            "isin_collect": {"sec": isin, "samples": isin_samples or [isin]},
+            "join_dpp": {"sec": join, "samples": join_samples or [join]},
+            "auto": {"sec": auto, "samples": [auto],
+                     "vs_best_direct": round(auto / best, 3)},
+            "auto_hint": {"sec": hint, "samples": [hint],
+                          "vs_best_direct": round(hint / best, 3)},
+        }
+
+    def xover(q20, q2000):
+        out = {"index_rows": 2000}
+        for label, c in (("q20", q20), ("q2000", q2000)):
+            for k, v in c.items():
+                out[f"{label}_{k}"] = v
+        return out
+
+    # the r15 shape: q20 coin-flip (1.377 vs 1.58 direct, within 20%;
+    # within-path spreads ~1.4x), auto at 1.27x — passes restated gate.
+    # q2000 decisive (isin 2.4 vs join 5.2), auto on best within 5%.
+    r15_like = xover(
+        cell(1.377, 1.58, 1.745, 1.91,
+             isin_samples=[1.377, 1.91, 1.52], join_samples=[1.58, 2.2, 1.7]),
+        cell(2.4, 5.2, 2.45, 2.42),
+    )
+    g = dispatch_gate(r15_like)
+    assert g["q20"]["decisive"] is False
+    assert g["q20"]["pass"] is True          # bound = spread (~1.39x)
+    assert g["q2000"]["decisive"] is True
+    assert g["q2000"]["bound"] == 1.05
+    assert g["q2000"]["pass"] is True
+
+    # a real miss: decisive cell, auto 1.5x of best — must fail
+    bad = xover(
+        cell(1.0, 2.0, 1.5, 1.02),
+        cell(2.4, 5.2, 2.45, 2.42),
+    )
+    g2 = dispatch_gate(bad)
+    assert g2["q20"]["decisive"] is True
+    assert g2["q20"]["auto_pass"] is False and g2["q20"]["pass"] is False
+
+    # coin-flip with tight within-path spread: bound floors at 1.05
+    tight = xover(
+        cell(1.0, 1.1, 1.04, 1.03),
+        cell(2.4, 5.2, 2.45, 2.42),
+    )
+    g3 = dispatch_gate(tight)
+    assert g3["q20"]["bound"] == 1.05 and g3["q20"]["pass"] is True

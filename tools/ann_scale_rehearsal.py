@@ -311,10 +311,25 @@ def time_lsh_batch_crossover(
     1.91 s from one sample each, back-to-back in a fixed order — is
     exactly the shape host-noise windows produce; alternation plus min
     makes the pairwise comparison robust to intermittent load).  The
-    dispatcher is measured twice: hintless ``auto`` (pays the capped
-    two-tier probe) and ``auto_hint`` (caller passes ``n_queries``) —
-    the r15 gate is auto within ~5% of the best direct path at every
-    rehearsed scale.  ``emb`` injects a prebuilt corpus (the 3-point
+    dispatcher is measured twice: hintless ``auto`` (pays the bounded
+    probe, or no probe at all in the small-index regime — VERDICT r15
+    ask #2) and ``auto_hint`` (caller passes ``n_queries``).
+
+    THE DISPATCH GATE (restated r16 per VERDICT r15 ask #3, replacing
+    the r15 "within ~5% everywhere"): a cell is DECISIVE when the two
+    direct paths differ by more than 20% (min-of-reps); there the
+    dispatcher has a real choice to get right and ``auto`` must land
+    within 5% of the best direct path.  Where the direct paths are
+    within 20% of each other the cell is a COIN FLIP — no dispatch can
+    reliably win it, and single-digit "losses" are within-path sample
+    noise (r15's sf0.1 q20 cell: auto 1.27× of best with a 1.39×
+    zero-probe control — the probe wasn't the cost, the cell was) — so
+    ``auto`` need only land within the direct paths' own observed
+    spread (max over the two paths of max(samples)/min(samples), floored
+    at 1.05).  :func:`dispatch_gate` computes the verdict per cell and
+    the rehearsal JSON self-reports ``dispatch_gate_pass``.
+
+    ``emb`` injects a prebuilt corpus (the 3-point
     calibration builds 20k-row intermediates that have no sf_dir)."""
     import tempfile
 
@@ -378,6 +393,42 @@ def time_lsh_batch_crossover(
             ) if best_direct else None
     for p in (path, path + "_byid"):
         shutil.rmtree(p, ignore_errors=True)
+    return out
+
+
+def dispatch_gate(xover: dict) -> dict:
+    """Per-cell dispatch-gate verdicts over one crossover dict (VERDICT
+    r15 ask #3 — the gate's full statement lives in
+    :func:`time_lsh_batch_crossover`'s docstring).  DECISIVE cells
+    (direct paths >20% apart) hold ``auto`` to 1.05× of best; COIN-FLIP
+    cells hold it to the direct paths' own observed spread (floored at
+    1.05×).  ``auto_hint`` is held to the same bound — it shares the
+    dispatch, minus the probe."""
+    out = {}
+    for label in ("q20", "q2000"):
+        isin = xover[f"{label}_isin_collect"]
+        join = xover[f"{label}_join_dpp"]
+        best = min(isin["sec"], join["sec"])
+        worst = max(isin["sec"], join["sec"])
+        decisive = best > 0 and (worst / best) > 1.20
+        spread = max(
+            max(c["samples"]) / min(c["samples"])
+            for c in (isin, join)
+            if min(c["samples"]) > 0
+        )
+        bound = 1.05 if decisive else max(1.05, round(spread, 3))
+        cell = {
+            "decisive": decisive,
+            "direct_ratio": round(worst / best, 3) if best else None,
+            "direct_spread": round(spread, 3),
+            "bound": bound,
+        }
+        for pname in ("auto", "auto_hint"):
+            r = xover[f"{label}_{pname}"]["vs_best_direct"]
+            cell[pname] = r
+            cell[f"{pname}_pass"] = r is not None and r <= bound
+        cell["pass"] = cell["auto_pass"] and cell["auto_hint_pass"]
+        out[label] = cell
     return out
 
 
@@ -478,6 +529,21 @@ def main() -> None:
         "10x": xover10,
         "100x": report["100x"]["lsh_batch_crossover"],
     })
+    # The r16 gate (VERDICT r15 ask #3): decisive cells within 5% of
+    # best direct, coin-flip cells within the paths' own spread.
+    report["dispatch_gate"] = {
+        scale: dispatch_gate(xov)
+        for scale, xov in (
+            ("1x", report["sf0.1"]["lsh_batch_crossover"]),
+            ("10x", xover10),
+            ("100x", report["100x"]["lsh_batch_crossover"]),
+        )
+    }
+    report["dispatch_gate_pass"] = all(
+        cell["pass"]
+        for g in report["dispatch_gate"].values()
+        for cell in g.values()
+    )
     for name in REHEARSED + ("ivf_train", "ivf_probe_indexed"):
         a = report["sf0.1"][name]["sec"]
         b = report["100x"][name]["sec"]
@@ -490,6 +556,9 @@ def main() -> None:
         report[f"{leg}_{key}_ratio_100x_data"] = (
             round(b / a, 2) if a else None
         )
+    from _stamp import artifact_stamp  # noqa: E402
+
+    report["artifact_commit"] = artifact_stamp()
     print(json.dumps(report))
     shutil.rmtree(dest, ignore_errors=True)
 

@@ -271,6 +271,95 @@ def candidate_waterfall(spark, sf_dir: str) -> dict:
     }
 
 
+def clusters_stage_timings(spark, sf_dir: str) -> dict:
+    """WALL-CLOCK attribution per stage of dedup_clusters (VERDICT r15
+    ask #5: minhash scales 12.1x at 100x data but clusters scales 28.8x,
+    and cc_profile shows the CC itself converging in one round — so the
+    extra factor must live in the stages around it).  Same construction
+    as :func:`candidate_waterfall` (shared MINHASH_CFG + datapipe
+    functions over the 3-gen corpus), but every stage boundary is
+    materialized (localCheckpoint) and counted IN ORDER, so each timing
+    pays only its own stage: shingle-hash staging → band keys → over-cap
+    bucket agg → capped pair join + dedup → jaccard verify → star CC.
+    NOTE the corpus asymmetry this leg makes explicit: dedup_minhash_lsh
+    runs on the 2-gen corpus (2x docs), dedup_clusters on the 3-gen
+    corpus (3x docs) — the headline 12.1x-vs-28.8x comparison spans
+    corpora of different sizes, not just different work."""
+    from meerkat_abacus_spark.datapipe import dedup as dd
+    from meerkat_abacus_spark.queries import MINHASH_CFG
+    from meerkat_abacus_spark.queries._shared import _doc_corpus3
+
+    cfg = MINHASH_CFG
+    corpus = _doc_corpus3(spark, sf_dir)
+    out: dict = {}
+
+    def staged(name: str, df):
+        df = df.localCheckpoint(eager=False)
+        t0 = time.time()
+        n = df.count()
+        out[name] = {"sec": round(time.time() - t0, 2), "rows": n}
+        return df
+
+    hs = staged(
+        "hash_rows",
+        dd.staged_shingle_hash_rows(corpus, "doc_id", "text", cfg["shingle_k"]),
+    )
+    keys = staged(
+        "band_keys",
+        dd.lsh_band_key_rows(
+            corpus, "doc_id", "text", cfg["shingle_k"], cfg["num_hashes"],
+            cfg["bands"], cfg["rows_per_band"], staged=hs,
+        ),
+    )
+    over = staged(
+        "overcap_buckets",
+        keys.groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("id").alias("m"))
+        .filter(F.col("n") > cfg["max_bucket_size"]),
+    )
+    left = (
+        keys.join(
+            F.broadcast(over.select("band_key", F.col("m").alias("__min_id"))),
+            "band_key", "left",
+        )
+        .filter(F.col("__min_id").isNull() | (F.col("id") == F.col("__min_id")))
+        .select("id", "band_key")
+    )
+    uniq = staged(
+        "unique_pairs",
+        left.alias("a")
+        .join(
+            keys.alias("b"),
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"]),
+    )
+    verified = staged(
+        "verified_pairs",
+        dd.attach_jaccard(uniq, hs).filter(F.col("jaccard") >= 0.4),
+    )
+    stats: dict = {}
+    t0 = time.time()
+    comps = dd.connected_components_star(verified, stats=stats)
+    grouped = comps.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    n = grouped.count()
+    out["cc_and_group"] = {
+        "sec": round(time.time() - t0, 2),
+        "rows": n,
+        "cc_iterations": stats.get("iterations"),
+    }
+    total = round(sum(v["sec"] for v in out.values()), 2)
+    out["total_sec"] = total
+    for name, v in list(out.items()):
+        if isinstance(v, dict) and total:
+            v["share"] = round(v["sec"] / total, 3)
+    return out
+
+
 def span_waterfall(spark, sf_dir: str) -> dict:
     """Per-stage cardinalities of dedup_span_removal (r8 verdict ask #2):
     documents → k-gram occurrences → distinct grams → cross-document
@@ -1150,6 +1239,25 @@ def main() -> None:
         spark, {"sf0.1": src, "sf~10_docs": dest100d}
     )
 
+    # --- dedup_clusters per-stage wall attribution (VERDICT r15 ask #5):
+    # which stage carries the 100x clusters ratio, with per-stage 100x/1x
+    # ratios so the superlinear term is named, not guessed ---
+    report["clusters_breakdown"] = {
+        "sf0.1": clusters_stage_timings(spark, src),
+        "sf~10_docs": clusters_stage_timings(spark, dest100d),
+    }
+    bd = report["clusters_breakdown"]
+    report["clusters_stage_ratios_100x"] = {
+        name: round(
+            bd["sf~10_docs"][name]["sec"] / bd["sf0.1"][name]["sec"], 1
+        )
+        for name in (
+            "hash_rows", "band_keys", "overcap_buckets",
+            "unique_pairs", "verified_pairs", "cc_and_group",
+        )
+        if bd["sf0.1"][name]["sec"]
+    }
+
     # --- over-cap recall quantification (VERDICT r11 ask #2): what the
     # three cap policies actually cost in true pairs ---
     report["capped_recall"] = {
@@ -1159,6 +1267,9 @@ def main() -> None:
     }
     shutil.rmtree(dest100d, ignore_errors=True)
 
+    from _stamp import artifact_stamp  # noqa: E402
+
+    report["artifact_commit"] = artifact_stamp()
     print(json.dumps(report))
     shutil.rmtree(dest, ignore_errors=True)
 

@@ -425,6 +425,9 @@ def main() -> None:
             if ij_one_rocks["sec"] else None
         ),
     }
+    from _stamp import artifact_stamp  # noqa: E402
+
+    report["artifact_commit"] = artifact_stamp()
     print(json.dumps(report))
 
 

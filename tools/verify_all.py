@@ -11,7 +11,11 @@ Runs, in order:
    on a session with ``spark.sql.ansi.enabled=true`` — the round driver
    owns its SparkSession and Spark 4 defaults ANSI ON, so this catches
    ANSI-unsafe expressions our own session factory would mask,
-4. the three scale rehearsals (dedup+pipeline, ANN incl. index build,
+4. an artifact-provenance check (VERDICT r15 ask #7): the current
+   round's committed SCALE/SCALE_ANN/STREAM_SCALE artifacts must be
+   stamped (tools/_stamp.py) with a commit whose diff vs HEAD is
+   doc/artifact-only, else the gate fails,
+5. the three scale rehearsals (dedup+pipeline, ANN incl. index build,
    streaming state) unless ``--skip-rehearsals``.
 
 Usage::
@@ -187,6 +191,60 @@ def run_readme_counts() -> dict:
     }
 
 
+def current_round() -> int:
+    """The round being built = one past the newest driver correctness
+    artifact (the driver writes CORRECTNESS_r{N}.json at round end)."""
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(REPO)
+        for m in [re.match(r"CORRECTNESS_r(\d+)\.json$", f)]
+        if m
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def run_artifact_stamps() -> dict:
+    """VERDICT r15 ask #7: the current round's committed rehearsal
+    artifacts must carry a commit stamp whose diff against HEAD is
+    doc/artifact-only — a number produced on code that later changed is
+    STALE and fails the gate (regenerate it, or finish the code first).
+    Artifacts not yet produced this round are reported but don't fail:
+    the pre-rehearsal verify pass runs before they exist; the FINAL
+    verify of the round must see all three present and current."""
+    from _stamp import code_diff_vs_head
+
+    n = current_round()
+    out: dict = {"round": n, "artifacts": {}, "stale": [], "missing": []}
+    for fname in (
+        f"SCALE_r{n:02d}.json",
+        f"SCALE_ANN_r{n:02d}.json",
+        f"STREAM_SCALE_r{n:02d}.json",
+    ):
+        fpath = os.path.join(REPO, fname)
+        if not os.path.exists(fpath):
+            out["missing"].append(fname)
+            continue
+        try:
+            with open(fpath) as fh:
+                stamp = json.load(fh).get("artifact_commit")
+        except (OSError, json.JSONDecodeError):
+            stamp = None
+        if not stamp or not stamp.get("commit"):
+            out["artifacts"][fname] = {"commit": None}
+            out["stale"].append(fname)  # unstamped = unverifiable
+            continue
+        diff = code_diff_vs_head(stamp["commit"])
+        row = {
+            "commit": stamp["commit"],
+            "dirty_code_paths": stamp.get("dirty_code_paths", []),
+            "code_diff_vs_head": diff,
+        }
+        out["artifacts"][fname] = row
+        if diff is None or diff or row["dirty_code_paths"]:
+            out["stale"].append(fname)
+    return out
+
+
 def run_rehearsal(script: str) -> dict | None:
     proc = subprocess.run(
         [sys.executable, f"tools/{script}"],
@@ -225,6 +283,7 @@ def main() -> int:
         "pytest": run_pytest(),
         "ansi_sim": run_ansi_sim(),
         "readme_counts": run_readme_counts(),
+        "artifact_stamps": run_artifact_stamps(),
     }
     if not args.skip_rehearsals:
         report["rehearsals"] = {
@@ -239,6 +298,7 @@ def main() -> int:
         and not report["ansi_sim"]["failures"]
         and not report["ansi_sim"]["codegen_errors"]
         and not report["readme_counts"]["drifted"]
+        and not report["artifact_stamps"]["stale"]
     )
     report["green"] = ok
     line = json.dumps(report)
