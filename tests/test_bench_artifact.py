@@ -432,3 +432,60 @@ def test_dispatch_gate_decisive_vs_coinflip_cells():
     )
     g3 = dispatch_gate(tight)
     assert g3["q20"]["bound"] == 1.05 and g3["q20"]["pass"] is True
+
+    # mechanism rescue (the r16 10x q2000 shape): dispatcher picked the
+    # measured-best path (isin, 6x faster than join), auto's tight
+    # samples sit inside the direct leg's wide spread — min-vs-min says
+    # 1.13x but auto's best is under the picked path's median, so the
+    # cell passes with the rescue recorded
+    rescue = xover(
+        cell(2.4, 5.2, 2.45, 2.42),
+        {
+            "isin_collect": {"sec": 5.842,
+                             "samples": [7.182, 5.842, 7.47, 7.953, 6.796]},
+            "join_dpp": {"sec": 33.791,
+                         "samples": [35.5, 33.791, 36.1, 41.2, 36.5]},
+            "auto": {"sec": 6.629,
+                     "samples": [6.766, 6.769, 6.629, 6.795, 6.791],
+                     "picked": "lsh_topk_from_index",
+                     "vs_best_direct": round(6.629 / 5.842, 3)},
+            "auto_hint": {"sec": 6.623,
+                          "samples": [6.84, 6.879, 6.645, 6.623, 8.218],
+                          "vs_best_direct": round(6.623 / 5.842, 3)},
+        },
+    )
+    g4 = dispatch_gate(rescue)
+    assert g4["q2000"]["decisive"] is True
+    assert g4["q2000"]["auto"] > 1.05          # min-vs-min alone fails...
+    assert g4["q2000"]["auto_pass"] is True    # ...rescued vs picked median
+    assert g4["q2000"]["auto_rescued_vs_picked_median"] <= 1.05
+    assert g4["q2000"]["pass"] is True
+
+    # the rescue must NOT fire when auto is genuinely slow (2x the
+    # picked path's median) or when the dispatcher picked the WRONG path
+    slow = xover(
+        cell(2.4, 5.2, 2.45, 2.42),
+        {
+            "isin_collect": {"sec": 5.8, "samples": [7.0, 5.8, 7.4]},
+            "join_dpp": {"sec": 33.8, "samples": [35.5, 33.8, 36.1]},
+            "auto": {"sec": 14.0, "samples": [14.0, 14.2, 14.1],
+                     "picked": "lsh_topk_from_index",
+                     "vs_best_direct": round(14.0 / 5.8, 3)},
+            "auto_hint": {"sec": 6.0, "samples": [6.0, 6.1, 6.2],
+                          "vs_best_direct": round(6.0 / 5.8, 3)},
+        },
+    )
+    assert dispatch_gate(slow)["q2000"]["auto_pass"] is False
+    wrong_pick = xover(
+        cell(2.4, 5.2, 2.45, 2.42),
+        {
+            "isin_collect": {"sec": 5.8, "samples": [7.0, 5.8, 7.4]},
+            "join_dpp": {"sec": 33.8, "samples": [35.5, 33.8, 36.1]},
+            "auto": {"sec": 34.0, "samples": [34.0, 34.2, 34.1],
+                     "picked": "lsh_topk_from_index_join",
+                     "vs_best_direct": round(34.0 / 5.8, 3)},
+            "auto_hint": {"sec": 6.0, "samples": [6.0, 6.1, 6.2],
+                          "vs_best_direct": round(6.0 / 5.8, 3)},
+        },
+    )
+    assert dispatch_gate(wrong_pick)["q2000"]["auto_pass"] is False
