@@ -316,6 +316,18 @@ def test_artifact_stamp_and_staleness_classification():
     # prefix discipline: "toolsmith.py" is not under "tools/"
     assert _code_only(["toolsmith.py", "benchmark.py"]) == []
 
+    # per-artifact relevance (r16): a narrowed prefix set ignores code
+    # that cannot feed the artifact's numbers
+    narrowed = ("meerkat_abacus_spark", "tools/scale_rehearsal.py")
+    assert _code_only(
+        ["tools/ann_scale_rehearsal.py", "tools/scale_rehearsal.py",
+         "meerkat_abacus_spark/datapipe/dedup.py", "tests/test_coding.py"],
+        narrowed,
+    ) == [
+        "meerkat_abacus_spark/datapipe/dedup.py",
+        "tools/scale_rehearsal.py",
+    ]
+
     # live stamp: resolves HEAD, diff-vs-self is empty (current)
     stamp = artifact_stamp()
     assert stamp["commit"] and len(stamp["commit"]) == 40

@@ -43,12 +43,12 @@ def _git(*args: str) -> str:
     ).stdout.strip()
 
 
-def _code_only(paths) -> list[str]:
+def _code_only(paths, prefixes=CODE_PATHS) -> list[str]:
     out = []
     for p in paths:
         p = p.strip()
         if p and any(
-            p == c or p.startswith(c.rstrip("/") + "/") for c in CODE_PATHS
+            p == c or p.startswith(c.rstrip("/") + "/") for c in prefixes
         ):
             out.append(p)
     return sorted(out)
@@ -68,9 +68,13 @@ def artifact_stamp() -> dict:
     }
 
 
-def code_diff_vs_head(commit: str) -> list[str] | None:
+def code_diff_vs_head(commit: str, prefixes=CODE_PATHS) -> list[str] | None:
     """Code paths that changed between ``commit`` and HEAD — empty means
     the artifact is current (any remaining diff is docs/artifacts only).
+    ``prefixes`` narrows "code" to the paths that can actually feed the
+    artifact's numbers (verify_all passes, per rehearsal artifact, the
+    package plus that rehearsal's own harness — a gate amendment in one
+    harness must not invalidate a different rehearsal's numbers).
     ``None`` means git could not resolve the commit (unknown sha, shallow
     history): the caller must treat that as stale, not as clean."""
     if not commit:
@@ -82,4 +86,4 @@ def code_diff_vs_head(commit: str) -> list[str] | None:
     if probe.returncode != 0:
         return None
     diff = _git("diff", "--name-only", commit, "HEAD")
-    return _code_only(diff.splitlines())
+    return _code_only(diff.splitlines(), prefixes)

@@ -211,15 +211,26 @@ def run_artifact_stamps() -> dict:
     Artifacts not yet produced this round are reported but don't fail:
     the pre-rehearsal verify pass runs before they exist; the FINAL
     verify of the round must see all three present and current."""
-    from _stamp import code_diff_vs_head
+    from _stamp import _code_only, code_diff_vs_head
 
     n = current_round()
     out: dict = {"round": n, "artifacts": {}, "stale": [], "missing": []}
-    for fname in (
-        f"SCALE_r{n:02d}.json",
-        f"SCALE_ANN_r{n:02d}.json",
-        f"STREAM_SCALE_r{n:02d}.json",
-    ):
+    # Per-artifact relevance: an artifact is stale only when code that
+    # can feed ITS numbers changed — the package, or its own harness.
+    # (A gate amendment in the ANN harness must not force a dedup
+    # rehearsal rerun.)
+    relevant = {
+        f"SCALE_r{n:02d}.json": (
+            "meerkat_abacus_spark", "tools/scale_rehearsal.py",
+        ),
+        f"SCALE_ANN_r{n:02d}.json": (
+            "meerkat_abacus_spark", "tools/ann_scale_rehearsal.py",
+        ),
+        f"STREAM_SCALE_r{n:02d}.json": (
+            "meerkat_abacus_spark", "tools/stream_scale_rehearsal.py",
+        ),
+    }
+    for fname in relevant:
         fpath = os.path.join(REPO, fname)
         if not os.path.exists(fpath):
             out["missing"].append(fname)
@@ -233,10 +244,12 @@ def run_artifact_stamps() -> dict:
             out["artifacts"][fname] = {"commit": None}
             out["stale"].append(fname)  # unstamped = unverifiable
             continue
-        diff = code_diff_vs_head(stamp["commit"])
+        diff = code_diff_vs_head(stamp["commit"], relevant[fname])
         row = {
             "commit": stamp["commit"],
-            "dirty_code_paths": stamp.get("dirty_code_paths", []),
+            "dirty_code_paths": _code_only(
+                stamp.get("dirty_code_paths", []), relevant[fname]
+            ),
             "code_diff_vs_head": diff,
         }
         out["artifacts"][fname] = row
