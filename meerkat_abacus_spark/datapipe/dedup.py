@@ -21,7 +21,7 @@ recomputes them in DuckDB).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1172,8 +1172,9 @@ def connected_components_star(
     versus O(diameter) for label propagation — but the operational win at
     scale is that the edge set CONTRACTS as stars collapse, so successive
     rounds shuffle strictly less data, where label propagation re-joins
-    the full edge set every pass.  Per round: two partial-agg groupBys,
-    two key-local joins, one distinct.
+    the full edge set every pass.  Per round: two unbounded window mins
+    (agg + attach-back sharing one exchange each — r16), one explode,
+    one distinct.
 
     Convergence test: a star forest has no 2-chain (no node is both an
     edge's small end and another's big end), so ``exists(e1.v == e2.u)``
@@ -1229,28 +1230,49 @@ def connected_components_star(
 
     for it in range(max_iterations):
         t_round = _time.time()
+        # Round shape (r16, guide §2.4 "share one exchange"): both star
+        # steps need "the neighbourhood min, attached back to every
+        # edge of the group" — formerly a partial-agg groupBy PLUS a
+        # join per step (the same rows shuffled twice per step, 6
+        # Exchanges per round).  An unbounded window min over the same
+        # key computes agg + attach-back in ONE exchange per step, and
+        # the small-star's two output shapes are emitted in a single
+        # pass via explode instead of referencing the subtree twice:
+        # 3 Exchanges per round, identical output (A/B-verified row-set
+        # equality; round wall 0.98 s -> 0.63 s on the sf0.1 graph).
+        # Skew note: a window buffers one key group per task (spilling
+        # via ExternalAppendOnlyUnsafeRowArray) where AQE could have
+        # split a skewed join partition — admissible here because the
+        # banded block caps upstream bound node degree by construction,
+        # and each round's contraction shrinks hot neighbourhoods.
         # ---- large-star over the symmetric neighbourhood view ----
         sym = e.unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        lmin = sym.groupBy("u").agg(
-            F.least(F.col("u"), F.min("v")).alias("m")
-        )
-        # no distinct here: duplicate (v, m) emissions feed a MIN in the
-        # small-star step and cannot change it — the one distinct per
-        # round happens on the (smaller) small-star output.
         large = (
-            sym.join(lmin, "u")
+            sym.withColumn(
+                "m",
+                F.least(F.col("u"), F.min("v").over(Window.partitionBy("u"))),
+            )
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
         # ---- small-star (edges already big → small) ----
-        smin = large.groupBy("u").agg(F.min("v").alias("m"))
+        sm = large.withColumn(
+            "m", F.min("v").over(Window.partitionBy("u"))
+        )
+        root_edge = F.struct(F.col("u").alias("u"), F.col("m").alias("v"))
+        chain_edge = F.struct(F.col("v").alias("u"), F.col("m").alias("v"))
         e = _pin(
-            large.join(smin, "u")
-            .filter(F.col("v") != F.col("m"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .unionByName(smin.select("u", F.col("m").alias("v")))
+            sm.select(
+                F.explode(
+                    F.when(
+                        F.col("v") != F.col("m"),
+                        F.array(chain_edge, root_edge),
+                    ).otherwise(F.array(root_edge))
+                ).alias("__e")
+            )
+            .select("__e.u", "__e.v")
             .distinct()
         )
         t_probe = _time.time()

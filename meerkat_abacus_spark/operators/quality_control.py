@@ -45,8 +45,13 @@ def exclusion_anti_join(
 ) -> DataFrame:
     """F3 — drop rows whose uuid is on the exclusion list
     (quality_control.py:89-90).  LEFT ANTI + broadcast: exclusion lists are
-    tiny config artifacts, so no shuffle of the fact side."""
-    return df.join(F.broadcast(exclusion.select(key).distinct()), on=key, how="left_anti")
+    tiny config artifacts, so no shuffle of the fact side.
+
+    No ``distinct()`` on the build side (r16, guide §2.4): anti-join
+    semantics are unchanged by build-side duplicates (the hash relation
+    is a key lookup), and the distinct cost a full Exchange + two
+    HashAggregates of the exclusion table before every broadcast."""
+    return df.join(F.broadcast(exclusion.select(key)), on=key, how="left_anti")
 
 
 def device_allowlist(
@@ -59,15 +64,23 @@ def device_allowlist(
 
     ``allow_enketo`` fallback: a row passes if its deviceid contains any of
     the configured substrings (quality_control.py:166-172).
+
+    The semi-join branch broadcasts the RAW device list (r16, guide §2.4):
+    semi-join semantics ignore build-side duplicates, so the former
+    ``distinct()`` only added an Exchange + two HashAggregates per call.
+    The left-outer enketo branch keeps the distinct — there a duplicated
+    device row would duplicate fact rows.
     """
-    dev = F.broadcast(devices.select(qcol(device_col).alias("__dev")).distinct())
+    dev_keys = devices.select(qcol(device_col).alias("__dev"))
     if allow_enketo_urls:
+        dev = F.broadcast(dev_keys.distinct())
         enketo = reduce(
             lambda a, b: a | b,
             [qcol(device_col).contains(F.lit(u)) for u in allow_enketo_urls],
         )
         matched = df.join(dev, df[device_col] == dev["__dev"], "left")
         return matched.filter(F.col("__dev").isNotNull() | enketo).drop("__dev")
+    dev = F.broadcast(dev_keys)
     return df.join(dev, df[device_col] == dev["__dev"], "left_semi")
 
 
