@@ -158,12 +158,24 @@ def translate_calculation(
     epi_config: str | dict = "international",
     empty_as_zero: bool = True,
     col_prefix: str | None = None,
+    column_types: "dict[str, str] | None" = None,
 ) -> str:
     """Translate a reference calculation string into a Spark SQL expression.
 
     ``columns`` are the raw column names referenced (reference passes them in
     from ``db_column``, variable.py:107-122); longest-first replacement
     prevents a column name that is a prefix of another from clobbering it.
+
+    ``column_types`` (r16, guide §1.2 "don't compute things you throw
+    away"): the caller's ``dict(df.dtypes)``.  A ``Variable.to_date``
+    over a column the scan already typed as timestamp/date emits a bare
+    ``CAST(col AS TIMESTAMP)`` instead of the 11-arm multiformat
+    coalesce — the coalesce is the identity on such columns (the
+    timestamp renders as ``yyyy-MM-dd HH:mm:ss[.SSSSSS]`` and either the
+    exact-pattern arm or the final permissive-cast arm reconstructs the
+    same instant under the UTC session), but it bloated the expression
+    tree ~20x: measured 5.0 s of Catalyst analysis + 1.1 s/run on
+    coding_calc_to_date at sf0.01.  Only string columns pay the parse.
     """
     sql = calculation
 
@@ -177,10 +189,20 @@ def translate_calculation(
 
     for col in sorted(set(columns), key=len, reverse=True):
         quoted = "`" + col.replace("`", "``") + "`"
+        typed_date = (
+            col_prefix is None
+            and (column_types or {}).get(col, "").startswith(
+                ("timestamp", "date")
+            )
+        )
         if col_prefix:
             # struct-field path for multiple_link last/first rules
             quoted = "`" + col_prefix.replace("`", "``") + "`." + quoted
-        parsed = _multiformat_parse_sql(quoted)
+        parsed = (
+            f"CAST({quoted} AS TIMESTAMP)"
+            if typed_date
+            else _multiformat_parse_sql(quoted)
+        )
         date_expr = (
             f"(unix_timestamp({parsed}) - {_epi_offset_secs_sql(epi_config, parsed)})"
         )

@@ -96,13 +96,20 @@ class Resolver:
     variable.py:226-231, 251-268, 288-302 all return 0/not_applicable for
     ``column not in row`` — production codes files routinely carry rules
     for fields a given deployment's forms don't collect).
+
+    ``types``: the form's ``dict(df.dtypes)`` when known (r16) — lets the
+    calc/value date paths skip the multiformat parse for columns the scan
+    already typed (see ``translate_calculation``'s ``column_types``).
+    Top-level resolvers only; struct/getter resolvers leave it None.
     """
 
     def __init__(self, struct_col: str | None = None, getter=None,
-                 available: set[str] | None = None):
+                 available: set[str] | None = None,
+                 types: "dict[str, str] | None" = None):
         self.struct_col = struct_col
         self._getter = getter
         self.available = available
+        self.types = types if struct_col is None and getter is None else None
 
     def is_missing(self, name: str) -> bool:
         return self.available is not None and name not in self.available
@@ -170,7 +177,7 @@ def _between(
     value = F.expr(
         translate_calculation(
             calculation, cols, epi_config, empty_as_zero=False,
-            col_prefix=r.sql_prefix(),
+            col_prefix=r.sql_prefix(), column_types=r.types,
         )
     )
     return applicable, applicable & (value >= F.lit(lo)) & (value < F.lit(hi))
@@ -200,10 +207,19 @@ def compile_rule_test(
         col = r(columns[0][0])
         applicable = _non_empty(columns[0][0], r)
         if rule.calculation == "date":
-            value = F.date_format(
-                parse_multiformat_timestamp(col.cast("string")),
-                "yyyy-MM-dd'T'HH:mm:ss",
+            # Typed timestamp/date columns skip the multiformat parse
+            # (r16, same identity argument as translate_calculation's
+            # column_types — the string render of a typed column always
+            # round-trips through the parse to the same instant).
+            typed = (r.types or {}).get(columns[0][0], "").startswith(
+                ("timestamp", "date")
             )
+            ts = (
+                col.cast("timestamp")
+                if typed
+                else parse_multiformat_timestamp(col.cast("string"))
+            )
+            value = F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")
             return applicable & value.isNotNull(), value
         return applicable, col.cast("string")
 
@@ -219,6 +235,7 @@ def compile_rule_test(
             translate_calculation(
                 rule.calculation or "", columns[0], epi_config,
                 empty_as_zero=True, col_prefix=r.sql_prefix(),
+                column_types=r.types,
             )
         ).cast("double")
         # Reference variable.py:163-171: calc is applicable whenever the
@@ -268,6 +285,7 @@ def _compile_entry(
     epi_config: str | dict,
     link_structs: dict[str, str] | None,
     available: set[str] | None = None,
+    types: dict[str, str] | None = None,
 ) -> tuple[Column, Column]:
     """(passed, value) for one rule, dispatching C4 multiple_link methods
     over the rule's link array (reference codes/to_codes.py:213-242):
@@ -281,7 +299,9 @@ def _compile_entry(
     (to_codes.py ``if datum:`` gate).
     """
     if not m.multiple_link:
-        return compile_rule_test(m, epi_config, Resolver(available=available))
+        return compile_rule_test(
+            m, epi_config, Resolver(available=available, types=types)
+        )
     arr = F.col("`link_" + (m.form or "").replace("`", "``") + "`")
     non_empty = F.size(arr) > 0
     ml = m.multiple_link
@@ -340,6 +360,7 @@ def compile_rules(
     link_structs: dict[str, str] | None = None,
     alert_data: dict[str, str] | None = None,
     available: set[str] | None = None,
+    types: dict[str, str] | None = None,
 ) -> CodedOutput:
     """Compile a rule table into the five output Columns of the coding step.
 
@@ -362,7 +383,7 @@ def compile_rules(
     for gid, members in groups.items():
         # Compile each member once, in codes-file order.
         compiled = [
-            (m, *_compile_entry(m, epi_config, link_structs, available))
+            (m, *_compile_entry(m, epi_config, link_structs, available, types))
             for m in members
         ]
         has_priority = any(
@@ -477,7 +498,8 @@ def code_dataframe(
             )
             link_structs[rule.id] = cname
     out = compile_rules(
-        rules, epi_config, link_structs, alert_data, available=set(df.columns)
+        rules, epi_config, link_structs, alert_data,
+        available=set(df.columns), types=dict(df.dtypes),
     )
     variables = out.variables
     if extra_variables:

@@ -99,3 +99,41 @@ def test_null_handling_consistent_across_operator_mix(spark):
     assert row["with_div"] is None      # NULL stays NULL even with '/'
     assert row["null_divisor"] is None  # NULL divisor is not a zero divisor
     assert row["zero_div"] == 0.0       # genuine zero divisor -> 0
+
+
+def test_typed_date_columns_skip_multiformat_parse(spark):
+    """r16: ``column_types`` lets Variable.to_date over a column the scan
+    already typed as timestamp/date compile to a bare CAST instead of the
+    11-arm multiformat coalesce — and the two compilations are pointwise
+    identical wherever they run (the string render of a typed column
+    round-trips through the parse to the same instant under UTC)."""
+    typed = translate_calculation(
+        "Variable.to_date(d) / 86400", ["d"], "day:0",
+        column_types={"d": "timestamp"},
+    )
+    untyped = translate_calculation("Variable.to_date(d) / 86400", ["d"], "day:0")
+    assert "try_to_timestamp" not in typed
+    assert "try_to_timestamp" in untyped
+
+    # date-typed columns take the skip as well; strings never do
+    assert "try_to_timestamp" not in translate_calculation(
+        "Variable.to_date(d)", ["d"], "day:0", column_types={"d": "date"}
+    )
+    assert "try_to_timestamp" in translate_calculation(
+        "Variable.to_date(d)", ["d"], "day:0", column_types={"d": "string"}
+    )
+
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2015, 6, 14, 13, 45, 7),),
+        (dt.datetime(1999, 12, 31, 23, 59, 59, 123456),),  # fractional secs
+        (dt.datetime(1970, 1, 1, 0, 0, 0),),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "d timestamp")
+    got = df.select(
+        F.expr(typed).alias("typed"), F.expr(untyped).alias("untyped")
+    ).collect()
+    for r in got:
+        assert r["typed"] == r["untyped"], r
