@@ -104,14 +104,19 @@ def _minhash_oracle_sql(
     shingle_expr = " || ' ' || ".join(
         "t[i]" if j == 0 else f"t[i+{j}]" for j in range(k)
     )
-    # 60-bit shingle hash: first 15 hex chars of md5, parsed digit-by-digit
-    # (DuckDB has no hex→int cast) — mirrors dd.shingle_hash's
-    # conv(substr(md5(s), 1, 15), 16, 10) exactly.
-    hex15 = " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5(s), {p + 1}, 1)) - 1)"
-        f" * {16 ** (14 - p)}"
-        for p in range(15)
-    )
+    # 60-bit hex parse: first 15 hex chars of an md5 hex string, parsed
+    # digit-by-digit (DuckDB has no hex→int cast) — mirrors Spark's
+    # conv(substr(md5(x), 1, 15), 16, 10) exactly.  Used for the shingle
+    # hash (dd.shingle_hash) and, since r16, the integer band keys
+    # (dd.lsh_band_keys).
+    def _hex15(expr: str) -> str:
+        return " + ".join(
+            f"(strpos('0123456789abcdef', substr({expr}, {p + 1}, 1)) - 1)"
+            f" * {16 ** (14 - p)}"
+            for p in range(15)
+        )
+
+    hex15 = _hex15("md5(s)")
     # The per-slot rehash family — SAME md5-derived (a, b, c) literals as
     # dd.minhash_signature (ADVICE r9 #1: both 30-bit digest halves enter
     # every slot through slot-distinct coefficients mod 2^61-1, so slot
@@ -132,6 +137,12 @@ def _minhash_oracle_sql(
             ),
         )
         for b in range(bands)
+    )
+    # Integer band keys (r16): parse each band md5 to the same 60-bit int
+    # Spark emits — the lambda var s binds the md5 hex, _hex15 parses it.
+    band_unnest = (
+        f"UNNEST(list_transform([\n            {band_items}\n        ], "
+        f"s -> {_hex15('s')}))"
     )
     return f"""
     WITH corpus AS ({corpus_sql}),
@@ -154,9 +165,7 @@ def _minhash_oracle_sql(
         FROM hsd
     ),
     banded AS (
-        SELECT doc_id, hs, UNNEST([
-            {band_items}
-        ]) AS band_key
+        SELECT doc_id, hs, {band_unnest} AS band_key
         FROM sig
     ),
     stats AS (
@@ -763,11 +772,11 @@ def incremental_dedup_equals_batch(spark: SparkSession, sf_dir: str) -> DataFram
 
     from ._shared import _scratch_ready, _scratch_tag, build_shared_scratch
 
-    # _v5: the stored band keys changed with the r10 per-slot-independent
-    # reduction in minhash_signature (ADVICE r9 #1) — a _v3 store from the
-    # xor-fold scheme must not be reused (same reason _v3 superseded _v2
-    # for the r9 bit mix).
-    base = tempfile.gettempdir() + f"/msa_incdedup_v5_{_scratch_tag(sf_dir)}"
+    # _v6: the stored band keys became 60-bit integers with the r16 key
+    # narrowing (dd.lsh_band_keys) — a _v5 store holds md5 hex strings
+    # and must not be reused (same contract as the _v5/_v3/_v2 bumps:
+    # any band-key scheme change invalidates the persisted index).
+    base = tempfile.gettempdir() + f"/msa_incdedup_v6_{_scratch_tag(sf_dir)}"
     bands_p, pairs_p = base + "/bands_old", base + "/pairs_old"
 
     def _build_yesterday() -> None:

@@ -9,6 +9,7 @@ from meerkat_abacus_spark.functions.epi_week import (
     epi_week_duckdb_sql,
 )
 from meerkat_abacus_spark.operators.links import LinkDef, add_links, link_aggregate
+from meerkat_abacus_spark.streaming.tuning import stream_shuffle_partitions
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from ._shared import ORACLES, _proc_scratch_tag, _register, _t
@@ -88,10 +89,11 @@ def streaming_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             partition_by=["event_type", "epi_week"],
         )
 
-    q = stream_pipeline(
-        spark, src, transform, sink, ckpt, max_files_per_trigger=3
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark, src):
+        q = stream_pipeline(
+            spark, src, transform, sink, ckpt, max_files_per_trigger=3
+        )
+        q.awaitTermination()
 
     return (
         spark.read.parquet(out)
@@ -216,7 +218,15 @@ def streaming_alerts_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         q.awaitTermination()
 
-    run_stream()
+    # Scale-derived state partitions (streaming/tuning.py).  Only the
+    # FIRST run plans against the conf — the two heartbeat restarts read
+    # the pinned count back from the checkpoint's offset log — but the
+    # wrapper still bounds each restart's non-stateful shuffles.
+    def run_stream_sized():
+        with stream_shuffle_partitions(spark, src):
+            run_stream()
+
+    run_stream_sized()
     # Heartbeats: far-future envelopes close every window on the restarted
     # stream (same checkpoint — state survives the restart).  They MUST
     # satisfy the alert predicate (event_type='error'): Catalyst pushes
@@ -237,7 +247,7 @@ def streaming_alerts_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame
             "ts", (F.lit(hi) + F.lit(86400 * bump)).cast("timestamp")
         )
         envelope(hb).coalesce(1).write.mode("append").json(src)
-        run_stream()
+        run_stream_sized()
 
     return spark.read.parquet(out).select(
         F.col("clinic").alias("clinic"),
@@ -573,9 +583,10 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-file slicing pinned EXPLICITLY: cross-batch session stitching is
     # what this query certifies; the helper's replay default is
     # one-big-batch (VERDICT r13 ask #5)
-    return run_sessionize_over_files(
-        spark, src, ckpt, queryName=name, max_files_per_trigger=1
-    )
+    with stream_shuffle_partitions(spark, src):
+        return run_sessionize_over_files(
+            spark, src, ckpt, queryName=name, max_files_per_trigger=1
+        )
 
 
 
@@ -663,9 +674,10 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             too_late.unionByName(ok_late),
         ],
     )
-    return run_windowed_counts_over_files(
-        spark, src, ckpt, queryName=f"wincnt_{_proc_scratch_tag(sf_dir)}"
-    )
+    with stream_shuffle_partitions(spark, src):
+        return run_windowed_counts_over_files(
+            spark, src, ckpt, queryName=f"wincnt_{_proc_scratch_tag(sf_dir)}"
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -730,9 +742,10 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             late_replay,
         ],
     )
-    emitted = run_dedup_over_files(
-        spark, src, ckpt, queryName=f"sdedup_{_proc_scratch_tag(sf_dir)}"
-    )
+    with stream_shuffle_partitions(spark, src):
+        emitted = run_dedup_over_files(
+            spark, src, ckpt, queryName=f"sdedup_{_proc_scratch_tag(sf_dir)}"
+        )
     return emitted.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_emitted"),
         F.round(F.sum("value"), 2).alias("total_value"),
@@ -782,10 +795,11 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-file slicing pinned EXPLICITLY: straddling pairs across batch
     # seams (buffered state) is what this query certifies; the helper's
     # replay default is one-big-batch (VERDICT r13 ask #5)
-    joined = run_interval_join_over_files(
-        spark, src, ckpt, queryName=f"ijoin_{_proc_scratch_tag(sf_dir)}",
-        max_files_per_trigger=1,
-    )
+    with stream_shuffle_partitions(spark, src):
+        joined = run_interval_join_over_files(
+            spark, src, ckpt, queryName=f"ijoin_{_proc_scratch_tag(sf_dir)}",
+            max_files_per_trigger=1,
+        )
     return joined.groupBy((F.col("k") % 32).alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
@@ -933,9 +947,10 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir() + f"/msa_sesswin_{_proc_scratch_tag(sf_dir)}",
         time_quartile_slices(events),
     )
-    return run_session_window_over_files(
-        spark, src, ckpt, queryName=f"sesswin_{_proc_scratch_tag(sf_dir)}"
-    )
+    with stream_shuffle_partitions(spark, src):
+        return run_session_window_over_files(
+            spark, src, ckpt, queryName=f"sesswin_{_proc_scratch_tag(sf_dir)}"
+        )
 
 
 @_register(

@@ -1,0 +1,110 @@
+"""Focused pins for the r16 optimization-round internals changes.
+
+Each test pins the NEW mechanism of an optimization that restructured an
+operator's internals (round rule: optimizations that change internals get
+a focused test):
+
+- integer band keys (datapipe.dedup.lsh_band_keys): the 60-bit BIGINT
+  parse of the first 15 md5 hex chars must equal the portable reference
+  computation digit-for-digit, so the DuckDB oracle reproduces bucket
+  membership exactly;
+- scale-derived stream shuffle partitions (streaming.tuning): the
+  derivation, its clamps, and the env override.
+"""
+
+import hashlib
+import os
+
+from pyspark.sql import functions as F
+
+import meerkat_abacus_spark.datapipe.dedup as dd
+from meerkat_abacus_spark.streaming.tuning import (
+    derive_stream_partitions,
+    stream_shuffle_partitions,
+)
+
+
+def _ref_band_keys(slots, bands, rows_per_band):
+    keys = []
+    for b in range(bands):
+        payload = "|".join(
+            [str(b)] + [str(s) for s in slots[b * rows_per_band : (b + 1) * rows_per_band]]
+        )
+        hx = hashlib.md5(payload.encode()).hexdigest()
+        keys.append(int(hx[:15], 16))
+    return keys
+
+
+def test_lsh_band_keys_are_60bit_md5_integers(spark):
+    bands, rpb = 4, 3
+    slots_a = [7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47]
+    slots_b = list(slots_a)
+    slots_b[-1] = 999  # differs only in the last band
+    df = spark.createDataFrame(
+        [(1, slots_a), (2, slots_b)], "doc_id int, sig array<bigint>"
+    ).select(
+        "doc_id", dd.lsh_band_keys(F.col("sig"), bands, rpb).alias("keys")
+    )
+    # narrowed type: BIGINT array, not string array (the whole point)
+    assert dict(df.dtypes)["keys"] == "array<bigint>"
+    rows = {r["doc_id"]: r["keys"] for r in df.collect()}
+    assert rows[1] == _ref_band_keys(slots_a, bands, rpb)
+    assert rows[2] == _ref_band_keys(slots_b, bands, rpb)
+    # S-curve semantics preserved: equal bands collide, unequal don't
+    assert rows[1][:3] == rows[2][:3]
+    assert rows[1][3] != rows[2][3]
+    # every key fits in 60 bits (first 15 hex chars)
+    assert all(0 <= k < 2**60 for k in rows[1] + rows[2])
+
+
+def _write_bytes(path, n):
+    with open(path, "wb") as f:
+        f.write(b"\0" * n)
+
+
+def test_derive_stream_partitions_scales_with_bytes(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        # tiny backlog -> 1 partition
+        _write_bytes(str(src / "a.json"), 1024)
+        assert derive_stream_partitions(spark, str(src)) == 1
+        # ~3 advisory units -> 3 partitions
+        _write_bytes(str(src / "b.json"), 3 * (32 << 20) - 2048)
+        assert derive_stream_partitions(spark, str(src)) == 3
+        # session count is the CAP: a huge backlog never exceeds it
+        assert (
+            derive_stream_partitions(spark, str(src), advisory_bytes=1)
+            == 64
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_derive_stream_partitions_env_override(spark, tmp_path, monkeypatch):
+    src = tmp_path / "src2"
+    src.mkdir()
+    _write_bytes(str(src / "a.json"), 10)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        monkeypatch.setenv("MSA_STREAM_SHUFFLE_PARTITIONS", "5")
+        assert derive_stream_partitions(spark, str(src)) == 5
+        # override clamps to the session cap too
+        monkeypatch.setenv("MSA_STREAM_SHUFFLE_PARTITIONS", "4096")
+        assert derive_stream_partitions(spark, str(src)) == 16
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_stream_shuffle_partitions_restores_conf(spark, tmp_path):
+    src = tmp_path / "src3"
+    src.mkdir()
+    _write_bytes(str(src / "a.json"), 10)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    with stream_shuffle_partitions(spark, str(src)) as parts:
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(parts)
+        assert parts == 1
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
