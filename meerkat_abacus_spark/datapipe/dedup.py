@@ -511,22 +511,39 @@ def simhash_from_hashes(hashes: Column) -> Column:
 
     bit b of the fingerprint is 1 iff sum over tokens of ±1 (by bit b of the
     token hash) is >= 0.  Pure projection: no shuffle, vectorizes per row.
-    Pass a bound column — the 16 per-bit aggregates each reference the array,
-    and an unbound expression would be hashed 16× per row.
+    Pass a bound column — the per-bit counters reference the array, and an
+    unbound expression would be hashed once per token.
+
+    ONE aggregate pass carrying all 16 per-bit counters in an array
+    accumulator (r16, guide §1.2 per-task work + §7.3 driver time): the
+    previous form ran 16 independent ``aggregate`` passes over the token
+    array per row — 16× the array traversals at execution — and its 16
+    HOF lambda constructions cost ~2400 py4j round-trips of driver time
+    per plan build.  Values are bit-identical: counter b accumulates the
+    same ±1 terms, and the final fold ORs ``1 << b`` for the same
+    ``counter >= 0`` predicate the per-bit form tested.
     """
-
-    def _bit_sum(bit: int):
-        # factory so the closure binds the bit index, not a lambda default
-        # (two-parameter HOF lambdas get (element, index) in PySpark)
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    fp = F.lit(0)
-    for b in range(16):
-        contrib = F.aggregate(hashes, F.lit(0), _bit_sum(b))
-        fp = fp + F.when(contrib >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return fp
+    masks = F.array(*[F.lit(1 << b) for b in range(16)])
+    contribs = F.aggregate(
+        hashes,
+        F.expr("array_repeat(0, 16)"),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda c, m: c
+            + F.when(h.bitwiseAND(m) == m, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    # fp = Σ (counter_b >= 0 ? 1 << b : 0)
+    return F.aggregate(
+        F.zip_with(
+            contribs,
+            masks,
+            lambda c, m: F.when(c >= 0, m).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
 
 
 def simhash16(text: Column) -> Column:
@@ -540,12 +557,15 @@ def simhash16(text: Column) -> Column:
 
 
 def hamming16(a: Column, b: Column) -> Column:
-    """Hamming distance between two 16-bit fingerprints."""
-    x = a.bitwiseXOR(b)
-    out = F.lit(0)
-    for bit in range(16):
-        out = out + F.shiftright(x, bit).bitwiseAND(F.lit(1))
-    return out
+    """Hamming distance between two 16-bit fingerprints.
+
+    ``bit_count(a XOR b)`` (r16): one intrinsic popcount instead of the
+    previous 16-term shift/mask/add chain — 32 fewer expression nodes per
+    call site and a single Long.bitCount in codegen.  Identical values:
+    the fingerprints are 16-bit non-negative ints, so XOR stays in 16
+    bits and popcount equals the per-bit sum.
+    """
+    return F.bit_count(a.bitwiseXOR(b))
 
 
 def simhash_slices(text: Column, bits: int = 64) -> Column:

@@ -115,40 +115,69 @@ def flatten_location_hierarchy(
     # rebuild the same dimension per sweep stay lazy after the first
     # validation.
     _assert_no_leaf_parents(locations, id_col, parent_col, level_col, levels)
-    nodes = locations.filter(
-        F.col(level_col).isin(*levels[1:])
-    ).select(
-        F.col(id_col).alias("__id"),
-        F.col(parent_col).alias("__parent"),
-        F.col(level_col).alias("__level"),
+
+    def _q(ident: str) -> str:
+        return "`" + ident.replace("`", "``") + "`"
+
+    def _s(lit: str) -> str:
+        return "'" + lit.replace("'", "''") + "'"
+
+    nodes = locations.where(
+        f"{_q(level_col)} IN ({', '.join(_s(lvl) for lvl in levels[1:])})"
+    ).selectExpr(
+        f"{_q(id_col)} AS __id",
+        f"{_q(parent_col)} AS __parent",
+        f"{_q(level_col)} AS __level",
     )
-    out = locations.withColumn("__cursor", F.col(parent_col)).withColumn(
-        f"{levels[0]}_id",
-        F.when(F.col(level_col) == levels[0], F.col(id_col)),
+    # One selectExpr per hop instead of per-level withColumns (r16, guide
+    # §7.3: every DataFrame op re-analyzes the whole accumulated plan
+    # eagerly, and every Column-object construction is its own py4j
+    # round-trip — 7 ops/hop with ~35 expression round-trips cost ~2.5×
+    # the driver time of 2 ops/hop with string expressions parsed in one
+    # call, on an identical final plan).  Column order and expressions
+    # are equivalent to the historical withColumn chain: in-place
+    # replacement for existing columns, append-in-levels-order for new
+    # ones.  ``hop`` must be rebuilt per iteration: after the first join
+    # its plan is part of ``out``'s lineage, and reusing the same object
+    # would make the next join's column references ambiguous self-join
+    # refs.
+    out = locations.selectExpr(
+        "*",
+        f"{_q(parent_col)} AS __cursor",
+        f"CASE WHEN {_q(level_col)} = {_s(levels[0])} "
+        f"THEN {_q(id_col)} END AS {_q(levels[0] + '_id')}",
     )
+    lvl_ids = {f"{lvl}_id": lvl for lvl in levels[1:]}
     for _hop in range(len(levels) - 1):
-        hop = nodes.select(
-            F.col("__id").alias("__hop_id"),
-            F.col("__parent").alias("__hop_parent"),
-            F.col("__level").alias("__hop_level"),
+        hop = nodes.selectExpr(
+            "__id AS __hop_id",
+            "__parent AS __hop_parent",
+            "__level AS __hop_level",
         )
+        have = set(out.columns)
+        hit = (
+            "CASE WHEN __hop_level = {lvl} THEN __hop_id END"
+        )
+        proj = []
+        for c in out.columns:
+            if c == "__cursor":
+                proj.append("__hop_parent AS __cursor")
+            elif c in lvl_ids:
+                proj.append(
+                    f"coalesce({_q(c)}, "
+                    f"{hit.format(lvl=_s(lvl_ids[c]))}) AS {_q(c)}"
+                )
+            else:
+                proj.append(_q(c))
+        for lvl in levels[1:]:
+            c = f"{lvl}_id"
+            if c not in have:
+                proj.append(
+                    f"coalesce(NULL, {hit.format(lvl=_s(lvl))}) AS {_q(c)}"
+                )
         out = out.join(
             F.broadcast(hop), out["__cursor"] == hop["__hop_id"], "left"
-        )
-        for lvl in levels[1:]:
-            col = f"{lvl}_id"
-            existing = out[col] if col in out.columns else F.lit(None)
-            out = out.withColumn(
-                col,
-                F.coalesce(
-                    existing,
-                    F.when(F.col("__hop_level") == lvl, F.col("__hop_id")),
-                ),
-            )
-        out = (
-            out.withColumn("__cursor", F.col("__hop_parent"))
-            .drop("__hop_id", "__hop_parent", "__hop_level")
-        )
+        ).selectExpr(*proj)
     return out.drop("__cursor")
 
 

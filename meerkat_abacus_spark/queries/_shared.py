@@ -187,7 +187,22 @@ def build_shared_scratch(
 
 
 
+# Reader-handle memo (r16, guide §7.3/§6: file listing + footer schema
+# inference are DRIVER-side work, ~85 ms per spark.read.parquet call —
+# and every query function rebuilds its DataFrames on every invocation,
+# so the registry paid it on every run of every query).  The memo stores
+# the IMMUTABLE DataFrame handle (a logical plan), never rows: every
+# action still computes from the parquet files, so this is plan/metadata
+# reuse in the same class as Spark's own FileIndex cache, not result
+# caching.  Keyed on (appId, path, mtime_ns, size) so a new session or a
+# rewritten input file misses the memo — same staleness contract as the
+# serving-index reader memos in datapipe/similarity.py.
+_TABLE_MEMO: dict[tuple, DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    import os as _os
+
     path = f"{sf_dir}/{name}.parquet"
     # Defensive reader configs, set BEFORE any read and for EVERY table (not
     # just events): orders.o_orderdate / lineitem.l_shipdate are also naive
@@ -196,19 +211,39 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # literals downstream — and gating the conf on one table would make
     # schemas order-dependent across reads.  UTC session time keeps the
     # naive→LTZ cast instant-preserving (matches DuckDB's naive reader).
+    # Set on every call (not just memo misses): the confs must hold in the
+    # session at ACTION time for the nanos scan path, even on a
+    # caller-owned session that reset them between calls.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    try:
+        st = _os.stat(path)
+        key = (
+            spark.sparkContext.applicationId,
+            _os.path.abspath(path),
+            st.st_mtime_ns,
+            st.st_size,
+        )
+    except OSError:
+        key = None  # non-local or vanished: read uncached, fail there
+    if key is not None and key in _TABLE_MEMO:
+        return _TABLE_MEMO[key]
     if name != "events":
-        return spark.read.parquet(path)
-    # events carries TIMESTAMP(NANOS) which Spark's vectorized reader rejects;
-    # read nanos as long (exact) and rebuild a µs timestamp with integer
-    # division — no double round-trip, no precision loss.
-    df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif dict(df.dtypes).get("ts") == "timestamp_ntz":
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = spark.read.parquet(path)
+    else:
+        # events carries TIMESTAMP(NANOS) which Spark's vectorized reader
+        # rejects; read nanos as long (exact) and rebuild a µs timestamp
+        # with integer division — no double round-trip, no precision loss.
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if key is not None:
+        if len(_TABLE_MEMO) >= 256:  # bounded: ~tables × sf dirs × sessions
+            _TABLE_MEMO.clear()
+        _TABLE_MEMO[key] = df
     return df
 
 

@@ -57,6 +57,42 @@ def test_lsh_band_keys_are_60bit_md5_integers(spark):
     assert all(0 <= k < 2**60 for k in rows[1] + rows[2])
 
 
+def test_simhash_single_pass_matches_reference(spark):
+    # the r16 single-pass array-accumulator must equal the textbook
+    # per-bit definition: bit b set iff sum over tokens of ±1 >= 0
+    hs = [
+        [0xFFFF, 0x0000, 0xAAAA],
+        [0x1234, 0x1234, 0x4321],
+        [0x8000],
+        [],
+    ]
+
+    def ref(tokens):
+        fp = 0
+        for b in range(16):
+            s = sum(1 if (h >> b) & 1 else -1 for h in tokens)
+            if s >= 0:
+                fp |= 1 << b
+        return fp
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(hs)], "i int, hs array<int>"
+    ).select("i", dd.simhash_from_hashes(F.col("hs")).alias("fp"))
+    got = {r["i"]: r["fp"] for r in df.collect()}
+    assert got == {i: ref(v) for i, v in enumerate(hs)}
+
+
+def test_hamming16_is_popcount(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0x0000, 0xFFFF), (0x1234, 0x1234), (0x8001, 0x0001)], "a int, b int"
+    ).select(dd.hamming16(F.col("a"), F.col("b")).alias("d"))
+    assert [r["d"] for r in df.collect()] == [16, 0, 1]
+
+
 def _write_bytes(path, n):
     with open(path, "wb") as f:
         f.write(b"\0" * n)
