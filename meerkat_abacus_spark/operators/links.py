@@ -81,6 +81,7 @@ def add_links(
     alert_id_len: int = 6,
     broadcast_to_side: bool = False,
     payload_columns: dict[str, list[str]] | None = None,
+    collect: str = "array",
 ) -> DataFrame:
     """Attach one ``link_<name>`` ARRAY<STRUCT<__sort,__uuid,row>> column per
     link def, ordered by the link's order_by key (dates parsed with the
@@ -96,7 +97,26 @@ def add_links(
     ``payload_columns`` ({link name: [cols]}) prunes the collected row struct
     to the fields downstream rules actually read — at 100 TB the collected
     payload IS the shuffle, so never collect columns nobody reads.
+
+    ``collect="extrema"`` (r16, guide §2.3): when downstream rules only read
+    first/last/count of a link (the common multiple_link triple), skip
+    materializing the array entirely — aggregate ``min(struct)``,
+    ``max(struct)``, ``count(*)`` per key instead of
+    ``array_sort(collect_list(struct))``.  Spark's struct min/max use the
+    same lexicographic field ordering as array_sort's default comparator
+    ((__sort, __uuid, row…)), so ``min`` IS element 1 of the sorted array
+    and ``max`` IS element -1 — pinned by a test against the array path.
+    The win is structural: min/max/count admit partial (map-side)
+    aggregation, so the one link shuffle carries ≤3 values per key per map
+    partition instead of EVERY linked row's struct, and the aggregation is
+    a codegen HashAggregate instead of an ObjectHashAggregate buffering
+    arrays.  Emits ``link_<name>_first``/``_last`` (the full link struct,
+    NULL when unmatched) and ``link_<name>_count`` (0 when unmatched)
+    instead of ``link_<name>``; incompatible with the J4 prior-array
+    self-union (those callers need the real array).
     """
+    if collect not in ("array", "extrema"):
+        raise ValueError(f"unknown collect mode {collect!r}")
     out = base
     for link in links:
         to_df = to_forms[link.to_form]
@@ -158,19 +178,25 @@ def add_links(
                 for i in range(len(to_cols))
             ],
         )
-        grouped = (
-            to_df.select(
-                *key_exprs,
-                F.struct(
-                    sort_key.alias("__sort"),
-                    qcol(link.uuid).cast("string").alias("__uuid"),
-                    payload.alias("row"),
-                ).alias("__linked"),
+        keyed = to_df.select(
+            *key_exprs,
+            F.struct(
+                sort_key.alias("__sort"),
+                qcol(link.uuid).cast("string").alias("__uuid"),
+                payload.alias("row"),
+            ).alias("__linked"),
+        ).filter(key_guard)
+        group_keys = [f"__k{i}" for i in range(len(to_cols))]
+        if collect == "extrema":
+            grouped = keyed.groupBy(*group_keys).agg(
+                F.min("__linked").alias("__first"),
+                F.max("__linked").alias("__last"),
+                F.count(F.lit(1)).alias("__n"),
             )
-            .filter(key_guard)
-            .groupBy(*[f"__k{i}" for i in range(len(to_cols))])
-            .agg(F.array_sort(F.collect_list("__linked")).alias("__arr"))
-        )
+        else:
+            grouped = keyed.groupBy(*group_keys).agg(
+                F.array_sort(F.collect_list("__linked")).alias("__arr")
+            )
         to_side = F.broadcast(grouped) if broadcast_to_side else grouped
 
         conds: list[Column] = []
@@ -200,6 +226,23 @@ def add_links(
         for c in conds[1:]:
             cond = cond & c
 
+        if collect == "extrema":
+            if f"link_{link.name}" in out.columns:
+                raise ValueError(
+                    "collect='extrema' cannot self-union a prior "
+                    f"link_{link.name} array; use collect='array'"
+                )
+            out = (
+                out.join(to_side, cond, "left")
+                .withColumn(f"link_{link.name}_first", F.col("__first"))
+                .withColumn(f"link_{link.name}_last", F.col("__last"))
+                .withColumn(
+                    f"link_{link.name}_count",
+                    F.coalesce(F.col("__n"), F.lit(0).cast("long")),
+                )
+                .drop("__first", "__last", "__n", *group_keys)
+            )
+            continue
         empty = F.array().cast(grouped.schema["__arr"].dataType)
         # J4 self-union (reference add_links.py:143-152): when the base row
         # already carries a link_<name> array — a re-emitted record bringing
@@ -243,13 +286,26 @@ def link_aggregate(df: DataFrame, link_name: str, method: str, test=None) -> Col
     ``last``/``first`` expose the newest/oldest linked row for a rule test;
     ``count`` is the array size; ``any``/``all`` apply ``test`` (a lambda
     Column-builder over a linked row struct) across the array.
+
+    When ``df`` was linked with ``collect="extrema"`` (no ``link_<name>``
+    array column), first/last/count are served from the pre-aggregated
+    ``link_<name>_{first,last,count}`` columns — identical values (struct
+    min/max = sorted-array ends, NULL row / 0 count when unmatched);
+    any/all still require the array.
     """
+    extrema = f"link_{link_name}" not in df.columns and (
+        f"link_{link_name}_count" in df.columns
+    )
     arr = F.col(f"link_{link_name}")
     if method == "count":
-        return F.size(arr)
+        return F.col(f"link_{link_name}_count") if extrema else F.size(arr)
     if method == "last":
+        if extrema:
+            return F.col(f"link_{link_name}_last")["row"]
         return F.try_element_at(arr, F.lit(-1))["row"]
     if method == "first":
+        if extrema:
+            return F.col(f"link_{link_name}_first")["row"]
         return F.try_element_at(arr, F.lit(1))["row"]
     if method == "any":
         return F.exists(arr, lambda x: test(x["row"]))

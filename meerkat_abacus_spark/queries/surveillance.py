@@ -409,13 +409,19 @@ _ORDER_LINES_LINK = LinkDef(
 def links_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     lineitem = _t(spark, sf_dir, "lineitem")
+    # collect="extrema" (r16, guide §2.3): this query only reads
+    # first/last/count of the link, so the link shuffle carries 3
+    # pre-aggregated values per key instead of every line's struct —
+    # identical output (struct min/max = sorted-array ends; pinned by
+    # test_link_extrema_matches_array_path and the oracle).
     linked = add_links(
         orders, {"lineitem": lineitem}, [_ORDER_LINES_LINK],
         payload_columns={"lines": ["l_returnflag", "l_shipdate"]},
+        collect="extrema",
     )
     first = link_aggregate(linked, "lines", "first")
     last = link_aggregate(linked, "lines", "last")
-    return linked.filter(F.size("link_lines") > 0).select(
+    return linked.filter(F.col("link_lines_count") > 0).select(
         F.col("o_orderkey"),
         link_aggregate(linked, "lines", "count").cast("bigint").alias("n_lines"),
         F.to_date(first["l_shipdate"]).alias("first_ship"),

@@ -93,6 +93,60 @@ def test_hamming16_is_popcount(spark):
     assert [r["d"] for r in df.collect()] == [16, 0, 1]
 
 
+def test_link_extrema_matches_array_path(spark):
+    # collect="extrema" must serve first/last/count identical to the
+    # array path on tie-heavy data: duplicate sort keys, duplicate
+    # (sort, uuid) pairs differing only in payload, unmatched base rows,
+    # and NULL sort values.
+    from meerkat_abacus_spark.operators.links import (
+        LinkDef,
+        add_links,
+        link_aggregate,
+    )
+
+    base = spark.createDataFrame(
+        [(1,), (2,), (3,), (4,)], "k bigint"
+    )
+    to_rows = [
+        (1, "2021-01-02", "b", "x"),
+        (1, "2021-01-01", "a", "y"),
+        (1, "2021-01-01", "a", "w"),  # full (sort, uuid) tie → payload breaks
+        (2, "2021-01-03", "c", "z"),
+        (2, None, "d", "q"),          # NULL sort
+        (9, "2021-01-04", "e", "r"),  # key not in base
+    ]
+    to_df = spark.createDataFrame(
+        to_rows, "fk bigint, ship string, ln string, flag string"
+    ).select("fk", F.col("ship").cast("timestamp").alias("ship"), "ln", "flag")
+    link = LinkDef(
+        name="lines", type="case", to_form="t", from_form="b",
+        from_column="k", to_column="fk", method="match",
+        order_by="ship;date", uuid="ln",
+    )
+
+    def cols(df, extrema):
+        first = link_aggregate(df, "lines", "first")
+        last = link_aggregate(df, "lines", "last")
+        return df.select(
+            "k",
+            link_aggregate(df, "lines", "count").cast("long").alias("n"),
+            first["ship"].alias("f_ship"),
+            first["flag"].alias("f_flag"),
+            last["ship"].alias("l_ship"),
+            last["flag"].alias("l_flag"),
+        ).orderBy("k")
+
+    arr = cols(add_links(base, {"t": to_df}, [link]), False).collect()
+    ext = cols(
+        add_links(base, {"t": to_df}, [link], collect="extrema"), True
+    ).collect()
+    assert [tuple(r) for r in arr] == [tuple(r) for r in ext]
+    # and the unmatched row really is (0, NULLs) in both
+    km = {r["k"]: r for r in ext}
+    assert km[3]["n"] == 0 and km[3]["f_ship"] is None
+    assert km[4]["n"] == 0
+
+
 def _write_bytes(path, n):
     with open(path, "wb") as f:
         f.write(b"\0" * n)
