@@ -28,10 +28,38 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from meerkat_abacus_spark.functions.calculation import translate_calculation
-from meerkat_abacus_spark.functions.dates import parse_multiformat_timestamp
+from meerkat_abacus_spark.functions.calculation import (
+    _multiformat_parse_sql,
+    translate_calculation,
+)
 
 _PRIMITIVES = ("match", "sub_match", "between", "value", "not_null", "calc")
+
+
+# --- SQL-string expression builders (r16, guide §7.3 driver time) ----------
+#
+# The compiler used to assemble its CASE-WHEN projection from PySpark
+# Column objects; every Column construction is a py4j round-trip, and a
+# coding query paid ~1000-1600 of them PER PLAN BUILD (measured: 0.3-0.7 s
+# of pure driver latency on pipeline_composed / coding_variables /
+# alert-family builds).  The compiler now assembles ONE SQL string per
+# output column — pure Python string work, zero round-trips — and parses
+# each with a single F.expr.  Every helper mirrors its former Column
+# construction expression-for-expression (same casts, same NULL handling,
+# same operator precedence), so the analyzed plan is unchanged; the
+# reference-port property suite (tests/test_coding_dsl_property.py) and
+# the 12 coding oracle queries pin the behavior.
+
+
+def _qid(name: str) -> str:
+    """Backtick-quoted SQL identifier."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _sq(s: str) -> str:
+    """Single-quoted SQL string literal (backslash-safe: the default
+    parser processes backslash escapes inside literals)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 @dataclass
@@ -82,14 +110,12 @@ class Rule:
         return out
 
 
-def _col(name: str) -> Column:
-    return F.col("`" + name.replace("`", "``") + "`")
-
-
 class Resolver:
-    """Maps a config column name to a Column — top-level by default, or a
-    field of a (materialized) linked-row struct for multiple_link rules
-    (C4, reference codes/to_codes.py:213-242).
+    """Maps a config column name to a SQL expression string — top-level by
+    default, a field of a (materialized) linked-row struct for
+    multiple_link last/first rules, or a field of a HOF lambda variable's
+    ``row`` struct for any/all rules (C4, reference
+    codes/to_codes.py:213-242).
 
     ``available``: the form's column set; a rule referencing an absent
     column is *not applicable* rather than an analysis error (reference
@@ -100,31 +126,32 @@ class Resolver:
     ``types``: the form's ``dict(df.dtypes)`` when known (r16) — lets the
     calc/value date paths skip the multiformat parse for columns the scan
     already typed (see ``translate_calculation``'s ``column_types``).
-    Top-level resolvers only; struct/getter resolvers leave it None.
+    Top-level resolvers only; struct/lambda resolvers leave it None.
     """
 
-    def __init__(self, struct_col: str | None = None, getter=None,
+    def __init__(self, struct_col: str | None = None,
+                 lambda_var: str | None = None,
                  available: set[str] | None = None,
                  types: "dict[str, str] | None" = None):
         self.struct_col = struct_col
-        self._getter = getter
+        self.lambda_var = lambda_var
         self.available = available
-        self.types = types if struct_col is None and getter is None else None
+        self.types = types if struct_col is None and lambda_var is None else None
 
     def is_missing(self, name: str) -> bool:
         return self.available is not None and name not in self.available
 
-    def __call__(self, name: str) -> Column:
-        if self._getter is not None:
-            return self._getter(name)
+    def sql(self, name: str) -> str:
+        if self.lambda_var is not None:
+            return f"{self.lambda_var}.row.{_qid(name)}"
         if self.struct_col is not None:
-            return F.expr(
-                "`%s`.`%s`" % (self.struct_col.replace("`", "``"),
-                               name.replace("`", "``"))
-            )
+            return f"{_qid(self.struct_col)}.{_qid(name)}"
         if self.is_missing(name):
-            return F.lit(None).cast("string")
-        return _col(name)
+            return "CAST(NULL AS STRING)"
+        return _qid(name)
+
+    def __call__(self, name: str) -> Column:
+        return F.expr(self.sql(name))
 
     def sql_prefix(self) -> str | None:
         """Prefix for translate_calculation (between/calc SQL paths)."""
@@ -134,29 +161,35 @@ class Resolver:
 _DEFAULT = Resolver()
 
 
-def _non_empty(name: str, r: Resolver = _DEFAULT) -> Column:
-    c = r(name)
-    return c.isNotNull() & (c.cast("string") != F.lit(""))
+def _non_empty(name: str, r: Resolver = _DEFAULT) -> str:
+    c = r.sql(name)
+    return f"(({c}) IS NOT NULL AND CAST({c} AS STRING) <> '')"
 
 
-def _test_match(cols: list[str], cond: list[str], r: Resolver = _DEFAULT) -> Column:
-    return r(cols[0]).cast("string").isin([c for c in cond if c is not None])
+def _test_match(cols: list[str], cond: list[str], r: Resolver = _DEFAULT) -> str:
+    vals = ", ".join(_sq(c) for c in cond if c is not None)
+    return f"(CAST({r.sql(cols[0])} AS STRING) IN ({vals}))"
 
 
 def _test_sub_match(
     cols: list[str], cond: list[str], r: Resolver = _DEFAULT
-) -> Column:
-    c = r(cols[0]).cast("string")
-    exact = c.isin(cond)
-    subs = [c.contains(F.lit(v)) for v in cond if v]
-    return reduce(lambda a, b: a | b, subs, exact)
+) -> str:
+    c = f"CAST({r.sql(cols[0])} AS STRING)"
+    exact = f"({c} IN ({', '.join(_sq(v) for v in cond)}))"
+    subs = [f"contains({c}, {_sq(v)})" for v in cond if v]
+    return reduce(lambda a, b: f"({a} OR {b})", subs, exact)
 
 
-def _test_not_null(cols: list[str], r: Resolver = _DEFAULT) -> Column:
+def _test_not_null(cols: list[str], r: Resolver = _DEFAULT) -> str:
     # Reference variable.py:226-231: value not in ("", None, 0) — with CSV
     # string semantics the numeric-0 arm only fires for genuinely numeric
     # columns, handled by the cast-compare.
     return _non_empty(cols[0], r)
+
+
+def _dlit(v: float) -> str:
+    """Double literal (the D suffix pins DoubleType like F.lit(float))."""
+    return f"{v!r}D"
 
 
 def _between(
@@ -165,30 +198,35 @@ def _between(
     calculation: str,
     epi_config: str | dict,
     r: Resolver = _DEFAULT,
-) -> tuple[Column, Column]:
+) -> tuple[str, str]:
     """(applicable, passed) for a between test (variable.py:251-285)."""
     lo, hi = float(cond[0]), float(cond[1])
     if any(r.is_missing(c) for c in cols):
         # column absent from the form → test fails (variable.py:265-268)
-        return F.lit(False), F.lit(False)
-    applicable = reduce(lambda a, b: a & b, [_non_empty(c, r) for c in cols])
-    if r.sql_prefix() is None and r._getter is not None:
+        return "false", "false"
+    applicable = reduce(
+        lambda a, b: f"({a} AND {b})", [_non_empty(c, r) for c in cols]
+    )
+    if r.sql_prefix() is None and r.lambda_var is not None:
         raise NameError("between is not supported inside any/all link rules")
-    value = F.expr(
+    value = "({})".format(
         translate_calculation(
             calculation, cols, epi_config, empty_as_zero=False,
             col_prefix=r.sql_prefix(), column_types=r.types,
         )
     )
-    return applicable, applicable & (value >= F.lit(lo)) & (value < F.lit(hi))
+    return applicable, (
+        f"(({applicable} AND ({value} >= {_dlit(lo)}))"
+        f" AND ({value} < {_dlit(hi)}))"
+    )
 
 
-def compile_rule_test(
+def _rule_test_sql(
     rule: Rule,
     epi_config: str | dict = "international",
     resolver: Resolver = _DEFAULT,
-) -> tuple[Column, Column]:
-    """Compile one rule into ``(passed BOOLEAN, value)`` Columns.
+) -> tuple[str, str]:
+    """Compile one rule into ``(passed BOOLEAN, value)`` SQL expressions.
 
     Mirrors Variable.test (reference variable.py:147-173): ``value`` is the
     stored payload when the test passes — 1 for boolean tests, the computed
@@ -204,7 +242,7 @@ def compile_rule_test(
     if "value" in tests:
         if len(tests) > 1:
             raise NameError("value must be only test type")
-        col = r(columns[0][0])
+        col = r.sql(columns[0][0])
         applicable = _non_empty(columns[0][0], r)
         if rule.calculation == "date":
             # Typed timestamp/date columns skip the multiformat parse
@@ -215,35 +253,36 @@ def compile_rule_test(
                 ("timestamp", "date")
             )
             ts = (
-                col.cast("timestamp")
+                f"CAST({col} AS TIMESTAMP)"
                 if typed
-                else parse_multiformat_timestamp(col.cast("string"))
+                else _multiformat_parse_sql(f"CAST({col} AS STRING)")
             )
-            value = F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")
-            return applicable & value.isNotNull(), value
-        return applicable, col.cast("string")
+            fmt = _sq("yyyy-MM-dd'T'HH:mm:ss")
+            value = f"date_format({ts}, {fmt})"
+            return f"({applicable} AND ({value}) IS NOT NULL)", value
+        return applicable, f"CAST({col} AS STRING)"
 
     if "calc" in tests:
         if len(tests) > 1:
             raise NameError("calc must be only test type")
-        if r.sql_prefix() is None and r._getter is not None:
+        if r.sql_prefix() is None and r.lambda_var is not None:
             raise NameError("calc is not supported inside any/all link rules")
         if any(r.is_missing(c) for c in columns[0]):
             # column not in row → not applicable (variable.py:288-302)
-            return F.lit(False), F.lit(None).cast("double")
-        value = F.expr(
+            return "false", "CAST(NULL AS DOUBLE)"
+        value = "CAST(({}) AS DOUBLE)".format(
             translate_calculation(
                 rule.calculation or "", columns[0], epi_config,
                 empty_as_zero=True, col_prefix=r.sql_prefix(),
                 column_types=r.types,
             )
-        ).cast("double")
+        )
         # Reference variable.py:163-171: calc is applicable whenever the
         # columns exist (they always do in a DataFrame); 0 is a real value.
-        return value.isNotNull(), value
+        return f"(({value}) IS NOT NULL)", value
 
     calcs = (rule.calculation or "").split(";")
-    results: list[Column] = []
+    results: list[str] = []
     for i, tt in enumerate(tests):
         if tt == "match":
             results.append(_test_match(columns[i], conditions[i], r))
@@ -260,15 +299,25 @@ def compile_rule_test(
 
     # Python operator precedence (& over |) — the reference evals the
     # compiled boolean expression with the same precedence (variable.py:44-53).
-    combined: list[Column | str] = [results[0]]
+    combined: list[str] = [results[0]]
     for op, res in zip(ops, results[1:]):
         if op == "and":
-            combined[-1] = combined[-1] & res
+            combined[-1] = f"({combined[-1]} AND {res})"
         else:
             combined.extend(["or", res])
-    passed = reduce(lambda a, b: a | b, combined[2::2], combined[0])
-    passed = F.coalesce(passed, F.lit(False))
-    return passed, F.lit(1)
+    passed = reduce(lambda a, b: f"({a} OR {b})", combined[2::2], combined[0])
+    return f"coalesce({passed}, false)", "1"
+
+
+def compile_rule_test(
+    rule: Rule,
+    epi_config: str | dict = "international",
+    resolver: Resolver = _DEFAULT,
+) -> tuple[Column, Column]:
+    """Column-API wrapper over :func:`_rule_test_sql` (the public surface
+    quality_control and the property suite compile single rules through)."""
+    passed, value = _rule_test_sql(rule, epi_config, resolver)
+    return F.expr(passed), F.expr(value)
 
 
 @dataclass
@@ -286,9 +335,9 @@ def _compile_entry(
     link_structs: dict[str, str] | None,
     available: set[str] | None = None,
     types: dict[str, str] | None = None,
-) -> tuple[Column, Column]:
-    """(passed, value) for one rule, dispatching C4 multiple_link methods
-    over the rule's link array (reference codes/to_codes.py:213-242):
+) -> tuple[str, str]:
+    """(passed, value) SQL for one rule, dispatching C4 multiple_link
+    methods over the rule's link array (reference codes/to_codes.py:213-242):
 
     - ``last``/``first``: the rule test runs against the newest/oldest linked
       row (materialized as a struct column so between/calc SQL paths work);
@@ -299,14 +348,14 @@ def _compile_entry(
     (to_codes.py ``if datum:`` gate).
     """
     if not m.multiple_link:
-        return compile_rule_test(
+        return _rule_test_sql(
             m, epi_config, Resolver(available=available, types=types)
         )
-    arr = F.col("`link_" + (m.form or "").replace("`", "``") + "`")
-    non_empty = F.size(arr) > 0
+    arr = _qid("link_" + (m.form or ""))
+    non_empty = f"(size({arr}) > 0)"
     ml = m.multiple_link
     if ml == "count":
-        return non_empty, F.size(arr)
+        return non_empty, f"size({arr})"
     if ml in ("last", "first"):
         if not link_structs or m.id not in link_structs:
             raise ValueError(
@@ -314,26 +363,26 @@ def _compile_entry(
                 "to materialize the linked-row struct"
             )
         r = Resolver(struct_col=link_structs[m.id])
-        passed, value = compile_rule_test(m, epi_config, r)
-        return non_empty & passed, value
+        passed, value = _rule_test_sql(m, epi_config, r)
+        return f"({non_empty} AND {passed})", value
     if ml in ("any", "all"):
-        def row_test(x):
-            r = Resolver(getter=lambda name: x["row"][name])
-            return F.coalesce(
-                compile_rule_test(m, epi_config, r)[0], F.lit(False)
-            )
-
-        hof = F.exists(arr, row_test) if ml == "any" else F.forall(arr, row_test)
-        return non_empty & F.coalesce(hof, F.lit(False)), F.lit(1)
+        r = Resolver(lambda_var="__x")
+        test = f"coalesce({_rule_test_sql(m, epi_config, r)[0]}, false)"
+        fn = "exists" if ml == "any" else "forall"
+        hof = f"{fn}({arr}, __x -> {test})"
+        return f"({non_empty} AND coalesce({hof}, false))", "1"
     raise ValueError(f"unknown multiple_link method {ml!r} on rule {m.id}")
 
 
+_EMPTY_MAP = "CAST(map() AS MAP<STRING,STRING>)"
+
+
 def _sparse_map(
-    pairs: "list[tuple[Column, Column]]", guard_on: str = "key"
-) -> Column:
-    """MAP<STRING,STRING> from (key, value) column pairs where entries with
-    a NULL key (``guard_on="key"``) or NULL value (``guard_on="value"``)
-    are dropped.
+    pairs: "list[tuple[str, str]]", guard_on: str = "key"
+) -> str:
+    """MAP<STRING,STRING> SQL from (key, value) expression pairs where
+    entries with a NULL key (``guard_on="key"``) or NULL value
+    (``guard_on="value"``) are dropped.
 
     Built as ``map_concat`` of per-entry conditional singleton maps rather
     than ``map_from_entries(filter(array(...)))``: higher-order functions
@@ -343,26 +392,29 @@ def _sparse_map(
     faster on the flagship shape).  Entry order (and therefore duplicate-
     key behavior under spark.sql.mapKeyDedupPolicy) is identical."""
     if not pairs:
-        return F.create_map().cast("map<string,string>")
-    empty = F.create_map().cast("map<string,string>")
+        return _EMPTY_MAP
     maps = []
     for k, v in pairs:
-        guard = (k if guard_on == "key" else v).isNotNull()
+        guard = k if guard_on == "key" else v
         maps.append(
-            F.when(guard, F.create_map(k, v.cast("string"))).otherwise(empty)
+            f"CASE WHEN ({guard}) IS NOT NULL THEN "
+            f"map({k}, CAST({v} AS STRING)) ELSE {_EMPTY_MAP} END"
         )
-    return F.map_concat(*maps) if len(maps) > 1 else maps[0]
+    if len(maps) == 1:
+        return maps[0]
+    return "map_concat({})".format(", ".join(maps))
 
 
-def compile_rules(
+def compile_rules_sql(
     rules: list[Rule],
     epi_config: str | dict = "international",
     link_structs: dict[str, str] | None = None,
     alert_data: dict[str, str] | None = None,
     available: set[str] | None = None,
     types: dict[str, str] | None = None,
-) -> CodedOutput:
-    """Compile a rule table into the five output Columns of the coding step.
+) -> dict[str, str]:
+    """Compile a rule table into the five output SQL expressions of the
+    coding step (keys: variables/categories/alert/alert_reason/disregard).
 
     variables  MAP<STRING,STRING>: var_id → stored value (to_codes.py:250-285)
     categories MAP<STRING,STRING>: category → winning var_id (:287-290)
@@ -374,11 +426,11 @@ def compile_rules(
     for r in rules:
         groups.setdefault(r.calculation_group or r.id, []).append(r)
 
-    var_entries: list[tuple[Column, Column]] = []
-    cat_arms: dict[str, list[Column]] = {}
-    alert_arms: list[Column] = []
-    alert_reason_arms: list[Column] = []
-    disregard_arms: list[Column] = []
+    var_entries: list[tuple[str, str]] = []
+    cat_arms: dict[str, list[str]] = {}
+    alert_arms: list[str] = []
+    alert_reason_arms: list[str] = []
+    disregard_arms: list[str] = []
 
     for gid, members in groups.items():
         # Compile each member once, in codes-file order.
@@ -404,12 +456,18 @@ def compile_rules(
 
         # First-match-wins within the group: one CASE WHEN for the id and one
         # for the value; Catalyst short-circuits like the reference's break.
-        winner_id = F.coalesce(
-            *[F.when(t, F.lit(m.id)) for (m, t, _v) in win_order]
-        ) if compiled else F.lit(None)
-        winner_val = F.coalesce(
-            *[F.when(t, v.cast("string")) for (m, t, v) in win_order]
-        ) if compiled else F.lit(None)
+        winner_id = "coalesce({})".format(
+            ", ".join(
+                f"CASE WHEN {t} THEN {_sq(m.id)} END"
+                for (m, t, _v) in win_order
+            )
+        ) if compiled else "NULL"
+        winner_val = "coalesce({})".format(
+            ", ".join(
+                f"CASE WHEN {t} THEN CAST({v} AS STRING) END"
+                for (m, t, v) in win_order
+            )
+        ) if compiled else "NULL"
         var_entries.append((winner_id, winner_val))
 
         for m, t, _v in compiled:
@@ -418,16 +476,18 @@ def compile_rules(
             # so only the winner fires.  In priority groups there is no break
             # (to_codes.py:287-303): EVERY applicable member fires, in file
             # order, even if it loses the variable_json priority contest.
-            hit = t if has_priority else t & (winner_id == F.lit(m.id))
+            hit = t if has_priority else f"({t} AND ({winner_id} = {_sq(m.id)}))"
             for cat in m.category:
-                cat_arms.setdefault(cat, []).append(F.when(hit, F.lit(m.id)))
+                cat_arms.setdefault(cat, []).append(
+                    f"CASE WHEN {hit} THEN {_sq(m.id)} END"
+                )
             if m.alert and m.alert_type == "individual":
                 alert_arms.append(hit)
-                alert_reason_arms.append(F.when(hit, F.lit(m.id)))
+                alert_reason_arms.append(f"CASE WHEN {hit} THEN {_sq(m.id)} END")
             if m.disregard:
                 disregard_arms.append(hit)
 
-    alert = reduce(lambda a, b: a | b, alert_arms, F.lit(False))
+    alert = reduce(lambda a, b: f"({a} OR {b})", alert_arms, "false")
     # C6 alert_data: when an individual alert fires, copy the configured
     # form columns into variables as alert_<name>, plus the alert marker
     # entries themselves (to_codes.py:292-301; demo_config.py:148-155).
@@ -435,8 +495,8 @@ def compile_rules(
         for name, src in alert_data.items():
             var_entries.append(
                 (
-                    F.when(alert, F.lit(f"alert_{name}")),
-                    _col(src).cast("string"),
+                    f"CASE WHEN {alert} THEN {_sq('alert_' + name)} END",
+                    f"CAST({_qid(src)} AS STRING)",
                 )
             )
 
@@ -446,23 +506,59 @@ def compile_rules(
     # the file-ordered iteration (to_codes.py:287-290): the LAST write wins,
     # hence coalesce over the arms reversed.
     categories = _sparse_map(
-        [(F.lit(cat), F.coalesce(*reversed(arms)))
-         for cat, arms in cat_arms.items()],
+        [
+            (_sq(cat), "coalesce({})".format(", ".join(reversed(arms))))
+            for cat, arms in cat_arms.items()
+        ],
         guard_on="value",
     )
 
     # alert_reason is likewise overwritten by every firing individual-alert
     # rule (to_codes.py:295-301) — last write wins.
-    alert_reason = F.coalesce(*reversed(alert_reason_arms), F.lit(None).cast("string")) if alert_reason_arms else F.lit(None).cast("string")
-    disregard_raw = reduce(lambda a, b: a | b, disregard_arms, F.lit(False))
+    alert_reason = (
+        "coalesce({}, CAST(NULL AS STRING))".format(
+            ", ".join(reversed(alert_reason_arms))
+        )
+        if alert_reason_arms
+        else "CAST(NULL AS STRING)"
+    )
+    disregard_raw = reduce(lambda a, b: f"({a} OR {b})", disregard_arms, "false")
     # to_codes.py:302-309 — disregard is cancelled unless an individual alert
     # also fired... reference keeps disregard only when alert_type is NOT
     # individual cancelled: `if disregard and alert_type != "individual":
     # disregard = False` — i.e. disregard survives only WITH an individual
     # alert.
-    disregard = disregard_raw & alert
+    disregard = f"({disregard_raw} AND {alert})"
 
-    return CodedOutput(variables, categories, alert, alert_reason, disregard)
+    return {
+        "variables": variables,
+        "categories": categories,
+        "alert": alert,
+        "alert_reason": alert_reason,
+        "disregard": disregard,
+    }
+
+
+def compile_rules(
+    rules: list[Rule],
+    epi_config: str | dict = "international",
+    link_structs: dict[str, str] | None = None,
+    alert_data: dict[str, str] | None = None,
+    available: set[str] | None = None,
+    types: dict[str, str] | None = None,
+) -> CodedOutput:
+    """Column-API wrapper over :func:`compile_rules_sql` (five F.expr
+    parses — the string compiler is the implementation)."""
+    out = compile_rules_sql(
+        rules, epi_config, link_structs, alert_data, available, types
+    )
+    return CodedOutput(
+        F.expr(out["variables"]),
+        F.expr(out["categories"]),
+        F.expr(out["alert"]),
+        F.expr(out["alert_reason"]),
+        F.expr(out["disregard"]),
+    )
 
 
 def code_dataframe(
@@ -483,38 +579,36 @@ def code_dataframe(
     # Materialize the newest/oldest linked row once per last/first rule so
     # rule tests (incl. between/calc SQL) bind to a named struct column.
     link_structs: dict[str, str] = {}
+    struct_exprs: list[str] = []
     for i, rule in enumerate(rules):
         if rule.multiple_link in ("last", "first"):
             cname = f"__lr_{i}"
             idx = -1 if rule.multiple_link == "last" else 1
             # try_element_at: an empty link array must yield NULL (rule not
             # applicable), not an ANSI INVALID_ARRAY_INDEX error
-            df = df.withColumn(
-                cname,
-                F.try_element_at(
-                    F.col("`link_" + (rule.form or "").replace("`", "``") + "`"),
-                    F.lit(idx),
-                )["row"],
+            struct_exprs.append(
+                f"try_element_at({_qid('link_' + (rule.form or ''))}, "
+                f"{idx}).row AS {_qid(cname)}"
             )
             link_structs[rule.id] = cname
-    out = compile_rules(
+    if struct_exprs:
+        df = df.selectExpr("*", *struct_exprs)
+    out = compile_rules_sql(
         rules, epi_config, link_structs, alert_data,
         available=set(df.columns), types=dict(df.dtypes),
     )
-    variables = out.variables
+    variables = out["variables"]
     if extra_variables:
-        variables = F.map_concat(
-            variables,
-            F.create_map(
-                *[F.lit(x) for kv in extra_variables.items() for x in kv]
-            ),
+        kvs = ", ".join(
+            _sq(x) for kv in extra_variables.items() for x in kv
         )
+        variables = f"map_concat({variables}, map({kvs}))"
     return df.withColumns(
         {
-            "variables": variables,
-            "categories": out.categories,
-            "alert": out.alert,
-            "alert_reason": out.alert_reason,
-            "disregard": out.disregard,
+            "variables": F.expr(variables),
+            "categories": F.expr(out["categories"]),
+            "alert": F.expr(out["alert"]),
+            "alert_reason": F.expr(out["alert_reason"]),
+            "disregard": F.expr(out["disregard"]),
         }
     ).drop(*link_structs.values())
