@@ -467,18 +467,24 @@ def exact_dedup(
 ) -> DataFrame:
     """Exact dedup: md5 of content, keep the minimum id per hash.
 
-    Adds ``content_hash`` and ``is_kept``; one hash-partitioned groupBy is
-    the whole cost (map-side partial agg applies).
+    Adds ``content_hash`` and ``is_kept``; one hash-partitioned exchange is
+    the whole cost.  The min-id-per-hash is an unbounded window over the
+    hash (r16, guide §2.4): the former groupBy + join-back read the input
+    (including the full content column, the widest thing in the frame)
+    TWICE and shuffled it twice — agg exchange plus the join's build side
+    — where the window computes agg + attach-back in ONE exchange of one
+    pass over the input.  Window semantics also match the declared oracle
+    exactly (NULL content forms one group instead of being dropped by a
+    null-key equi-join).  Group sizes are duplicate multiplicities —
+    naturally small, no skew hazard for the window buffer.
     """
     hashed = df.withColumn(
         "content_hash", F.md5(F.col(content_col).cast("string"))
     )
-    keepers = hashed.groupBy("content_hash").agg(
-        F.min(F.col(id_col)).alias("__keep_id")
+    keep_id = F.min(F.col(id_col)).over(Window.partitionBy("content_hash"))
+    return hashed.withColumn(
+        "is_kept", (F.col(id_col) == keep_id).cast("boolean")
     )
-    return hashed.join(keepers, "content_hash").withColumn(
-        "is_kept", (F.col(id_col) == F.col("__keep_id")).cast("boolean")
-    ).drop("__keep_id")
 
 
 def _hex_slice_to_int(hex_col: Column, start: int = 0, width: int = 4) -> Column:
