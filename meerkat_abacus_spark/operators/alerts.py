@@ -23,6 +23,14 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _qid(name: str) -> str:
+    """Backtick-quoted SQL identifier (r16: the alert window chains build
+    their projections as string expressions parsed JVM-side in one call —
+    the former per-column withColumn chains cost ~1000 py4j round-trips
+    per plan build on the alert headline queries; plans are unchanged)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def threshold_alerts(
     df: DataFrame,
     var_predicate: Column,
@@ -46,41 +54,52 @@ def threshold_alerts(
     """
     base = df.filter(var_predicate)
     outs: list[DataFrame] = []
-    type_cols = [F.col(clinic_type_col).alias("clinic_type")] if clinic_type_col else []
+    type_cols = (
+        [F.expr(f"{_qid(clinic_type_col)} AS clinic_type")]
+        if clinic_type_col
+        else []
+    )
     type_names = ["clinic_type"] if clinic_type_col else []
+    reason_sql = "'{}' AS reason".format(
+        reason.replace("\\", "\\\\").replace("'", "''")
+    )
+    agg_exprs = (
+        F.expr("count(1) AS count"),
+        F.expr(f"array_sort(collect_list({_qid(uuid_col)})) AS uuids"),
+    )
 
-    def limit_expr(normal: int, hospital: int | None) -> Column:
+    def limit_sql(normal: int, hospital: int | None) -> str:
         # The reference first keeps groups >= the normal limit, THEN checks the
         # hospital limit for Hospital clinics (add_multiple_alerts.py:193-216) —
         # so a Hospital's effective threshold is max(normal, hospital).
         if hospital is not None and clinic_type_col is not None:
-            return F.when(
-                F.col("clinic_type") == "Hospital",
-                F.greatest(F.lit(normal), F.lit(hospital)),
-            ).otherwise(F.lit(normal))
-        return F.lit(normal)
+            return (
+                f"CASE WHEN clinic_type = 'Hospital' THEN "
+                f"greatest({int(normal)}, {int(hospital)}) "
+                f"ELSE {int(normal)} END"
+            )
+        return str(int(normal))
 
     if daily_limit is not None:
         daily = (
             base.groupBy(
-                F.col(clinic_col).alias("clinic"),
-                F.date_trunc("DAY", F.col(date_col)).alias("period_start"),
+                F.expr(f"{_qid(clinic_col)} AS clinic"),
+                F.expr(f"date_trunc('DAY', {_qid(date_col)}) AS period_start"),
                 *type_cols,
             )
-            .agg(
-                F.count(F.lit(1)).alias("count"),
-                F.array_sort(F.collect_list(F.col(uuid_col))).alias("uuids"),
+            .agg(*agg_exprs)
+            .where(
+                f"`count` >= {limit_sql(daily_limit, hospital_daily_limit)}"
             )
-            .filter(F.col("count") >= limit_expr(daily_limit, hospital_daily_limit))
-            .select(
+            .selectExpr(
                 "clinic",
                 *type_names,
                 "period_start",
-                F.lit("day").alias("period"),
+                "'day' AS period",
                 # alert_duration=1 for daily alerts (add_multiple_alerts.py:211)
-                F.lit(1).alias("duration"),
-                F.lit(reason).alias("reason"),
-                "count",
+                "1 AS duration",
+                reason_sql,
+                "`count`",
                 "uuids",
             )
         )
@@ -89,26 +108,25 @@ def threshold_alerts(
     if weekly_limit is not None:
         weekly = (
             base.groupBy(
-                F.col(clinic_col).alias("clinic"),
-                F.col(epi_year_col).alias("epi_year"),
-                F.col(epi_week_col).alias("epi_week"),
+                F.expr(f"{_qid(clinic_col)} AS clinic"),
+                F.expr(f"{_qid(epi_year_col)} AS epi_year"),
+                F.expr(f"{_qid(epi_week_col)} AS epi_week"),
                 *type_cols,
             )
-            .agg(
-                F.count(F.lit(1)).alias("count"),
-                F.array_sort(F.collect_list(F.col(uuid_col))).alias("uuids"),
+            .agg(*agg_exprs)
+            .where(
+                f"`count` >= {limit_sql(weekly_limit, hospital_weekly_limit)}"
             )
-            .filter(F.col("count") >= limit_expr(weekly_limit, hospital_weekly_limit))
-            .select(
+            .selectExpr(
                 "clinic",
                 *type_names,
                 "epi_year",
                 "epi_week",
-                F.lit("week").alias("period"),
+                "'week' AS period",
                 # alert_duration=7 for weekly alerts (add_multiple_alerts.py:244)
-                F.lit(7).alias("duration"),
-                F.lit(reason).alias("reason"),
-                "count",
+                "7 AS duration",
+                reason_sql,
+                "`count`",
                 "uuids",
             )
         )
@@ -160,49 +178,46 @@ def double_double_alerts(
     weekly = (
         df.filter(var_predicate)
         .groupBy(
-            F.col(clinic_col).alias("clinic"),
-            F.col(epi_year_col).alias("epi_year"),
-            F.col(epi_week_col).alias("epi_week"),
+            F.expr(f"{_qid(clinic_col)} AS clinic"),
+            F.expr(f"{_qid(epi_year_col)} AS epi_year"),
+            F.expr(f"{_qid(epi_week_col)} AS epi_week"),
         )
         .agg(
-            F.count(F.lit(1)).alias("count"),
-            F.array_sort(F.collect_list(F.col(uuid_col))).alias("uuids"),
+            F.expr("count(1) AS count"),
+            F.expr(f"array_sort(collect_list({_qid(uuid_col)})) AS uuids"),
         )
-        .withColumn(
-            "abs_week",
-            (F.col("epi_year") * 52 + F.least(F.col("epi_week"), F.lit(52))) * 2
-            + (F.col("epi_week") == 53).cast("int"),
+        .selectExpr(
+            "*",
+            "(epi_year * 52 + least(epi_week, 52)) * 2"
+            " + CAST(epi_week = 53 AS INT) AS abs_week",
         )
     )
-    w = Window.partitionBy("clinic").orderBy("abs_week")
-    w5 = w.rowsBetween(-4, 0)
+    over = "OVER (PARTITION BY clinic ORDER BY abs_week)"
     flagged = (
-        weekly.withColumns(
-            {
-                "lag1": F.lag("count", 1).over(w),
-                "lag2": F.lag("count", 2).over(w),
-                "abs_lag1": F.lag("abs_week", 1).over(w),
-                "abs_lag2": F.lag("abs_week", 2).over(w),
-                "total5": F.sum("count").over(w5),
-            }
+        weekly.selectExpr(
+            "*",
+            f"lag(`count`, 1) {over} AS lag1",
+            f"lag(`count`, 2) {over} AS lag2",
+            f"lag(abs_week, 1) {over} AS abs_lag1",
+            f"lag(abs_week, 2) {over} AS abs_lag2",
+            "sum(`count`) OVER (PARTITION BY clinic ORDER BY abs_week"
+            " ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS total5",
         )
         # consecutive weeks only (the reference window is contiguous weeks);
         # on the doubled axis adjacency is gap <= 2 (gap 1 only across a
         # week-53 half-slot, gap 2 otherwise; ordering is strict so gaps > 0)
-        .filter(
-            (F.col("abs_week") - F.col("abs_lag1") <= 2)
-            & (F.col("abs_lag1") - F.col("abs_lag2") <= 2)
-            & (F.col("lag2") > 1)
-            & (F.col("lag1") >= F.lit(factor) * F.col("lag2"))
-            & (F.col("count") >= F.lit(factor) * F.col("lag1"))
-            & (F.col("total5") >= F.lit(min_total))
+        .where(
+            "(abs_week - abs_lag1 <= 2) AND (abs_lag1 - abs_lag2 <= 2)"
+            f" AND (lag2 > 1) AND (lag1 >= {float(factor)!r}D * lag2)"
+            f" AND (`count` >= {float(factor)!r}D * lag1)"
+            f" AND (total5 >= {int(min_total)})"
         )
-        .select(
+        .selectExpr(
             "clinic",
             "epi_year",
             "epi_week",
-            F.lit(reason).alias("reason"),
-            "count",
+            "'{}' AS reason".format(reason.replace("\\", "\\\\").replace("'", "''")),
+            "`count`",
             "uuids",
         )
     )
@@ -225,18 +240,20 @@ def assign_representatives(
     batch.  In this engine every (clinic, bucket) group is computed exactly
     once per pass and replays are absorbed by the (uuid, type) upsert (K2),
     so no driver-side dedup set exists or is needed."""
+    keep = [c for c in alerts.columns if c != uuid_array_col]
+    arr = _qid(uuid_array_col)
     return (
-        alerts.withColumn("master_alert", F.array_min(F.col(uuid_array_col)))
-        .withColumn("uuid", F.explode(F.col(uuid_array_col)))
-        .withColumn("sub_alert", (F.col("uuid") != F.col("master_alert")).cast("int"))
-        .withColumn(
-            "alert_id",
-            F.when(
-                F.col("sub_alert") == 0,
-                F.right(F.col("uuid"), F.lit(alert_id_len)),
-            ),
+        alerts.selectExpr(
+            *[_qid(c) for c in keep],
+            f"array_min({arr}) AS master_alert",
+            f"explode({arr}) AS uuid",
         )
-        .drop(uuid_array_col)
+        .selectExpr("*", "CAST(uuid != master_alert AS INT) AS sub_alert")
+        .selectExpr(
+            "*",
+            "CASE WHEN sub_alert = 0 THEN "
+            f"right(uuid, {int(alert_id_len)}) END AS alert_id",
+        )
     )
 
 
