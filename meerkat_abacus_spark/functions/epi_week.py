@@ -53,14 +53,29 @@ def epi_year_start_col(year_col: Column, epi_config: str | dict) -> Column:
 
 
 def epi_week_columns(
-    date_col: Column,
+    date_col: Column | str,
     epi_config: str | dict = "international",
     week_53_strategy: str = "leave_as_is",
 ) -> tuple[Column, Column]:
     """Return ``(epi_year, epi_week)`` integer columns for a date/timestamp column.
 
     Reference: meerkat_abacus/util/epi_week.py:20-42 (epi_week_for_date).
+
+    Pass the COLUMN NAME as a string where possible (r16): the expression
+    is then generated as SQL and parsed JVM-side in two calls instead of
+    ~40 Column-construction py4j round-trips (same values — twin-pinned,
+    see :func:`epi_week_sql`).  Column inputs keep the Column builder.
     """
+    if isinstance(date_col, str):
+        y, w = epi_week_sql(
+            "`" + date_col.replace("`", "``") + "`",
+            epi_config,
+            week_53_strategy,
+        )
+        return (
+            F.expr(y).alias("epi_year"),
+            F.expr(w).alias("epi_week"),
+        )
     if week_53_strategy not in WEEK_53_STRATEGIES:
         raise ValueError(f"unknown week-53 strategy {week_53_strategy!r}")
     d = F.to_date(date_col)
@@ -126,6 +141,86 @@ def _apply_week_53(
     else:  # leave_as_is
         week = F.when(is_overflow, F.lit(53)).otherwise(week)
     return epi_year.alias("epi_year"), week.alias("epi_week")
+
+
+# --- SQL-string twin (r16, guide §7.3 driver time) -------------------------
+#
+# ``epi_week_sql`` mirrors ``epi_week_columns`` expression-for-expression as
+# Spark SQL strings, so query builds embed the epi bucketing in a single
+# parsed expression instead of ~40 Column-construction py4j round-trips.
+# Divergence between the twins is pinned by
+# tests/test_r16_optimizations.py::test_epi_week_sql_matches_columns
+# (all 3 config shapes × all 3 strategies over a multi-year date sweep).
+
+
+def _weekday_sql(expr: str) -> str:
+    return f"pmod(dayofweek({expr}) + 5, 7)"
+
+
+def _week_53_sql_pair(
+    epi_year: str, week: str, week_53_strategy: str
+) -> tuple[str, str]:
+    overflow = f"({week}) IN (0, 53)"
+    if week_53_strategy == "include_in_52":
+        week = f"CASE WHEN {overflow} THEN 52 ELSE {week} END"
+    elif week_53_strategy == "include_in_1":
+        epi_year = f"CASE WHEN {overflow} THEN ({epi_year}) + 1 ELSE {epi_year} END"
+        week = f"CASE WHEN {overflow} THEN 1 ELSE {week} END"
+    else:  # leave_as_is
+        week = f"CASE WHEN {overflow} THEN 53 ELSE {week} END"
+    return epi_year, week
+
+
+def epi_week_sql(
+    date_sql: str,
+    epi_config: str | dict = "international",
+    week_53_strategy: str = "leave_as_is",
+) -> tuple[str, str]:
+    """``(epi_year_sql, epi_week_sql)`` — Spark SQL strings computing the
+    same values as :func:`epi_week_columns` over the date expression
+    ``date_sql`` (pass a quoted identifier or any SQL expression)."""
+    if week_53_strategy not in WEEK_53_STRATEGIES:
+        raise ValueError(f"unknown week-53 strategy {week_53_strategy!r}")
+    d = f"to_date({date_sql})"
+
+    if isinstance(epi_config, dict):
+        t = f"to_timestamp({date_sql})"
+        year_expr = "CAST(NULL AS INT)"
+        start_expr = "CAST(NULL AS TIMESTAMP)"
+        for y, start in sorted(epi_config.items()):
+            start_dt = (
+                start
+                if isinstance(start, _dt.datetime)
+                else _dt.datetime.combine(start, _dt.time())
+            )
+            sd = "TIMESTAMP '{}'".format(
+                start_dt.strftime("%Y-%m-%d %H:%M:%S")
+            )
+            cond = f"{t} >= {sd}"
+            year_expr = f"CASE WHEN {cond} THEN {int(y)} ELSE {year_expr} END"
+            start_expr = f"CASE WHEN {cond} THEN {sd} ELSE {start_expr} END"
+        days = f"floor((unix_timestamp({t}) - unix_timestamp({start_expr})) / 86400)"
+        week = f"CAST(floor(({days}) / 7) + 1 AS INT)"
+        return _week_53_sql_pair(
+            f"CAST({year_expr} AS INT)", week, week_53_strategy
+        )
+    elif isinstance(epi_config, str) and epi_config.startswith("day:"):
+        target = int(epi_config.split(":")[1])
+        cal_year = f"year({d})"
+        first = f"make_date({cal_year}, 1, 1)"
+        adjustment = f"pmod({target} - {_weekday_sql(first)}, 7)"
+        start = f"date_add({first}, {adjustment})"
+        epi_year = (
+            f"CASE WHEN {d} < {start} THEN {cal_year} - 1 ELSE {cal_year} END"
+        )
+    else:
+        epi_year = f"year({d})"
+        start = f"make_date({epi_year}, 1, 1)"
+
+    week = f"CAST(floor(datediff({d}, {start}) / 7) + 1 AS INT)"
+    return _week_53_sql_pair(
+        f"CAST({epi_year} AS INT)", week, week_53_strategy
+    )
 
 
 def epi_week_duckdb_sql(

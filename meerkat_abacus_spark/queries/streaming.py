@@ -67,7 +67,7 @@ def streaming_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     envelope.repartition(8).write.json(src)
 
-    _, epi_week = epi_week_columns(F.col("ts"), "international")
+    _, epi_week = epi_week_columns("ts", "international")
 
     def transform(batch: DataFrame) -> DataFrame:
         typed = batch.filter(F.col("formId") == "events").select(

@@ -88,7 +88,7 @@ def flagship_cases_region_epiweek(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
     coded = code_dataframe(enriched, _FLAGSHIP_RULES, epi_config="day:0")
-    epi_year, epi_week = epi_week_columns(F.col("o_orderdate"), "day:0")
+    epi_year, epi_week = epi_week_columns("o_orderdate", "day:0")
     coded = coded.withColumns({"epi_year": epi_year, "epi_week": epi_week})
     return (
         coded.filter(F.map_contains_key(F.col("variables"), "urgent_1"))
@@ -348,7 +348,7 @@ _EV_Y_SQL, _EV_W_SQL = epi_week_duckdb_sql("ts", "day:2")
 )
 def epiweek_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
-    epi_year, epi_week = epi_week_columns(F.col("ts"), "day:2")
+    epi_year, epi_week = epi_week_columns("ts", "day:2")
     return (
         events.withColumns({"epi_year": epi_year, "epi_week": epi_week})
         .groupBy("epi_year", "epi_week", "event_type")
@@ -624,7 +624,7 @@ def alert_double_double(spark: SparkSession, sf_dir: str) -> DataFrame:
             "uuid": F.col("event_id").cast("string"),
         }
     )
-    epi_year, epi_week = epi_week_columns(F.col("ts"), "day:0")
+    epi_year, epi_week = epi_week_columns("ts", "day:0")
     events = events.withColumns({"epi_year": epi_year, "epi_week": epi_week})
     out = al.double_double_alerts(
         events,
@@ -666,7 +666,7 @@ def epiweek_dict_config(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Jan 4) puts Jan 1-3 events into epi year 2023 at week ~52 — both the
     lookback and the in-year branch are exercised."""
     events = _t(spark, sf_dir, "events")
-    epi_year, epi_week = epi_week_columns(F.col("ts"), _DICT_EPI_CONFIG)
+    epi_year, epi_week = epi_week_columns("ts", _DICT_EPI_CONFIG)
     return (
         events.select(epi_year, epi_week)
         .groupBy("epi_year", "epi_week")
@@ -718,7 +718,7 @@ def alert_threshold_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("Clinic")),
         }
     )
-    epi_year, epi_week = epi_week_columns(F.col("ts"), "day:0")
+    epi_year, epi_week = epi_week_columns("ts", "day:0")
     events = events.withColumns({"epi_year": epi_year, "epi_week": epi_week})
     found = al.threshold_alerts(
         events,
@@ -1450,8 +1450,8 @@ _S1_Y, _S1_W = epi_week_duckdb_sql("o_orderdate", "international", "include_in_1
 )
 def epiweek_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
-    y52, w52 = epi_week_columns(F.col("o_orderdate"), "international", "include_in_52")
-    y1, w1 = epi_week_columns(F.col("o_orderdate"), "international", "include_in_1")
+    y52, w52 = epi_week_columns("o_orderdate", "international", "include_in_52")
+    y1, w1 = epi_week_columns("o_orderdate", "international", "include_in_1")
     return (
         orders.select(
             y52.alias("y52"), w52.alias("w52"), y1.alias("y1"), w1.alias("w1")
@@ -1933,7 +1933,7 @@ def alert_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
-    epi_year, epi_week = epi_week_columns(F.col("o_orderdate"), "day:0")
+    epi_year, epi_week = epi_week_columns("o_orderdate", "day:0")
     # customer is SF-growing: no broadcast hint (AQE promotes when small).
     weekly = (
         orders.join(customer, orders.o_custkey == customer.c_custkey)

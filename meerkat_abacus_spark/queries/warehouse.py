@@ -211,7 +211,7 @@ def upsert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerkat_abacus_spark.sinks.writers import upsert_by_key
 
     events = _t(spark, sf_dir, "events")
-    _, epi_week = epi_week_columns(F.col("ts"), "international")
+    _, epi_week = epi_week_columns("ts", "international")
     base = events.select(
         "event_id", "event_type", epi_week.alias("epi_week"), "value"
     )
@@ -274,7 +274,7 @@ def upsert_partition_move(spark: SparkSession, sf_dir: str) -> DataFrame:
     from meerkat_abacus_spark.sinks.writers import upsert_by_key
 
     events = _t(spark, sf_dir, "events")
-    _, epi_week = epi_week_columns(F.col("ts"), "international")
+    _, epi_week = epi_week_columns("ts", "international")
     base = events.select(
         "event_id", "event_type", epi_week.alias("epi_week"), "value"
     )

@@ -147,6 +147,44 @@ def test_link_extrema_matches_array_path(spark):
     assert km[4]["n"] == 0
 
 
+def test_epi_week_sql_matches_columns(spark):
+    # the r16 SQL twin must equal the Column builder value-for-value over
+    # every config shape × week-53 strategy on a boundary-heavy date sweep
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from meerkat_abacus_spark.functions.epi_week import (
+        WEEK_53_STRATEGIES,
+        epi_week_columns,
+        epi_week_sql,
+    )
+
+    days = [
+        dt.datetime(2022, 12, 25) + dt.timedelta(days=i, hours=7)
+        for i in range(420)
+    ]
+    df = spark.createDataFrame([(d,) for d in days], "ts timestamp")
+    configs = [
+        "international",
+        "day:0",
+        "day:2",
+        {2022: dt.date(2022, 1, 6), 2023: dt.date(2023, 1, 5),
+         2024: dt.date(2024, 1, 4)},
+    ]
+    for cfg in configs:
+        for strat in WEEK_53_STRATEGIES:
+            cy, cw = epi_week_columns(F.col("ts"), cfg, strat)
+            sy, sw = epi_week_sql("ts", cfg, strat)
+            mism = df.select(
+                cy.alias("cy"), cw.alias("cw"),
+                F.expr(sy).alias("sy"), F.expr(sw).alias("sw"),
+            ).filter(
+                "NOT (cy <=> sy) OR NOT (cw <=> sw)"
+            ).count()
+            assert mism == 0, (cfg, strat)
+
+
 def _write_bytes(path, n):
     with open(path, "wb") as f:
         f.write(b"\0" * n)
