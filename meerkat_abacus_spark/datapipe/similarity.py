@@ -549,21 +549,31 @@ def write_lsh_index(
             F.lit("b"), sign_lsh_bucket(F.col("cv"), dim, nbits, seed)
         ),
     )
-    # One shuffle by bucket before the write → ONE file per bucket
-    # directory instead of one per (task × bucket): with 2^nbits = 256
-    # directories, an unclustered write leaves thousands of tiny files
-    # whose listing+footer reads dominate every later probe.  At cluster
-    # scale the same clustering call takes a partition count
-    # (repartition(n, pbucket)) so a hot bucket can span files while
-    # staying contiguous per directory.
-    c.repartition("pbucket").write.mode(mode).partitionBy("pbucket").parquet(
-        path
-    )
-    # Sidecar keyed BY ID: the member-query serving path
-    # (:func:`lsh_topk_from_index_by_id`) reads its query rows here
-    # instead of scanning all 2^nbits bucket directories (layout shared
-    # with compact_index via _write_byid_sidecar).
-    _write_byid_sidecar(c, path + "_byid", mode)
+    # The projected frame feeds TWO writes (bucket tree + id sidecar);
+    # persist it for the duration of the build so the corpus scan and the
+    # 8×dim projection pass run ONCE per build instead of once per write
+    # (r16, guide §5 — an intermediate reused twice within one operation,
+    # released before return; at corpus scale the projection pass IS the
+    # build cost, so this halves it).
+    c = c.persist()
+    try:
+        # One shuffle by bucket before the write → ONE file per bucket
+        # directory instead of one per (task × bucket): with 2^nbits = 256
+        # directories, an unclustered write leaves thousands of tiny files
+        # whose listing+footer reads dominate every later probe.  At cluster
+        # scale the same clustering call takes a partition count
+        # (repartition(n, pbucket)) so a hot bucket can span files while
+        # staying contiguous per directory.
+        c.repartition("pbucket").write.mode(mode).partitionBy(
+            "pbucket"
+        ).parquet(path)
+        # Sidecar keyed BY ID: the member-query serving path
+        # (:func:`lsh_topk_from_index_by_id`) reads its query rows here
+        # instead of scanning all 2^nbits bucket directories (layout shared
+        # with compact_index via _write_byid_sidecar).
+        _write_byid_sidecar(c, path + "_byid", mode)
+    finally:
+        c.unpersist()
     if mode == "overwrite":
         # v2 marker: tells the pinned-schema reader the ``cn`` column is
         # present in EVERY file.  Only an overwrite may set it — an append
