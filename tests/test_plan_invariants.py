@@ -116,6 +116,26 @@ def test_check_plan_flags_violations():
         "r#2], [p#0], [k#1 ASC NULLS FIRST]"
     )
     assert explain.check_plan("q", part_w, widths) == []
+    # partitioned-but-UNORDERED (min/max-over-partition, the §12
+    # dedup_exact shape) also prints two groups — Spark omits empty
+    # specs — but the second group is a partition spec, not an order
+    # spec: must be CLEAN (the r16 false positive)
+    part_unordered_w = (
+        "+- Window [min(doc_id#1L) windowspecdefinition(content_hash#2, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "unboundedfollowing$())) AS keep#3L], [content_hash#2]"
+    )
+    assert explain.check_plan("q", part_unordered_w, widths) == []
+    # fully global window (one group: no partition, no order) flagged
+    global_unordered_w = (
+        "+- Window [min(doc_id#1L) windowspecdefinition("
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "unboundedfollowing$())) AS keep#3L]"
+    )
+    assert any(
+        "unpartitioned Window" in p
+        for p in explain.check_plan("q", global_unordered_w, widths)
+    )
 
 
 def test_basket_pairs_guard_precedes_self_join(spark):

@@ -168,21 +168,34 @@ def check_plan(
         )
     if name not in GLOBAL_WINDOW_WHITELIST:
         # an unpartitioned Window moves ALL rows to one partition (the
-        # runtime WindowExec WARN) — a Window node prints
-        # ``Window [exprs], [partSpec], [orderSpec]``; only two top-level
-        # bracket groups means the partition spec is empty
+        # runtime WindowExec WARN).  A Window node prints only its
+        # NON-EMPTY specs (verified empirically on Spark 4.1):
+        #   part+order -> ``Window [exprs], [partSpec], [orderSpec]``
+        #   part only  -> ``Window [exprs], [partSpec]``
+        #   order only -> ``Window [exprs], [orderSpec]``
+        #   neither    -> ``Window [exprs]``
+        # so a bare group count conflates the harmless partitioned-
+        # unordered form (min/max-over-partition, §12's dedup_exact)
+        # with the single-partition ones.  The second group is an ORDER
+        # spec exactly when it ends with a sort-direction suffix —
+        # partition columns never print ASC/DESC.
         for wm in re.finditer(r"\bWindow\s+\[", plan):
             seg_end = plan.find("\n", wm.start())
             seg = plan[wm.start(): seg_end if seg_end != -1 else len(plan)]
-            depth, groups = 0, 0
+            depth, groups = 0, []
             for ch in seg:
                 if ch == "[":
                     if depth == 0:
-                        groups += 1
+                        groups.append("")
                     depth += 1
                 elif ch == "]":
                     depth -= 1
-            if groups < 3:
+                if depth > 0:
+                    groups[-1] += ch
+            second_is_order = len(groups) >= 2 and re.search(
+                r"(ASC|DESC) NULLS (FIRST|LAST)\s*$", groups[1]
+            )
+            if len(groups) < 2 or (len(groups) == 2 and second_is_order):
                 problems.append(
                     f"{name}: unpartitioned Window (single-partition "
                     f"execution): {seg[:120]}"
