@@ -148,45 +148,41 @@ def minhash_signature(hash_arr: Column, num_hashes: int = 64) -> Column:
 
 
 def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
-    """Band the signature: key_b is the 60-bit integer parse of the first
-    15 hex chars of ``md5(b || '|' || sig[b*r] || … )`` — the same
-    portable hex15 construction as :func:`shingle_hash`, so the DuckDB
-    oracle reproduces the keys digit-by-digit.
+    """Band the signature: key_b = md5(b || '|' || sig[b*r] || … ) with the
+    integer signature slots rendered as decimal strings.
 
     Two documents collide in band b iff all ``rows_per_band`` signature
-    slots in that band agree — the classic (b, r) S-curve.  The key is a
-    BIGINT, not the 32-char md5 hex string (r16, guide §2.3 narrower
-    types): band keys are the minhash family's hottest shuffle/join/
-    checkpoint payload — 16 rows per document through one eager
-    materialization, one aggregation exchange and both sides of the pair
-    join — so 8-byte integer keys with integer comparisons replace
-    32-byte strings everywhere.  Truncating md5 to 60 bits leaves bucket
-    membership identical in BOTH engines (a ~n²/2^61 chance of two
-    buckets merging changes candidate generation in both engines the
-    same way, and every downstream consumer either verifies candidates
-    exactly or compares engine-to-engine)."""
+    slots in that band agree — the classic (b, r) S-curve.
+
+    REPRESENTATION NOTE (r16): an attempt to narrow the key to the 60-bit
+    integer parse of the first 15 md5 hex chars
+    (``conv(substr(md5(..), 1, 15), 16, 10)``, guide §2.3 narrower types)
+    was REVERTED after the scale rehearsal caught a ~20-30× slowdown of
+    the whole band-key stage in fresh sessions with a large
+    (``SPARK_DRIVER_MEMORY=32g``) heap: 150k amplified docs took 245-303 s
+    (all 32 tasks uniformly slow, no straggler, no driver gap) against
+    9.6 s for this md5-string construction in an identical back-to-back
+    session, while at the default 8g heap both shapes ran in 8-19 s and
+    emitted identical key sets (A/B scripts and numbers in
+    OPTIMIZATION_r16.md §6-revert).  The narrowing's measured win was
+    confined to shuffle bytes the lz4-compressed hex strings already
+    compress well; the cliff is a production-heap configuration, so the
+    8-byte key is not worth it at this construction.  Anyone retrying
+    must A/B a fresh 32g session at ≥10× sf0.1 docs first."""
     return F.array(
         *[
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            F.lit(str(b)),
-                            *[
-                                F.element_at(
-                                    signature, b * rows_per_band + r + 1
-                                ).cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(b)),
+                    *[
+                        F.element_at(
+                            signature, b * rows_per_band + r + 1
+                        ).cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
             for b in range(bands)
         ]
     )

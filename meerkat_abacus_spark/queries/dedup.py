@@ -138,12 +138,11 @@ def _minhash_oracle_sql(
         )
         for b in range(bands)
     )
-    # Integer band keys (r16): parse each band md5 to the same 60-bit int
-    # Spark emits — the lambda var s binds the md5 hex, _hex15 parses it.
-    band_unnest = (
-        f"UNNEST(list_transform([\n            {band_items}\n        ], "
-        f"s -> {_hex15('s')}))"
-    )
+    # Band keys stay md5 hex STRINGS: the r16 integer-key narrowing was
+    # reverted (see dd.lsh_band_keys' representation note — a 20-30×
+    # band-key-stage cliff in fresh 32g-heap sessions), so the oracle
+    # mirrors the string construction again.
+    band_unnest = f"UNNEST([\n            {band_items}\n        ])"
     return f"""
     WITH corpus AS ({corpus_sql}),
     sh AS (
@@ -772,11 +771,12 @@ def incremental_dedup_equals_batch(spark: SparkSession, sf_dir: str) -> DataFram
 
     from ._shared import _scratch_ready, _scratch_tag, build_shared_scratch
 
-    # _v6: the stored band keys became 60-bit integers with the r16 key
-    # narrowing (dd.lsh_band_keys) — a _v5 store holds md5 hex strings
-    # and must not be reused (same contract as the _v5/_v3/_v2 bumps:
-    # any band-key scheme change invalidates the persisted index).
-    base = tempfile.gettempdir() + f"/msa_incdedup_v6_{_scratch_tag(sf_dir)}"
+    # _v7: the r16 integer band keys were REVERTED to md5 hex strings
+    # (dd.lsh_band_keys representation note) — a _v6 store holds BIGINT
+    # keys from the narrowing's brief life and must not be reused (same
+    # contract as the _v6/_v5/_v3/_v2 bumps: any band-key scheme change
+    # invalidates the persisted index).
+    base = tempfile.gettempdir() + f"/msa_incdedup_v7_{_scratch_tag(sf_dir)}"
     bands_p, pairs_p = base + "/bands_old", base + "/pairs_old"
 
     def _build_yesterday() -> None:
