@@ -157,18 +157,17 @@ def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     REPRESENTATION NOTE (r16): an attempt to narrow the key to the 60-bit
     integer parse of the first 15 md5 hex chars
     (``conv(substr(md5(..), 1, 15), 16, 10)``, guide §2.3 narrower types)
-    was REVERTED after the scale rehearsal caught a ~20-30× slowdown of
-    the whole band-key stage in fresh sessions with a large
-    (``SPARK_DRIVER_MEMORY=32g``) heap: 150k amplified docs took 245-303 s
-    (all 32 tasks uniformly slow, no straggler, no driver gap) against
-    9.6 s for this md5-string construction in an identical back-to-back
-    session, while at the default 8g heap both shapes ran in 8-19 s and
-    emitted identical key sets (A/B scripts and numbers in
-    OPTIMIZATION_r16.md §6-revert).  The narrowing's measured win was
-    confined to shuffle bytes the lz4-compressed hex strings already
-    compress well; the cliff is a production-heap configuration, so the
-    8-byte key is not worth it at this construction.  Anyone retrying
-    must A/B a fresh 32g session at ≥10× sf0.1 docs first."""
+    was REVERTED at the end of r16.  A ~20-30× slowdown of the band-key
+    stage was OBSERVED in fresh 32g-heap sessions at 150k amplified docs
+    (245-303 s vs 9.6 s for this md5-string construction back-to-back),
+    but the whole diagnostic window carried external host bursts up to
+    65× quiet, so neither the implicating nor the exculpating single
+    samples are protocol-valid (OPTIMIZATION_r16.md §6-REVERT) — the
+    cliff is possibly-real, not established.  The revert shipped because
+    only the string representation has a quiet-window scale measurement
+    (r15's 10×-docs artifact).  Anyone retrying must run the min-of-reps
+    alternating protocol in fresh 32g sessions at ≥10× sf0.1 docs on a
+    quiet host first."""
     return F.array(
         *[
             F.md5(
@@ -1258,12 +1257,22 @@ def connected_components_star(
         return df.localCheckpoint()
 
     # Orient (bigger → smaller); self-loops contribute nothing.
-    e = _pin(
-        edges.select(
-            F.greatest(F.col(src), F.col(dst)).alias("u"),
-            F.least(F.col(src), F.col(dst)).alias("v"),
-        ).filter(F.col("u") != F.col("v"))
-    )
+    e = edges.select(
+        F.greatest(F.col(src), F.col(dst)).alias("u"),
+        F.least(F.col(src), F.col(dst)).alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    # The pin exists so the first round's symmetric union (which reads
+    # the possibly-expensive edge pipeline twice) scans a materialized
+    # frame.  When the caller already persisted the edges (the
+    # dedup_clusters path hands over the shared candidates cache) the
+    # orientation projection over cached rows is trivially cheap both
+    # times, so the extra materialization job buys nothing — skip it
+    # (r17, guide §5: don't re-materialize an already-persisted input).
+    # The reliable-checkpoint path keeps the pin unconditionally: there
+    # it is the iteration's fault-tolerance posture, not a perf cache.
+    lvl = edges.storageLevel
+    if checkpoint_dir is not None or not (lvl.useMemory or lvl.useDisk):
+        e = _pin(e)
 
     if stats is not None:
         stats["rounds"] = []
@@ -1271,6 +1280,14 @@ def connected_components_star(
 
     for it in range(max_iterations):
         t_round = _time.time()
+        _round_job0 = (
+            max(
+                spark.sparkContext.statusTracker().getJobIdsForGroup(None),
+                default=-1,
+            )
+            if stats is not None
+            else -1
+        )
         # Round shape (r16, guide §2.4 "share one exchange"): both star
         # steps need "the neighbourhood min, attached back to every
         # edge of the group" — formerly a partial-agg groupBy PLUS a
@@ -1325,11 +1342,33 @@ def connected_components_star(
                 .count()
             )
         if stats is not None:
+            # Per-round JOB/STAGE attribution (r17, VERDICT r16 "what's
+            # wrong" #5: the CC loop hides behind localCheckpoint lineage
+            # truncation, so the committed plan files cannot show the
+            # per-round exchange count — the status tracker can).  Jobs
+            # launched since the round started are this round's pin +
+            # probe machinery; each stage's task count exposes its
+            # exchanges.  Profiling-only, like the rest of the hook.
+            tracker = spark.sparkContext.statusTracker()
+            round_jobs = []
+            for jid in sorted(tracker.getJobIdsForGroup(None)):
+                if jid <= _round_job0:
+                    continue
+                ji = tracker.getJobInfo(jid)
+                if ji is None:
+                    continue
+                stages = []
+                for sid in ji.stageIds:
+                    si = tracker.getStageInfo(sid)
+                    if si is not None:
+                        stages.append({"stage": sid, "tasks": si.numTasks})
+                round_jobs.append({"job": jid, "stages": stages})
             stats["rounds"].append(
                 {
                     "sec": round(_time.time() - t_round, 2),
                     "probe_sec": round(_time.time() - t_probe, 2),
                     "edges": e.count(),
+                    "jobs": round_jobs,
                 }
             )
             stats["iterations"] = it + 1
@@ -1367,12 +1406,21 @@ def connected_components_star(
     # Star forest → labels: every big end maps to its root; roots (and
     # only roots) never appear as a big end and map to themselves.
     leaves = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
-    roots = (
-        e.select(F.col("v").alias("node"))
-        .distinct()
-        .join(e.select(F.col("u").alias("node")), "node", "left_anti")
-        .select("node", F.col("node").alias("component"))
-    )
+    roots = e.select(F.col("v").alias("node")).distinct()
+    if chained != 0:
+        # Partial labels (strict=False escape hatch): a node can still
+        # sit on both ends of edges, so only the v's that never appear
+        # as a u are roots — the anti-join filters the rest.
+        roots = roots.join(
+            e.select(F.col("u").alias("node")), "node", "left_anti"
+        )
+    # At the fixed point the anti-join is provably the identity: the
+    # convergence probe just verified that NO v appears as any edge's u
+    # (chained == 0 is exactly "e.v ∩ e.u = ∅"), so every distinct v is
+    # a root and the join — a broadcast build + probe per run — is
+    # dropped outright (r17, guide §2.4 remove shuffles the data can't
+    # need; pinned by test_star_roots_skip_antijoin_at_fixed_point).
+    roots = roots.select("node", F.col("node").alias("component"))
     return leaves.unionByName(roots)
 
 

@@ -1111,12 +1111,16 @@ def lsh_topk_from_index_by_id(
     vectors take :func:`lsh_topk_from_index`, which projects them.
     """
     idx, byid = _lsh_index_frames(spark, index_path)
-    # dropDuplicates defends the top-k ranks against a violated append
-    # contract (the same id appended twice would otherwise emit duplicate
-    # probe rows — ADVICE r8 #2); under the contract it is a no-op.
-    qrows = (
+    # The query rows are collected anyway, so the duplicate-id defense
+    # (a violated append contract would emit duplicate probe rows —
+    # ADVICE r8 #2) runs DRIVER-SIDE on the collected handful instead of
+    # as a dropDuplicates shuffle: one job of pruned scan tasks replaces
+    # the r16 shape's two jobs + exchange (guide §7.3 — measured 2 jobs /
+    # 0.33 s → 1 job).  Keep-first over the collected rows implements the
+    # same "arbitrary survivor" semantics; under the contract there are
+    # no duplicates and both forms are the identity.
+    raw_qrows = (
         byid.filter(F.col("neighbor_id").isin(list(query_ids)))
-        .dropDuplicates(["neighbor_id"])
         .select(
             F.col("neighbor_id").alias("query_id"),
             "cv",
@@ -1124,14 +1128,31 @@ def lsh_topk_from_index_by_id(
         )
         .collect()
     )
+    seen: set = set()
+    qrows = []
+    for r in raw_qrows:
+        if r["query_id"] not in seen:
+            seen.add(r["query_id"])
+            qrows.append(r)
     probed_rows = [
         (r["query_id"], list(r["cv"]), "b" + key)
         for r in qrows
         for key in _hamming_ball(r["home"][1:], radius)
     ]
     probe_keys = sorted({p for _, _, p in probed_rows})
+    # One slice: createDataFrame parallelizes over the session default
+    # (one slice per core), so the broadcast build of this
+    # |queries|×probes-row frame was a 32-task job for tens of rows —
+    # one narrow task moves the same bytes (guide §7.3; the frame is
+    # bounded by design, |queries| × ≤2^nbits rows).  numSlices=1 at
+    # parallelize time, NOT .coalesce(1): a coalesce over the 32-slice
+    # parallelized RDD still iterates every parent slice through the
+    # Python runner inside one task and measured a flat ~5 s per
+    # broadcast build — the A/B that caught it is in
+    # OPTIMIZATION_r17.md §1.
     probed = spark.createDataFrame(
-        probed_rows, schema="query_id long, qv array<double>, pbucket string"
+        spark.sparkContext.parallelize(probed_rows, 1),
+        schema="query_id long, qv array<double>, pbucket string",
     )
     lists = _stored_or_computed_cn(
         idx.filter(F.col("pbucket").isin(probe_keys))

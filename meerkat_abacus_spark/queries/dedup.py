@@ -107,8 +107,8 @@ def _minhash_oracle_sql(
     # 60-bit hex parse: first 15 hex chars of an md5 hex string, parsed
     # digit-by-digit (DuckDB has no hex→int cast) — mirrors Spark's
     # conv(substr(md5(x), 1, 15), 16, 10) exactly.  Used for the shingle
-    # hash (dd.shingle_hash) and, since r16, the integer band keys
-    # (dd.lsh_band_keys).
+    # hash (dd.shingle_hash); the band keys are md5 hex STRINGS (the r16
+    # integer narrowing was reverted).
     def _hex15(expr: str) -> str:
         return " + ".join(
             f"(strpos('0123456789abcdef', substr({expr}, {p + 1}, 1)) - 1)"

@@ -236,10 +236,23 @@ def streaming_alerts_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame
     # watermark never advances (measured: 4 final-day windows stuck in
     # state forever).  A matching heartbeat forms a count-1 group on a
     # synthetic clinic that the count >= daily_limit filter removes from
-    # the output, while its ts drives eviction.  TWO restarts because the
-    # watermark lags one batch and a restart recovers it from the offsets
-    # log (one batch behind the last run's max event time).
-    for bump in (30, 60):
+    # the output, while its ts drives eviction.  TWO heartbeat batches
+    # because the watermark lags one batch — but they need only ONE
+    # restart (r17, guide §7.3: each stream start pays the full batch-0
+    # planning/codegen cost): both heartbeat files are staged up front
+    # with pinned mtimes, and maxFilesPerTrigger=1 replays them as two
+    # ordered micro-batches within the single restarted run, where the
+    # watermark advances between batches exactly as it did between the
+    # r16 shape's two restarts (restart recovery and intra-run update
+    # both leave batch N+1 one batch behind batch N's max event time).
+    # Emission set is unchanged: every real window end precedes
+    # hi+28days, the watermark in force for the second heartbeat batch
+    # in BOTH shapes, and the heartbeats' own count-1 groups are removed
+    # by the count >= daily_limit filter before the sink either way.
+    # The checkpoint-restart rehearsal on the aggregation state survives
+    # (this IS a restart over recovered state).
+    known = set(_glob.glob(f"{src}/*.json"))
+    for i, bump in enumerate((30, 60)):
         hb = spark.createDataFrame(
             [(-1, -1, "error")],
             "event_id long, user_id long, event_type string",
@@ -247,7 +260,13 @@ def streaming_alerts_equals_batch(spark: SparkSession, sf_dir: str) -> DataFrame
             "ts", (F.lit(hi) + F.lit(86400 * bump)).cast("timestamp")
         )
         envelope(hb).coalesce(1).write.mode("append").json(src)
-        run_stream_sized()
+        # pin arrival order oldest-first (the slice files sit at
+        # base_mtime..base_mtime+3): heartbeat i lands at +4+i so the
+        # two heartbeat batches replay in bump order
+        for f in sorted(set(_glob.glob(f"{src}/*.json")) - known):
+            os.utime(f, (base_mtime + 4 + i, base_mtime + 4 + i))
+            known.add(f)
+    run_stream_sized()
 
     return spark.read.parquet(out).select(
         F.col("clinic").alias("clinic"),

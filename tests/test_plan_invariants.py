@@ -136,6 +136,29 @@ def test_check_plan_flags_violations():
         "unpartitioned Window" in p
         for p in explain.check_plan("q", global_unordered_w, widths)
     )
+    # truncation-robust (ADVICE r16 #3): an order-only window whose spec
+    # tail was elided by maxToStringFields ("... N more fields") must
+    # still be flagged — the direction marker is detected anywhere in the
+    # group, not just at its end
+    trunc_order_w = (
+        "+- Window [row_number() windowspecdefinition(k#1 ASC) AS r#2], "
+        "[k#1 ASC NULLS FIRST, ... 4 more fields]"
+    )
+    assert any(
+        "unpartitioned Window" in p
+        for p in explain.check_plan("q", trunc_order_w, widths)
+    )
+    # a two-group window whose second group is truncated PAST any
+    # direction marker is ambiguous — fail closed (flag) rather than
+    # silently pass a possibly order-only node
+    trunc_ambiguous_w = (
+        "+- Window [row_number() windowspecdefinition(k#1 ASC) AS r#2], "
+        "[k#1, ... 4 more fields]"
+    )
+    assert any(
+        "unpartitioned Window" in p
+        for p in explain.check_plan("q", trunc_ambiguous_w, widths)
+    )
 
 
 def test_basket_pairs_guard_precedes_self_join(spark):

@@ -192,8 +192,15 @@ def check_plan(
                     depth -= 1
                 if depth > 0:
                     groups[-1] += ch
-            second_is_order = len(groups) >= 2 and re.search(
-                r"(ASC|DESC) NULLS (FIRST|LAST)\s*$", groups[1]
+            # An order spec is detected ANYWHERE in the group, not just at
+            # its end (ADVICE r16 #3): Spark's maxToStringFields truncation
+            # can append "... N more fields" after the spec tail, which
+            # would otherwise turn an order-only Window into a silent
+            # false negative.  A truncated group that shows no direction
+            # marker at all is ambiguous — flag it rather than pass it.
+            second_is_order = len(groups) >= 2 and (
+                re.search(r" (ASC|DESC) NULLS (FIRST|LAST)", groups[1])
+                or "more fields" in groups[1]
             )
             if len(groups) < 2 or (len(groups) == 2 and second_is_order):
                 problems.append(
