@@ -148,40 +148,56 @@ def minhash_signature(hash_arr: Column, num_hashes: int = 64) -> Column:
 
 
 def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
-    """Band the signature: key_b = md5(b || '|' || sig[b*r] || … ) with the
-    integer signature slots rendered as decimal strings.
+    """Band the signature: key_b is the 60-bit integer parse of the first
+    15 hex chars of ``md5(b || '|' || sig[b*r] || … )`` — the same
+    portable hex15 construction as :func:`shingle_hash`, so the DuckDB
+    oracle reproduces the keys digit-by-digit.
 
     Two documents collide in band b iff all ``rows_per_band`` signature
-    slots in that band agree — the classic (b, r) S-curve.
+    slots in that band agree — the classic (b, r) S-curve.  The key is a
+    BIGINT, not the 32-char md5 hex string (guide §2.3 narrower types):
+    band keys are the minhash family's hottest shuffle/join/checkpoint
+    payload — 16 rows per document through one eager materialization,
+    one aggregation exchange and both sides of the pair join — so 8-byte
+    integer keys with integer comparisons replace 32-byte strings
+    everywhere.  Truncating md5 to 60 bits leaves bucket membership
+    identical in BOTH engines (a ~n²/2^61 chance of two buckets merging
+    changes candidate generation in both engines the same way, and every
+    downstream consumer either verifies candidates exactly or compares
+    engine-to-engine).
 
-    REPRESENTATION NOTE (r16): an attempt to narrow the key to the 60-bit
-    integer parse of the first 15 md5 hex chars
-    (``conv(substr(md5(..), 1, 15), 16, 10)``, guide §2.3 narrower types)
-    was REVERTED at the end of r16.  A ~20-30× slowdown of the band-key
-    stage was OBSERVED in fresh 32g-heap sessions at 150k amplified docs
-    (245-303 s vs 9.6 s for this md5-string construction back-to-back),
-    but the whole diagnostic window carried external host bursts up to
-    65× quiet, so neither the implicating nor the exculpating single
-    samples are protocol-valid (OPTIMIZATION_r16.md §6-REVERT) — the
-    cliff is possibly-real, not established.  The revert shipped because
-    only the string representation has a quiet-window scale measurement
-    (r15's 10×-docs artifact).  Anyone retrying must run the min-of-reps
-    alternating protocol in fresh 32g sessions at ≥10× sf0.1 docs on a
-    quiet host first."""
+    REPRESENTATION HISTORY: first shipped r16, REVERTED at r16 round end
+    when a rehearsal measured a possible 20-30× band-key-stage cliff in
+    fresh 32g-heap sessions, RE-ADOPTED r17 after the cliff was root-
+    caused as lazy heap-commit page faulting of fresh large heaps on the
+    measurement VM (~165 MB/s first-touch; hits BOTH representations;
+    eliminated by -Xms=max -XX:+AlwaysPreTouch) and the pre-touched warm
+    min-of-reps protocol showed the integer keys at-or-faster at every
+    scale: 10×-docs minhash 0.94× / clusters 1.00×, 100×-docs minhash
+    0.73× / clusters 0.91×, outputs identical in every run
+    (OPTIMIZATION_r17.md, band-key adjudication)."""
     return F.array(
         *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.lit(str(b)),
-                    *[
-                        F.element_at(
-                            signature, b * rows_per_band + r + 1
-                        ).cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                )
-            )
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit(str(b)),
+                            *[
+                                F.element_at(
+                                    signature, b * rows_per_band + r + 1
+                                ).cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
             for b in range(bands)
         ]
     )

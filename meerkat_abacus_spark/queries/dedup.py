@@ -107,8 +107,8 @@ def _minhash_oracle_sql(
     # 60-bit hex parse: first 15 hex chars of an md5 hex string, parsed
     # digit-by-digit (DuckDB has no hex→int cast) — mirrors Spark's
     # conv(substr(md5(x), 1, 15), 16, 10) exactly.  Used for the shingle
-    # hash (dd.shingle_hash); the band keys are md5 hex STRINGS (the r16
-    # integer narrowing was reverted).
+    # hash (dd.shingle_hash) and the integer band keys
+    # (dd.lsh_band_keys, re-adopted r17).
     def _hex15(expr: str) -> str:
         return " + ".join(
             f"(strpos('0123456789abcdef', substr({expr}, {p + 1}, 1)) - 1)"
@@ -138,11 +138,14 @@ def _minhash_oracle_sql(
         )
         for b in range(bands)
     )
-    # Band keys stay md5 hex STRINGS: the r16 integer-key narrowing was
-    # reverted (see dd.lsh_band_keys' representation note — a 20-30×
-    # band-key-stage cliff in fresh 32g-heap sessions), so the oracle
-    # mirrors the string construction again.
-    band_unnest = f"UNNEST([\n            {band_items}\n        ])"
+    # Integer band keys (re-adopted r17, see dd.lsh_band_keys'
+    # representation history): parse each band md5 to the same 60-bit
+    # int Spark emits — the lambda var s binds the md5 hex, _hex15
+    # parses it.
+    band_unnest = (
+        f"UNNEST(list_transform([\n            {band_items}\n        ], "
+        f"s -> {_hex15('s')}))"
+    )
     return f"""
     WITH corpus AS ({corpus_sql}),
     sh AS (
@@ -771,12 +774,12 @@ def incremental_dedup_equals_batch(spark: SparkSession, sf_dir: str) -> DataFram
 
     from ._shared import _scratch_ready, _scratch_tag, build_shared_scratch
 
-    # _v7: the r16 integer band keys were REVERTED to md5 hex strings
-    # (dd.lsh_band_keys representation note) — a _v6 store holds BIGINT
-    # keys from the narrowing's brief life and must not be reused (same
-    # contract as the _v6/_v5/_v3/_v2 bumps: any band-key scheme change
-    # invalidates the persisted index).
-    base = tempfile.gettempdir() + f"/msa_incdedup_v7_{_scratch_tag(sf_dir)}"
+    # _v8: the integer band keys are RE-ADOPTED in r17 (dd.lsh_band_keys
+    # representation history) — a _v7 store holds the r16-revert's md5
+    # hex strings and must not be reused (same contract as the
+    # _v7/_v6/_v5/_v3/_v2 bumps: any band-key scheme change invalidates
+    # the persisted index).
+    base = tempfile.gettempdir() + f"/msa_incdedup_v8_{_scratch_tag(sf_dir)}"
     bands_p, pairs_p = base + "/bands_old", base + "/pairs_old"
 
     def _build_yesterday() -> None:

@@ -74,10 +74,26 @@ _EPI_Y_SQL, _EPI_W_SQL = epi_week_duckdb_sql("o_orderdate", "day:0")
     """,
 )
 def flagship_cases_region_epiweek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from meerkat_abacus_spark.operators.coding import compile_rule_test
+
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
+    # Early case filter (r17, guide §2.3 shuffle fewer bytes / §6
+    # predicate pushdown): the query keeps only rows whose coded
+    # variables contain urgent_1, and the urgent_1 rule tests ONLY an
+    # orders column — so the SAME compiled rule predicate is applied to
+    # orders BEFORE the join chain, pushing the '1-URGENT' filter into
+    # the orders scan (PushedFilters) and sending ~5× fewer rows through
+    # all three joins and the coding projection.  The predicate is
+    # DERIVED from the rule object (compile_rule_test), not duplicated
+    # by hand, so rule edits cannot diverge from the pre-filter; the
+    # map_contains_key filter below stays as the semantic contract and
+    # is the identity on the surviving rows.
+    urgent_rule = next(r for r in _FLAGSHIP_RULES if r.id == "urgent_1")
+    urgent_passed, _ = compile_rule_test(urgent_rule, "day:0")
+    orders = orders.filter(urgent_passed)
     # J5-shaped enrichment: nation/region are bounded dims and carry explicit
     # broadcast hints; customer GROWS with scale factor, so its join is left
     # unhinted — size-based AQE broadcasts it at small SF and degrades to a
@@ -832,7 +848,12 @@ def location_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Build the adjacency table the reference stores in `locations`
     # (model.py:57-78): country ← region ← nation(=district) ← customer(=clinic).
-    country = spark.range(1).select(
+    # numPartitions=1 on every tiny literal range (r17): spark.range(n)
+    # defaults to one slice per core, so the single country row used to
+    # inject 32 near-empty tasks into every stage scanning the adjacency
+    # union (measured: two 34-task stages per location_rollup run for a
+    # 4-table dim whose real inputs are 1 file each).
+    country = spark.range(0, 1, 1, 1).select(
         F.lit(0).alias("id"),
         F.lit(None).cast("long").alias("parent_location"),
         F.lit("country").alias("level"),
@@ -920,7 +941,7 @@ def population_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     customer = _t(spark, sf_dir, "customer")
 
-    country = spark.range(1).select(
+    country = spark.range(0, 1, 1, 1).select(
         F.lit(0).alias("id"),
         F.lit(None).cast("long").alias("parent_location"),
         F.lit("country").alias("level"),
@@ -1690,7 +1711,7 @@ def qc_clinic_start_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5 — rows submitted before their clinic's start date are dropped
     (reference quality_control.py:179-183); the clinic dim is broadcast,
     the fact table never shuffles."""
-    clinics = spark.range(50).select(
+    clinics = spark.range(0, 50, 1, 1).select(
         F.col("id").alias("deviceid"),
         F.to_timestamp(
             F.date_add(
@@ -1809,7 +1830,7 @@ def locations_is_child(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_regionkey").alias("region_id"),
         )
     )
-    probes = spark.range(5).select(F.col("id").alias("probe"))
+    probes = spark.range(0, 5, 1, 1).select(F.col("id").alias("probe"))
     return flat.crossJoin(F.broadcast(probes)).select(
         "c_custkey",
         "probe",

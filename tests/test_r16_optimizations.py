@@ -30,15 +30,17 @@ def _ref_band_keys(slots, bands, rows_per_band):
         payload = "|".join(
             [str(b)] + [str(s) for s in slots[b * rows_per_band : (b + 1) * rows_per_band]]
         )
-        keys.append(hashlib.md5(payload.encode()).hexdigest())
+        hx = hashlib.md5(payload.encode()).hexdigest()
+        keys.append(int(hx[:15], 16))
     return keys
 
 
-def test_lsh_band_keys_are_md5_hex_strings(spark):
-    """Pins the REVERT of the r16 integer-key narrowing: band keys are
-    the full md5 hex strings again (dd.lsh_band_keys representation
-    note — the conv(substr(md5),16,10) BIGINT form hit a 20-30×
-    band-key-stage cliff in fresh 32g-heap sessions), matching the
+def test_lsh_band_keys_are_60bit_md5_integers(spark):
+    """Pins the r17 RE-ADOPTION of the integer band keys: key_b is the
+    60-bit integer parse of the first 15 hex chars of the band md5
+    (dd.lsh_band_keys representation history — the r16 'cliff' that
+    forced the revert was root-caused to lazy heap-commit page faulting
+    of fresh large heaps, not to the representation), matching the
     portable payload digit-for-digit so the DuckDB oracle reproduces
     bucket membership exactly."""
     bands, rpb = 4, 3
@@ -50,13 +52,16 @@ def test_lsh_band_keys_are_md5_hex_strings(spark):
     ).select(
         "doc_id", dd.lsh_band_keys(F.col("sig"), bands, rpb).alias("keys")
     )
-    assert dict(df.dtypes)["keys"] == "array<string>"
+    # narrowed type: BIGINT array, not string array (the whole point)
+    assert dict(df.dtypes)["keys"] == "array<bigint>"
     rows = {r["doc_id"]: r["keys"] for r in df.collect()}
     assert rows[1] == _ref_band_keys(slots_a, bands, rpb)
     assert rows[2] == _ref_band_keys(slots_b, bands, rpb)
     # S-curve semantics preserved: equal bands collide, unequal don't
     assert rows[1][:3] == rows[2][:3]
     assert rows[1][3] != rows[2][3]
+    # every key fits in 60 bits (first 15 hex chars)
+    assert all(0 <= k < 2**60 for k in rows[1] + rows[2])
 
 
 def test_simhash_single_pass_matches_reference(spark):

@@ -65,8 +65,17 @@ def run(cpus: int) -> None:
     from meerkat_abacus_spark.queries import QUERIES
     from meerkat_abacus_spark.session import get_spark
 
-    spark = get_spark(app_name=f"databound_c{cpus}")
-    out: dict = {"cpus": cpus, "sent_pre": _sentinel(), "queries": {}}
+    # Pre-touch the heap at startup (r17): keeps lazy heap-commit page
+    # faulting (~165 MB/s on this VM) out of the timed queries — see
+    # tools/scale_rehearsal.py and OPTIMIZATION_r17.md.
+    mem = os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+    t_sess = time.time()
+    spark = get_spark(app_name=f"databound_c{cpus}", extra_conf={
+        "spark.driver.extraJavaOptions":
+            f"-Xss64m -Xms{mem} -XX:+AlwaysPreTouch",
+    })
+    out: dict = {"cpus": cpus, "sent_pre": _sentinel(), "queries": {},
+                 "session_startup_s": round(time.time() - t_sess, 2)}
     for name in QUERIES_TIMED:
         t0 = time.time()
         n = QUERIES[name](spark, CORPUS).count()

@@ -1132,7 +1132,18 @@ def main() -> None:
     # session default OOMs.  Bigger heap is scoped to this tool — bench
     # and the query surface keep the lean default.
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
-    spark = get_spark(app_name="scale_rehearsal")
+    # Pre-touch the heap at startup (r17): on this sandbox VM a large
+    # heap commits lazily at ~165 MB/s of first-touch page faulting, so
+    # the FIRST heavy leg of a fresh 32g session used to absorb up to
+    # ~260 s of heap-commit inside its timed stages (the r16 "410 s at
+    # 10x docs" mystery — attribution in OPTIMIZATION_r17.md).  -Xms=max
+    # + AlwaysPreTouch moves that cost to session startup, off every
+    # leg's clock.
+    mem = os.environ["SPARK_DRIVER_MEMORY"]
+    spark = get_spark(app_name="scale_rehearsal", extra_conf={
+        "spark.driver.extraJavaOptions":
+            f"-Xss64m -Xms{mem} -XX:+AlwaysPreTouch",
+    })
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     dest = tempfile.gettempdir() + "/msa_scale_sf1"
     shutil.rmtree(dest, ignore_errors=True)

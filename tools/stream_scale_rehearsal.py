@@ -344,7 +344,14 @@ def run_ijoin_public(spark, label: str, n_copies: int, src: str) -> dict:
 def main() -> None:
     from meerkat_abacus_spark.session import get_spark
 
-    spark = get_spark(app_name="stream_scale_rehearsal")
+    # Pre-touch the heap at startup (r17): keeps lazy heap-commit page
+    # faulting (~165 MB/s on this VM) out of the first timed leg — see
+    # tools/scale_rehearsal.py and OPTIMIZATION_r17.md.
+    mem = os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+    spark = get_spark(app_name="stream_scale_rehearsal", extra_conf={
+        "spark.driver.extraJavaOptions":
+            f"-Xss64m -Xms{mem} -XX:+AlwaysPreTouch",
+    })
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     # Per-leg JIT warmup (VERDICT r9 ask #8): every leg runs 4 micro-
